@@ -1,0 +1,95 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the configuration is
+chosen so the same logical plans scale to a large cluster:
+
+* AQE on (runtime shuffle coalescing, skew-join splitting) — at 100 TB
+  static ``shuffle.partitions`` is always wrong, AQE re-plans from map
+  output statistics.
+* ``autoBroadcastJoinThreshold`` left at default so dimension tables
+  (region/nation/supplier at any SF) broadcast instead of shuffling the
+  fact table.
+* Arrow enabled for the few pandas-UDF paths (vector kernels).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "kafquack-spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``shuffle_partitions`` defaults to the local core count — on a real
+    cluster leave it high (or rely on AQE coalescing, which is enabled).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no ns timestamp —
+        # read as long, normalize to µs in read_table (matches DuckDB's
+        # ns→µs truncation on read).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, normalizing types to the logical schema.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) → arrives as long ns under
+    ``nanosAsLong``; convert with integer division (ns values ~1.7e18
+    overflow double precision) to µs, exactly what DuckDB does on read.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every fixture table as a DataFrame and register temp views.
+
+    Parquet scans get column pruning + predicate pushdown from Catalyst
+    for free; at 100 TB the same call reads a partitioned table and
+    partition pruning applies — nothing here materializes on the driver.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = read_table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

@@ -1,0 +1,630 @@
+"""Query suite: every operator from SURVEY.md §2 as a (Spark, oracle-SQL) pair.
+
+Each entry registers
+  * a Spark callable ``(spark, sf_dir) -> DataFrame`` — declarative
+    DataFrame API so Catalyst plans it (broadcast joins, pushdown,
+    whole-stage codegen), and
+  * an equivalent DuckDB SQL string the driver runs as the correctness
+    oracle (column names aliased identically on both sides; float
+    aggregates rounded identically on both sides).
+
+The reference implements only the Kafka source (SURVEY §2.1); its users
+get the relational surface from host DuckDB (SURVEY §2.2).  This suite
+therefore *is* the user-visible capability match: source projection +
+filters, joins (equi/semi/anti/range/as-of), aggregation (hash,
+rollup/cube/grouping sets, distinct), windows, sort/top-k, set ops,
+scalar string/date/JSON functions — plus the north-star training-data
+operators (dedup, similarity, text, multimodal) registered by
+:mod:`.operators`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .session import load_tables
+from .sources.synthetic import kafka_messages_from_events
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Query(fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# 1. Source projection (the reference's one real operator)
+# ---------------------------------------------------------------------------
+
+_KAFKA_ORACLE = """
+SELECT 'events' AS topic,
+       CAST(user_id % 4 AS INTEGER) AS "partition",
+       CAST(event_id AS BIGINT) AS "offset",
+       CASE WHEN event_id % 97 = 0 THEN NULL ELSE ts END AS "timestamp",
+       CASE WHEN event_id % 10 = 0 THEN NULL ELSE CAST(user_id AS VARCHAR) END AS "key",
+       CASE WHEN event_id % 101 = 0 THEN NULL ELSE props END AS "value",
+       CASE WHEN event_id % 101 = 0
+            THEN 'Local: Broker transport failure (event ' || CAST(event_id AS VARCHAR) || ')'
+            ELSE NULL END AS error
+FROM events
+"""
+
+
+@query("kafka_messages_batch", _KAFKA_ORACLE)
+def kafka_messages_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 7-column scan shape (kafquack_extension.cpp:101-110)
+    over the broker-free harness; exercises null-timestamp / null-key /
+    error-row semantics (cpp:166-197)."""
+    return kafka_messages_from_events(spark, sf_dir)
+
+
+@query(
+    "kafka_value_counts",
+    f"""
+SELECT value, COUNT(*) AS cnt
+FROM ({_KAFKA_ORACLE}) km
+GROUP BY value
+""",
+)
+def kafka_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §7.2 step 1's end-to-end slice: GROUP BY over the source."""
+    km = kafka_messages_from_events(spark, sf_dir)
+    return km.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "kafka_error_invariant",
+    f"""
+SELECT COUNT(*) AS total,
+       COUNT(*) FILTER (WHERE (value IS NULL) <> (error IS NOT NULL)) AS violations,
+       COUNT(*) FILTER (WHERE error IS NOT NULL) AS error_rows,
+       COUNT(*) FILTER (WHERE key IS NULL) AS keyless_rows,
+       COUNT(*) FILTER (WHERE timestamp IS NULL) AS ts_null_rows
+FROM ({_KAFKA_ORACLE}) km
+""",
+)
+def kafka_error_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors-are-data invariant: (value IS NULL) == (error IS NOT NULL)
+    (kafquack_extension.cpp:189-197)."""
+    km = kafka_messages_from_events(spark, sf_dir)
+    return km.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(F.col("value").isNull() != F.col("error").isNotNull(), 1)).alias(
+            "violations"
+        ),
+        F.count(F.when(F.col("error").isNotNull(), 1)).alias("error_rows"),
+        F.count(F.when(F.col("key").isNull(), 1)).alias("keyless_rows"),
+        F.count(F.when(F.col("timestamp").isNull(), 1)).alias("ts_null_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Aggregation: hash agg with partial/final, rounding pinned cross-engine
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan→filter(pushed to parquet)→partial agg→final agg.
+    One shuffle on a 6-value key; map-side combine does ~all the work."""
+    li = _t(spark, sf_dir)["lineitem"]
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders    ON c_custkey = o_custkey
+JOIN lineitem  ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND l_shipdate  > TIMESTAMP '1997-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join → agg → deterministic
+    top-k (ties broken by key).  customer side broadcasts after its
+    filter; lineitem never shuffles more than once."""
+    t = _t(spark, sf_dir)
+    cut = F.lit("1997-06-01").cast("timestamp")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    ords = t["orders"].filter(F.col("o_orderdate") < cut)
+    li = t["lineitem"].filter(F.col("l_shipdate") > cut)
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "q5_local_supplier",
+    """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+GROUP BY n_name
+""",
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join.  region/nation/supplier/customer are
+    dimensions → broadcast them; the two fact tables (orders, lineitem)
+    meet in the only real shuffle."""
+    t = _t(spark, sf_dir)
+    dim = (
+        t["region"].filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .join(t["nation"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(t["customer"], F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    li_sup = t["lineitem"].join(
+        F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    return (
+        li_sup.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(dim),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Projection / filter pushdown
+# ---------------------------------------------------------------------------
+
+@query(
+    "filter_project",
+    """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicates + projection reach the parquet scan (PushedFilters /
+    4-column ReadSchema in `.explain`) — no full-width materialization."""
+    li = _t(spark, sf_dir)["lineitem"]
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# 4. Join family
+# ---------------------------------------------------------------------------
+
+@query(
+    "semi_join",
+    """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+""",
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 150000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "anti_join",
+    """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "range_join",
+    """
+SELECT r_name AS band,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS band_total
+FROM orders
+JOIN region ON o_totalprice >= r_regionkey * 100000.0
+           AND o_totalprice <  (r_regionkey + 1) * 100000.0
+GROUP BY r_name
+""",
+)
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) join: tiny band table broadcast → nested-loop
+    against the fact side; no shuffle of orders."""
+    t = _t(spark, sf_dir)
+    bands = t["region"].select(
+        F.col("r_name"),
+        (F.col("r_regionkey") * 100000.0).alias("lo"),
+        ((F.col("r_regionkey") + 1) * 100000.0).alias("hi"),
+    )
+    return (
+        t["orders"]
+        .join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy(F.col("r_name").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("band_total"),
+        )
+    )
+
+
+@query(
+    "asof_join",
+    """
+SELECT event_id, user_id, ts, last_signup_ts FROM (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+  FROM events
+) WHERE event_type = 'purchase'
+""",
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as a running `last(...) ignorenulls` window —
+    single shuffle on user_id, no pandas round-trip, watermark-friendly
+    shape at scale (backward as-of: latest signup at-or-before each
+    purchase)."""
+    ev = _t(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sig = F.last(
+        F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_signup_ts", sig)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_signup_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Window functions / top-k
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_funcs",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       ROW_NUMBER() OVER w AS rn,
+       RANK()       OVER w AS rnk,
+       ROUND(LAG(o_totalprice) OVER w, 2)  AS prev_price,
+       ROUND(LEAD(o_totalprice) OVER w, 2) AS next_price,
+       ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + analytic + frame windows; one shuffle on o_custkey shared
+    by the two window specs with the same partitioning."""
+    o = _t(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(F.avg("o_totalprice").over(wd.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
+        F.round(
+            F.sum("o_totalprice").over(wd.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+    )
+
+
+@query(
+    "topk_per_group",
+    """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rn <= 3
+""",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group = row_number + filter; Spark plans a partial top-k
+    (WindowGroupLimit) before the shuffle, so only k rows per group per
+    mapper move."""
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. Grouping sets / rollup / cube, distinct
+# ---------------------------------------------------------------------------
+
+@query(
+    "rollup_agg",
+    """
+SELECT r_name, n_name, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    joined = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"), F.round(F.sum("c_acctbal"), 2).alias("total_bal")
+    )
+
+
+@query(
+    "cube_agg",
+    """
+SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n, ROUND(AVG(o_totalprice), 4) AS avg_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderstatus)
+""",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    joined = t["orders"].join(
+        F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return joined.cube("c_mktsegment", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price")
+    )
+
+
+@query(
+    "grouping_sets",
+    """
+SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+""",
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@query(
+    "distinct_agg",
+    """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS distinct_parts,
+       COUNT(DISTINCT l_suppkey) AS distinct_supps,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketches differ between engines → rows-only check (no oracle)."""
+    li = _t(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+REGISTRY["approx_distinct"] = Query(approx_distinct, None)
+
+
+# ---------------------------------------------------------------------------
+# 7. Set operations
+# ---------------------------------------------------------------------------
+
+@query(
+    "set_ops",
+    """
+WITH cust_nations AS (SELECT c_nationkey AS nationkey FROM customer),
+     supp_nations AS (SELECT s_nationkey AS nationkey FROM supplier)
+SELECT 'union' AS op, nationkey FROM (SELECT nationkey FROM cust_nations UNION SELECT nationkey FROM supp_nations)
+UNION ALL
+SELECT 'intersect' AS op, nationkey FROM (SELECT nationkey FROM cust_nations INTERSECT SELECT nationkey FROM supp_nations)
+UNION ALL
+SELECT 'except' AS op, nationkey FROM (SELECT nationkey FROM cust_nations EXCEPT SELECT nationkey FROM supp_nations)
+""",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    cust = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    supp = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    union = cust.union(supp).distinct().select(F.lit("union").alias("op"), "nationkey")
+    inter = cust.intersect(supp).select(F.lit("intersect").alias("op"), "nationkey")
+    exc = cust.distinct().exceptAll(supp.distinct()).select(
+        F.lit("except").alias("op"), "nationkey"
+    )
+    return union.unionAll(inter).unionAll(exc)
+
+
+# ---------------------------------------------------------------------------
+# 8. Scalar functions: JSON, string, date
+# ---------------------------------------------------------------------------
+
+@query(
+    "json_scalar",
+    """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def json_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir)["events"]
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "string_date_funcs",
+    """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month,
+       date_trunc('month', o_orderdate) AS month_start,
+       COUNT(*) AS n_orders,
+       ROUND(AVG(o_totalprice), 4) AS avg_price,
+       MIN(upper(substr(o_orderpriority, 1, 1))) AS min_prio_initial,
+       MAX(length(o_orderstatus)) AS max_status_len
+FROM orders
+GROUP BY 1, 2, 3
+""",
+)
+def string_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir)["orders"]
+    return o.groupBy(
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.min(F.upper(F.substring("o_orderpriority", 1, 1))).alias("min_prio_initial"),
+        F.max(F.length("o_orderstatus")).alias("max_status_len"),
+    )
