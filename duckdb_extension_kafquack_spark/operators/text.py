@@ -1,0 +1,216 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting — over the ``documents`` table.
+
+Everything is a single-pass column expression (whole-stage codegen, no
+UDF, no shuffle except the optional per-language rollups): at 100 TB
+these are embarrassingly parallel map stages whose cost is the parquet
+scan itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duck_hash64, spark_hash64
+from ..session import load_tables
+from ..suite import query
+
+# tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic (the fixture's vocabulary is synthetic; the lists are chosen
+# from it deterministically — the *operator shape* is what matters).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "slow", "big"),
+    "db": ("table", "scan", "join", "merge", "sort", "hash", "filter"),
+    "biz": ("customer", "order", "part", "line", "value"),
+    "ops": ("stream", "batch", "window", "spark", "query"),
+}
+STOPWORDS = ("the", "a", "of", "to", "and")
+
+FP_PRIME = 1_000_000_007
+FP_WINDOW = 31
+
+
+def _tok_col() -> F.Column:
+    return F.filter(F.split("text", " "), lambda t: t != "")
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Marker-lexicon language ID: score = #tokens in each language's
+    marker list; argmax with lexicographic tie-break.  Pure array ops."""
+    toks = _tok_col()
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers))).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    scored = docs.select("doc_id", "lang", *scores.values())
+    # argmax over a map via a sorted struct array: (score desc, lang asc)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = None
+    for lang in langs:  # first (lexicographically) language hitting max
+        cond = F.col(f"score_{lang}") == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[F.col(f"score_{lang}") for lang in langs],
+        pred.alias("predicted_lang"),
+    )
+
+
+def _duck_langid_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_cols = ",\n       ".join(
+        "CAST(len(list_filter(toks, t -> t IN ("
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        + f"))) AS INTEGER) AS score_{lang}"
+        for lang in langs
+    )
+    best = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+       {score_cols}
+  FROM tokd
+)
+SELECT doc_id, lang AS labeled_lang,
+       {", ".join(f"score_{lang}" for lang in langs)},
+       {pred} AS predicted_lang
+FROM scored
+"""
+
+
+query("text_langid", _duck_langid_sql())(
+    lambda spark, sf_dir: language_id(load_tables(spark, sf_dir)["documents"])
+)
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length / type-token-ratio / stopword-ratio quality features and a
+    blended score — the standard cheap pre-filter for LLM corpora."""
+    toks = _tok_col()
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    ttr = n_uniq / n_tok
+    stop_ratio = n_stop / n_tok
+    avg_len = (F.length("text") - (n_tok - 1)) / n_tok  # chars net of separators
+    score = 0.5 * ttr + 0.3 * (1 - stop_ratio) + 0.2 * F.least(avg_len / 8, F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_unique_tokens"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+_DUCK_QUALITY = f"""
+WITH tokd AS (
+  SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_unique_tokens,
+         len(list_filter(toks, t -> t IN ({", ".join(f"'{s}'" for s in STOPWORDS)}))) AS n_stop,
+         (length(text) - (len(toks) - 1)) AS net_chars
+  FROM tokd
+)
+SELECT doc_id,
+       CAST(n_chars AS INTEGER) AS n_chars,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(n_unique_tokens AS INTEGER) AS n_unique_tokens,
+       ROUND(n_unique_tokens::DOUBLE / n_tokens, 6) AS type_token_ratio,
+       ROUND(n_stop::DOUBLE / n_tokens, 6) AS stopword_ratio,
+       ROUND(net_chars::DOUBLE / n_tokens, 6) AS avg_token_len,
+       ROUND(0.5 * (n_unique_tokens::DOUBLE / n_tokens)
+           + 0.3 * (1 - n_stop::DOUBLE / n_tokens)
+           + 0.2 * LEAST((net_chars::DOUBLE / n_tokens) / 8, 1.0), 6) AS quality_score
+FROM feats
+"""
+
+
+query("text_quality", _DUCK_QUALITY)(
+    lambda spark, sf_dir: quality_scores(load_tables(spark, sf_dir)["documents"])
+)
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish sub-word piece estimate (regex word/
+    digit/other classes) + per-source rollup-ready counts."""
+    ws = F.size(_tok_col())
+    bpe = F.size(
+        F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_pieces"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+_DUCK_TOKENS = r"""
+SELECT doc_id, source,
+       CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_pieces,
+       CAST(length(text) AS INTEGER) AS n_chars
+FROM documents
+"""
+
+
+query("text_token_counts", _DUCK_TOKENS)(
+    lambda spark, sf_dir: token_counts(load_tables(spark, sf_dir)["documents"])
+)
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Position-weighted rolling document fingerprint:
+    ``sum(hash64(tok) % P * ((pos % W) + 1)) % P`` — order-sensitive (a
+    shuffled doc fingerprints differently) yet computable in one pass."""
+    exploded = docs.select(
+        "doc_id", F.posexplode(_tok_col()).alias("pos", "tok")
+    )
+    term = (spark_hash64(F.col("tok")) % FP_PRIME) * ((F.col("pos") % FP_WINDOW) + 1)
+    return (
+        exploded.groupBy("doc_id")
+        .agg(
+            (F.sum(term) % FP_PRIME).alias("fingerprint"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+_DUCK_FINGERPRINT = f"""
+WITH tokd AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), exploded AS (
+  SELECT doc_id,
+         unnest(toks) AS tok,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM tokd
+)
+SELECT doc_id,
+       CAST(SUM(({duck_hash64("tok")} % {FP_PRIME}) * ((pos % {FP_WINDOW}) + 1)) % {FP_PRIME} AS BIGINT) AS fingerprint,
+       COUNT(*) AS n_tokens
+FROM exploded GROUP BY doc_id
+"""
+
+
+query("text_fingerprint", _DUCK_FINGERPRINT)(
+    lambda spark, sf_dir: fingerprints(load_tables(spark, sf_dir)["documents"])
+)
