@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.  Each query executes fully via the
+noop sink (no driver-side collect — measures the distributed plan, not
+the toPandas transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from duckdb_extension_kafquack_spark import operators, streaming, suite  # noqa: F401
+from duckdb_extension_kafquack_spark.session import get_spark, load_tables
+
+HEADLINE = [
+    "kafka_value_counts",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "filter_project",
+    "window_funcs",
+    "topk_per_group",
+    "asof_join",
+    "json_scalar",
+    "rollup_agg",
+    "tumbling_window",
+    "session_window",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "text_fingerprint",
+    "ann_cosine_topk",
+    "dedup_embedding_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("kafquack-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    load_tables(spark, sf_dir)  # warm the session & file listing
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = suite.REGISTRY[name]
+        t0 = time.time()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -188,29 +188,85 @@ def embedding_near_duplicates(
     """Near-dup pairs (cosine ≥ threshold) — the embedding-space analogue
     of MinHash-LSH dedup.
 
-    ``blocked=True`` restricts candidates to SRP buckets (the 100 TB
-    path: all-pairs is quadratic; bucketing makes the self-join keyed).
-    The fixture's similar pairs sit at cosine ≈0.45-0.51 where 8-bit SRP
-    recall is poor, so the oracle-checked default is the exact variant;
-    the blocked plan shape is identical to :func:`lsh_topk`'s.
+    Physical strategy: the normalized corpus matrix is broadcast and
+    each partition scores its rows against it with one BLAS matmul
+    (Arrow-batched ``mapInPandas``) — no pair rows ever shuffle, the
+    2M-pair cross product exists only inside numpy.  This is the exact
+    baseline for corpora that fit a broadcast (≤ ~1M×64); beyond that,
+    set ``blocked=True`` to restrict candidates to SRP buckets first
+    (keyed self-join, linear state — the 100 TB path; the fixture's
+    near-dup pairs sit at cosine ≈0.45-0.51 where 8-bit SRP recall is
+    poor, so the oracle-checked default is exact).
     """
-    b = embeddings.select(
-        "vec_id", "embedding", srp_bucket("embedding").alias("bucket")
+    import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
-    a, c = b.alias("a"), b.alias("c")
-    cond = F.col("a.vec_id") < F.col("c.vec_id")
+
     if blocked:
-        cond = cond & (F.col("a.bucket") == F.col("c.bucket"))
-    return (
-        a.join(c, cond)
-        .select(
-            F.col("a.vec_id").alias("id1"),
-            F.col("c.vec_id").alias("id2"),
-            cosine_similarity(F.col("a.embedding"), F.col("c.embedding")).alias("cos"),
+        b = embeddings.select(
+            "vec_id", "embedding", srp_bucket("embedding").alias("bucket")
         )
-        .filter(F.col("cos") >= threshold)
-        .select("id1", "id2", F.round("cos", 4).alias("cos_sim"))
+        a, c = b.alias("a"), b.alias("c")
+        return (
+            a.join(
+                c,
+                (F.col("a.bucket") == F.col("c.bucket"))
+                & (F.col("a.vec_id") < F.col("c.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("id1"),
+                F.col("c.vec_id").alias("id2"),
+                cosine_similarity(F.col("a.embedding"), F.col("c.embedding")).alias("cos"),
+            )
+            .filter(F.col("cos") >= threshold)
+            .select("id1", "id2", F.round("cos", 4).alias("cos_sim"))
+        )
+
+    spark = embeddings.sparkSession
+    pdf = embeddings.select("vec_id", "embedding").toPandas()
+    corpus_ids = pdf["vec_id"].to_numpy()
+    corpus = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    corpus_norms = np.linalg.norm(corpus, axis=1)
+    b_ids = spark.sparkContext.broadcast(corpus_ids)
+    b_mat = spark.sparkContext.broadcast(corpus)
+    b_norms = spark.sparkContext.broadcast(corpus_norms)
+
+    out_schema = StructType(
+        [
+            StructField("id1", LongType(), False),
+            StructField("id2", LongType(), False),
+            StructField("cos_sim", DoubleType(), False),
+        ]
     )
+
+    def score(batches):
+        import pandas as pd
+
+        for part in batches:
+            if len(part) == 0:
+                continue
+            ids = part["vec_id"].to_numpy()
+            vecs = np.vstack(part["embedding"].to_numpy()).astype(np.float64)
+            # (v·w)/(|v||w|) — same operation order as the SQL oracle
+            sims = (vecs @ b_mat.value.T) / np.outer(
+                np.linalg.norm(vecs, axis=1), b_norms.value
+            )
+            rows, cols = np.nonzero(sims >= threshold)
+            keep = ids[rows] < b_ids.value[cols]
+            yield pd.DataFrame(
+                {
+                    "id1": ids[rows][keep],
+                    "id2": b_ids.value[cols][keep],
+                    "cos_sim": np.round(sims[rows, cols][keep], 4),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(score, out_schema)
 
 
 _DUCK_COS_AC = (

@@ -72,7 +72,8 @@ def synthetic_kafka_stream(
     events = (
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(f"{sf_dir}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
     return _project(_normalize_ts(events), topic)
 

@@ -1,0 +1,154 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+Spark's arbitrary-stateful API is the extension point the reference
+cannot offer at all (DuckDB table functions are stateless per-scan; the
+reference's only state is the Kafka group offset,
+kafquack_extension.cpp:199-204).  Implemented here:
+
+* :func:`stateful_user_stats` — per-user running aggregate with explicit
+  GroupState (count / sum / first / last event-time), the canonical
+  custom-state shape (fraud counters, sessionizers, rate trackers).
+* :func:`dedup_within_watermark` — bounded-state streaming dedup keyed
+  on the Kafka identity (partition, offset): replays of the same message
+  inside the watermark are dropped — upgrade of the reference's
+  at-most-once delivery to effectively-once within the horizon.
+
+State lives in the state store (RocksDB-able via
+``spark.sql.streaming.stateStore.providerClass``), partitioned by key —
+scales horizontally with executors; the watermark bounds its size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..suite import query
+from .windows import _events_stream, run_stream_to_table
+
+USER_STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("total_value", DoubleType(), True),
+        StructField("first_ts", TimestampType(), True),
+        StructField("last_ts", TimestampType(), True),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType(), False),
+        StructField("total", DoubleType(), True),
+        StructField("first_ts", TimestampType(), True),
+        StructField("last_ts", TimestampType(), True),
+    ]
+)
+
+
+def _update_user_stats(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total, first_ts, last_ts = (
+        state.get if state.exists else (0, 0.0, None, None)
+    )
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        lo, hi = pdf["ts"].min(), pdf["ts"].max()
+        first_ts = lo if first_ts is None else min(first_ts, lo)
+        last_ts = hi if last_ts is None else max(last_ts, hi)
+    state.update((n, total, first_ts, last_ts))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+            "first_ts": [first_ts],
+            "last_ts": [last_ts],
+        }
+    )
+
+
+def stateful_user_stats(events_stream: DataFrame) -> DataFrame:
+    """Running per-user stats with explicit GroupState — survives across
+    micro-batches, emits the updated row per key per batch."""
+    return (
+        events_stream.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_stats,
+            outputStructType=USER_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+@query(
+    "streaming_stateful_user_stats",
+    """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+""",
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState over the event stream, drained availableNow
+    (single source file → single micro-batch → final state rows); oracle
+    is the equivalent batch aggregate."""
+    out = stateful_user_stats(_events_stream(spark, sf_dir))
+    run_stream_to_table(out, "stateful_user_stats", "update")
+    return spark.table("stateful_user_stats")
+
+
+def dedup_within_watermark(kafka_stream: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Effectively-once within the watermark horizon: drop replays of the
+    same (topic, partition, offset) — bounded state, unlike a global
+    dropDuplicates."""
+    return kafka_stream.withWatermark("timestamp", delay).dropDuplicatesWithinWatermark(
+        ["topic", "partition", "offset"]
+    )
+
+
+@query(
+    "streaming_dedup_within_watermark",
+    """
+SELECT CAST(user_id % 4 AS INTEGER) AS "partition", COUNT(*) AS n
+FROM events
+WHERE event_id % 101 <> 0
+GROUP BY 1
+""",
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-identity streaming dedup on the synthetic stream (which has
+    no true dups → output = non-error message counts, batch-checkable;
+    null-event-time rows pass through the dedup state unexpired)."""
+    from ..sources.synthetic import synthetic_kafka_stream
+
+    km = synthetic_kafka_stream(spark, sf_dir)
+    deduped = dedup_within_watermark(km.filter(F.col("error").isNull()))
+    agg = deduped.groupBy("partition").agg(F.count(F.lit(1)).alias("n"))
+    run_stream_to_table(agg, "dedup_within_wm", "complete")
+    return spark.table("dedup_within_wm")

@@ -1,0 +1,227 @@
+"""Event-time windowing: tumbling / sliding / session, batch + streaming.
+
+The reference has zero event-time machinery (its only stream semantics
+is the per-message offset commit, kafquack_extension.cpp:199-204); this
+module supplies the streaming capability a Spark-native deployment gets:
+``window`` / ``session_window`` aggregations that run identically over a
+static DataFrame (oracle-checkable) and over a Structured Stream with
+watermarks (``readStream`` + ``trigger(availableNow=True)`` — the
+Spark idiom for the reference's "drain what's there now" read).
+
+Scale notes: windowed aggregation shuffles on (key, window) — uniform
+unless one key dominates (then salt or enable AQE skew handling, both
+on by default here).  Watermark delay bounds state size; session
+windows need the RocksDB state store beyond toy scale (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables, read_table
+from ..suite import query
+
+TUMBLE = "1 hour"
+SLIDE_WIN = "1 hour"
+SLIDE_STEP = "30 minutes"
+SESSION_GAP = "30 minutes"
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy(
+            F.window("ts", TUMBLE).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@query("tumbling_window", _TUMBLING_ORACLE)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load_tables(spark, sf_dir)["events"])
+
+
+@query(
+    "sliding_window",
+    """
+SELECT time_bucket(INTERVAL '30 minutes', ts) - (o.i * INTERVAL '30 minutes') AS window_start,
+       time_bucket(INTERVAL '30 minutes', ts) - (o.i * INTERVAL '30 minutes') + INTERVAL '1 hour' AS window_end,
+       COUNT(*) AS n,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events, (VALUES (0), (1)) o(i)
+GROUP BY 1, 2
+""",
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows every 30min: each event lands in exactly 2 windows —
+    Spark duplicates rows into overlapping windows; the oracle models the
+    same with an offset cross join."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.window("ts", SLIDE_WIN, SLIDE_STEP).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+            "avg_value",
+        )
+    )
+
+
+@query(
+    "session_window",
+    """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM ordered
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS session_value
+FROM numbered
+GROUP BY user_id, sess_id
+""",
+)
+def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (Spark ``session_window``); the oracle is
+    the classic islands construction (lag → gap flag → running sum)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# true Structured Streaming entries (readStream → memory sink)
+# ---------------------------------------------------------------------------
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # FileStreamSource wants a directory; select just the events file
+    ev = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long")))
+    return ev
+
+
+def run_stream_to_table(df: DataFrame, name: str, mode: str = "complete") -> None:
+    """Drain an unbounded query with availableNow into an in-memory table —
+    bounded-read parity with the reference's interactive scan (SURVEY §2.1)."""
+    with tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_") as ckpt:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+@query("streaming_tumbling_window", _TUMBLING_ORACLE)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME tumbling aggregation, executed as a real Structured
+    Streaming job (file stream → watermark → windowed agg → memory sink,
+    availableNow trigger) — and checked against the SAME batch oracle:
+    stream/batch result parity, Spark's replacement for the reference's
+    blocking scan loop."""
+    agg = tumbling_counts(_events_stream(spark, sf_dir).withWatermark("ts", "1 day"))
+    run_stream_to_table(agg, "stream_tumbling", "complete")
+    return spark.table("stream_tumbling")
+
+
+@query(
+    "streaming_dedup",
+    """
+SELECT event_type, COUNT(*) AS n_unique_users
+FROM (SELECT DISTINCT event_type, user_id FROM events)
+GROUP BY event_type
+""",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dropDuplicates (exactly-once per key within the
+    stream) + aggregation, drained via availableNow; oracle = batch
+    DISTINCT."""
+    ev = _events_stream(spark, sf_dir)
+    dedup = ev.select("event_type", "user_id").dropDuplicates(["event_type", "user_id"])
+    agg = dedup.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_users"))
+    run_stream_to_table(agg, "stream_dedup", "complete")
+    return spark.table("stream_dedup")
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join: unbounded events against the static
+    nation dimension — stateless, no watermark needed."""
+    ev = _events_stream(spark, sf_dir)
+    nation = read_table(spark, sf_dir, "nation")
+    joined = ev.withColumn("nationkey", (F.col("user_id") % 25).cast("int")).join(
+        F.broadcast(nation), F.col("nationkey") == F.col("n_nationkey")
+    )
+    agg = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    run_stream_to_table(agg, "stream_static_join", "complete")
+    return spark.table("stream_static_join")
+
+
+query(
+    "streaming_stream_static_join",
+    """
+SELECT n_name, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events JOIN nation ON CAST(user_id % 25 AS INTEGER) = n_nationkey
+GROUP BY n_name
+""",
+)(stream_static_join)

@@ -1,0 +1,118 @@
+"""Binder/validation + schema + semantics tests for the Kafka source —
+the superset of the reference's two sqllogictest negatives
+(/root/reference/test/sql/kafquack.test) per SURVEY.md §5.2."""
+
+import pytest
+
+from duckdb_extension_kafquack_spark.sources.kafka import (
+    KAFKA_MESSAGE_SCHEMA,
+    _validate_options,
+    kafka_consumer,
+)
+from duckdb_extension_kafquack_spark.sources.synthetic import (
+    kafka_messages_from_events,
+)
+from tests.conftest import SF_DIR
+
+
+class TestBindValidation:
+    """One test per validation branch (kafquack_extension.cpp:80-99),
+    asserting the reference's exact error-message texts."""
+
+    def test_bad_security_protocol(self, spark):
+        with pytest.raises(
+            ValueError, match="security_protocol must be either SASL_SSL or SASL_PLAINTEXT"
+        ):
+            kafka_consumer(spark, "b:9092", "t", "g", security_protocol="PLAINTEXT")
+
+    def test_bad_sasl_mechanism(self, spark):
+        with pytest.raises(
+            ValueError, match="sasl_mechanism must be either SCRAM-SHA-256 or PLAIN"
+        ):
+            kafka_consumer(
+                spark, "b:9092", "t", "g",
+                security_protocol="SASL_SSL", sasl_mechanism="GSSAPI",
+                username="u", password="p",
+            )
+
+    def test_missing_credentials(self, spark):
+        with pytest.raises(
+            ValueError, match="username and password are required when security_protocol is set"
+        ):
+            kafka_consumer(spark, "b:9092", "t", "g", security_protocol="SASL_SSL")
+
+    def test_unknown_named_parameter(self, spark):
+        with pytest.raises(ValueError, match="Unknown named parameter: nope"):
+            kafka_consumer(spark, "b:9092", "t", "g", nope=1)
+
+    def test_default_mechanism_is_plain(self):
+        """Reference defaults sasl_mechanism to PLAIN when protocol set (cpp:120)."""
+        opts = _validate_options("SASL_SSL", None, "u", "p", {})
+        assert opts["kafka.sasl.mechanism"] == "PLAIN"
+        assert "PlainLoginModule" in opts["kafka.sasl.jaas.config"]
+
+    def test_scram_module(self):
+        opts = _validate_options("SASL_PLAINTEXT", "SCRAM-SHA-256", "u", "p", {})
+        assert "ScramLoginModule" in opts["kafka.sasl.jaas.config"]
+
+    def test_no_auth_no_options(self):
+        assert _validate_options(None, None, None, None, {}) == {}
+
+
+class TestSchema:
+    def test_seven_column_schema(self, spark):
+        """Bind-time schema parity (kafquack_extension.cpp:101-110)."""
+        df = kafka_messages_from_events(spark, SF_DIR)
+        assert [f.name for f in df.schema.fields] == [
+            "topic", "partition", "offset", "timestamp", "key", "value", "error",
+        ]
+        assert [f.dataType.simpleString() for f in df.schema.fields] == [
+            "string", "int", "bigint", "timestamp", "string", "string", "string",
+        ]
+        assert df.schema == KAFKA_MESSAGE_SCHEMA or [
+            (f.name, f.dataType) for f in df.schema.fields
+        ] == [(f.name, f.dataType) for f in KAFKA_MESSAGE_SCHEMA.fields]
+
+
+class TestSemantics:
+    """Golden semantics without a broker (SURVEY §5.2.3)."""
+
+    def test_error_value_invariant(self, spark):
+        """(value IS NULL) == (error IS NOT NULL)  (cpp:189-197)."""
+        from pyspark.sql import functions as F
+
+        km = kafka_messages_from_events(spark, SF_DIR)
+        bad = km.filter(F.col("value").isNull() != F.col("error").isNotNull())
+        assert bad.count() == 0
+
+    def test_null_edges_exist(self, spark):
+        from pyspark.sql import functions as F
+
+        km = kafka_messages_from_events(spark, SF_DIR).cache()
+        assert km.filter(F.col("timestamp").isNull()).count() > 0  # cpp:177-178
+        assert km.filter(F.col("key").isNull()).count() > 0  # cpp:185-186
+        assert km.filter(F.col("error").isNotNull()).count() > 0  # cpp:196
+        km.unpersist()
+
+    def test_offsets_monotonic_per_partition(self, spark):
+        from pyspark.sql import functions as F
+
+        km = kafka_messages_from_events(spark, SF_DIR)
+        dup = km.groupBy("topic", "partition", "offset").count().filter("count > 1")
+        assert dup.count() == 0
+
+    def test_streaming_variant_matches_batch(self, spark):
+        """availableNow drain of the unbounded source == the batch table."""
+        from duckdb_extension_kafquack_spark.sources.synthetic import (
+            synthetic_kafka_stream,
+        )
+        from duckdb_extension_kafquack_spark.streaming.windows import (
+            run_stream_to_table,
+        )
+
+        stream = synthetic_kafka_stream(spark, SF_DIR)
+        assert stream.isStreaming
+        run_stream_to_table(stream, "km_stream_drain", "append")
+        got = spark.table("km_stream_drain").count()
+        want = kafka_messages_from_events(spark, SF_DIR).count()
+        assert got == want

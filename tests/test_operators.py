@@ -1,0 +1,136 @@
+"""North-star operator semantics on controlled inputs + fixture sanity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (4, "completely different words here nothing shared at all"),
+            (5, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+class TestDedup:
+    def test_exact(self, spark, docs):
+        from duckdb_extension_kafquack_spark.operators.dedup import exact_duplicates
+
+        out = exact_duplicates(docs).collect()
+        assert len(out) == 1
+        assert out[0].canonical_id == 1 and out[0].n_copies == 2
+
+    def test_minhash_finds_near_dup(self, spark, docs):
+        from duckdb_extension_kafquack_spark.operators.dedup import (
+            minhash_near_duplicates,
+        )
+
+        pairs = {(r.doc1, r.doc2) for r in minhash_near_duplicates(docs).collect()}
+        assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+        assert not any(4 in p or 5 in p for p in pairs)
+
+    def test_simhash_exact_dups_share_signature(self, spark, docs):
+        from duckdb_extension_kafquack_spark.operators.dedup import simhash_signatures
+
+        sig = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+        assert sig[1] == sig[3]
+        assert sig[1] != sig[4]
+
+    def test_ngram_jaccard(self, spark, docs):
+        from duckdb_extension_kafquack_spark.operators.dedup import ngram_jaccard_pairs
+
+        pairs = {(r.doc1, r.doc2): r.jaccard for r in ngram_jaccard_pairs(docs).collect()}
+        assert pairs[(1, 3)] == 1.0
+        assert (1, 2) in pairs and pairs[(1, 2)] >= 0.7
+
+
+class TestSimilarity:
+    def test_topk_self_is_excluded_and_ranked(self, spark, tables):
+        from duckdb_extension_kafquack_spark.operators.similarity import cosine_topk
+
+        emb = tables["embeddings"]
+        queries = emb.filter(F.col("vec_id") == 0)
+        out = cosine_topk(emb, queries, k=3).collect()
+        assert len(out) == 3
+        assert all(r.neighbor_id != 0 for r in out)
+        assert [r.rank for r in out] == [1, 2, 3]
+        assert out[0].cos_sim >= out[1].cos_sim >= out[2].cos_sim
+
+    def test_near_dup_symmetric_thresholded(self, spark, tables):
+        from duckdb_extension_kafquack_spark.operators.similarity import (
+            embedding_near_duplicates,
+        )
+
+        out = embedding_near_duplicates(tables["embeddings"], threshold=0.45).collect()
+        assert all(r.id1 < r.id2 and r.cos_sim >= 0.45 for r in out)
+
+
+class TestText:
+    def test_quality_bounds(self, spark, tables):
+        from duckdb_extension_kafquack_spark.operators.text import quality_scores
+
+        out = quality_scores(tables["documents"]).collect()
+        assert all(0 <= r.type_token_ratio <= 1 for r in out)
+        assert all(0 <= r.stopword_ratio <= 1 for r in out)
+        assert all(r.n_tokens > 0 for r in out)
+
+    def test_fingerprint_order_sensitive(self, spark):
+        from duckdb_extension_kafquack_spark.operators.text import fingerprints
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "f e d c b a")], "doc_id long, text string"
+        )
+        fp = {r.doc_id: r.fingerprint for r in fingerprints(df).collect()}
+        assert fp[1] != fp[2]
+
+    def test_langid_deterministic(self, spark, tables):
+        from duckdb_extension_kafquack_spark.operators.text import language_id
+
+        a = language_id(tables["documents"]).orderBy("doc_id").collect()
+        b = language_id(tables["documents"]).orderBy("doc_id").collect()
+        assert a == b
+
+
+class TestMultimodal:
+    def test_payload_pruned_from_meta_projection(self, spark, tables, tmp_path):
+        """Metadata-only reads must not deserialize payload bytes
+        (column pruning — the property that matters at 100 TB)."""
+        from duckdb_extension_kafquack_spark.operators.multimodal import (
+            blobs_from_documents,
+        )
+
+        path = str(tmp_path / "blobs.parquet")
+        blobs_from_documents(tables["documents"]).write.parquet(path)
+        meta = spark.read.parquet(path).select("blob_id", "mime", "n_bytes")
+        plan = meta._jdf.queryExecution().executedPlan().toString()
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "payload" not in read_schema  # pruned from the parquet scan
+        assert meta.count() == tables["documents"].count()
+
+    def test_decode_stub_features(self, spark, tables):
+        from duckdb_extension_kafquack_spark.operators.multimodal import (
+            blobs_from_documents,
+            decode_features,
+        )
+
+        blobs = blobs_from_documents(tables["documents"])
+        feats = decode_features(blobs).collect()
+        assert all(0 <= r.width < 640 and 0 <= r.height < 480 for r in feats)
+
+    def test_decode_without_stub_raises(self, spark, tables):
+        from duckdb_extension_kafquack_spark.operators.multimodal import (
+            blobs_from_documents,
+            decode_features,
+        )
+
+        blobs = blobs_from_documents(tables["documents"]).limit(1)
+        with pytest.raises(Exception, match="NotImplementedError|decode"):
+            decode_features(blobs, decode_stub=False).collect()

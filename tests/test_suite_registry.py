@@ -1,0 +1,50 @@
+"""Driver-contract integrity: every query runs at sf0.001, oracle coverage,
+column-name discipline (the driver hash-compares by sorted column name)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from duckdb_extension_kafquack_spark.suite import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_every_query_has_callable_and_most_have_oracles():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) >= 40
+    assert set(oracles) <= set(qs)
+    # ≥90% of queries are strongly (hash-)checked
+    assert len(oracles) / len(qs) >= 0.9
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_runs_and_matches_oracle_rowcount(spark, name):
+    """Cheap per-query gate at sf0.001: runs, yields a schema, and (when
+    an oracle exists) row-counts match DuckDB.  Full value-hash parity is
+    tools/oracle_check.py at sf0.01."""
+    q = REGISTRY[name]
+    df = q.fn(spark, SF_DIR)
+    n = df.count()
+    assert n >= 0
+    if q.oracle is None:
+        return
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    want = con.execute(f"SELECT COUNT(*) FROM ({q.oracle})").fetchone()[0]
+    assert n == want, f"{name}: spark={n} duck={want}"
+    spark_cols = sorted(c.lower() for c in df.columns)
+    duck_cols = sorted(
+        d[0].lower() for d in con.execute(f"SELECT * FROM ({q.oracle}) LIMIT 0").description
+    )
+    assert spark_cols == duck_cols, f"{name}: {spark_cols} != {duck_cols}"

@@ -68,6 +68,7 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 def main() -> int:
     sys.path.insert(0, "/root/repo")
     import duckdb_extension_kafquack_spark.operators  # noqa: F401 — registers north-star queries
+    import duckdb_extension_kafquack_spark.streaming  # noqa: F401 — registers streaming queries
     from duckdb_extension_kafquack_spark.session import TABLES, get_spark
     from duckdb_extension_kafquack_spark.suite import REGISTRY
 
