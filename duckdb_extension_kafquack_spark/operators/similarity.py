@@ -182,6 +182,115 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries)
 
 
+IVF_CENTROIDS = 16  # deterministic "trained" centroids: vec_id < 16
+IVF_PROBES = 2
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame, n_probe: int = 1) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroid cells.
+
+    IVF = coarse quantization: the corpus is partitioned into cells by
+    nearest centroid; queries probe the few nearest cells.  At 100 TB
+    the cell id becomes the table's partition/bucket key so a query
+    touches only its cells' files — here it's the join key.
+    """
+    c = centroids.select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    scored = embeddings.join(F.broadcast(c)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        cosine_similarity(F.col("embedding"), F.col("cent_emb")).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    n_probe: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF approximate top-k: corpus assigned to 1 cell each, queries
+    probe ``n_probe`` cells; candidates = same-cell rows only."""
+    cents = embeddings.filter(F.col("vec_id") < IVF_CENTROIDS)
+    corpus = ivf_assign(embeddings, cents, n_probe=1).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "cell"
+    )
+    probes = ivf_assign(queries, cents, n_probe=n_probe).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cell"
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+        )
+        .distinct()  # a candidate may appear via multiple probed cells
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+_DUCK_IVF = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
+), corpus AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_emb, cent_id AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.embedding::DOUBLE[], c.cent_emb::DOUBLE[]) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(c.cent_emb::DOUBLE[], c.cent_emb::DOUBLE[]))) DESC,
+             c.cent_id) AS cell_rank
+    FROM embeddings e, cents c
+  ) WHERE cell_rank = 1
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, cent_id AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.embedding::DOUBLE[], c.cent_emb::DOUBLE[]) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(c.cent_emb::DOUBLE[], c.cent_emb::DOUBLE[]))) DESC,
+             c.cent_id) AS cell_rank
+    FROM embeddings e, cents c
+    WHERE e.vec_id % {QUERY_MOD} = 0
+  ) WHERE cell_rank <= {IVF_PROBES}
+), scored AS (
+  SELECT DISTINCT p.query_id, co.neighbor_id,
+         list_dot_product(p.q_emb::DOUBLE[], co.c_emb::DOUBLE[]) /
+          (sqrt(list_dot_product(p.q_emb::DOUBLE[], p.q_emb::DOUBLE[])) *
+           sqrt(list_dot_product(co.c_emb::DOUBLE[], co.c_emb::DOUBLE[]))) AS cos
+  FROM probes p JOIN corpus co ON p.cell = co.cell AND p.query_id <> co.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+         ROUND(cos, 4) AS cos_sim
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
+@query("ann_ivf_topk", _DUCK_IVF)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return ivf_topk(emb, queries)
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame, threshold: float = NEAR_DUP_COSINE, *, blocked: bool = False
 ) -> DataFrame:

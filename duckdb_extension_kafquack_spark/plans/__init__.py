@@ -1,0 +1,21 @@
+from .explain import (
+    count_exchanges,
+    executed_plan,
+    has_partial_aggregation,
+    optimized_plan,
+    pushed_filters,
+    read_schemas,
+    uses_broadcast_join,
+    wholestage_codegen_spans,
+)
+
+__all__ = [
+    "executed_plan",
+    "optimized_plan",
+    "read_schemas",
+    "pushed_filters",
+    "count_exchanges",
+    "uses_broadcast_join",
+    "has_partial_aggregation",
+    "wholestage_codegen_spans",
+]

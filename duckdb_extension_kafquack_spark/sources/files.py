@@ -1,0 +1,79 @@
+"""File sources & sinks.
+
+The reference is read-only with a single source (SURVEY §2.2 "sinks:
+none"); its users rely on host DuckDB for file I/O.  The Spark-native
+deployment gets these built-in — this module pins the idioms that
+matter at 100 TB:
+
+* partitioned writes (partition pruning on read),
+* bucketed writes (co-located, shuffle-free joins/aggregations on the
+  bucket key),
+* streaming sinks (``writeStream`` to files, ``foreachBatch`` for
+  arbitrary targets — e.g. producing back to Kafka).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_any(spark: SparkSession, path: str, fmt: str = "parquet", **options) -> DataFrame:
+    """Thin reader: parquet/csv/json/orc with schema inference options."""
+    return spark.read.format(fmt).options(**options).load(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_by: list[str], fmt: str = "parquet"
+) -> None:
+    """Hive-style partitioned layout → partition pruning for free on read.
+    Choose low-cardinality keys (date, region); high-cardinality keys
+    create a small-files problem at scale."""
+    df.write.format(fmt).mode("overwrite").partitionBy(*partition_by).save(path)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_by: str, num_buckets: int = 32, fmt: str = "parquet"
+) -> None:
+    """Bucketed managed table: joins/aggregations keyed on ``bucket_by``
+    between tables with the same bucketing skip the shuffle entirely —
+    the single biggest join optimization for repeated large-large joins.
+    """
+    (
+        df.write.format(fmt)
+        .mode("overwrite")
+        .bucketBy(num_buckets, bucket_by)
+        .sortBy(bucket_by)
+        .saveAsTable(table)
+    )
+
+
+def stream_to_files(
+    df: DataFrame, path: str, checkpoint: str, fmt: str = "parquet"
+) -> "StreamingQuery":  # noqa: F821
+    """Exactly-once file sink (manifest-committed) for an unbounded query."""
+    return (
+        df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_foreach_batch(
+    df: DataFrame,
+    checkpoint: str,
+    fn: Callable[[DataFrame, int], None],
+) -> "StreamingQuery":  # noqa: F821
+    """foreachBatch escape hatch: per-micro-batch callable gets a *batch*
+    DataFrame — the idiomatic way to sink a stream to targets without a
+    native streaming writer (JDBC, Kafka producer with custom semantics,
+    multi-table fan-out).  Batch id enables idempotent writes."""
+    return (
+        df.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

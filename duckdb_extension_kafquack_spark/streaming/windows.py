@@ -225,3 +225,49 @@ FROM events JOIN nation ON CAST(user_id % 25 AS INTEGER) = n_nationkey
 GROUP BY n_name
 """,
 )(stream_static_join)
+
+
+@query(
+    "streaming_stream_stream_join",
+    """
+SELECT p.event_id AS purchase_id, s.event_id AS signup_id, p.user_id
+FROM events p JOIN events s
+  ON p.user_id = s.user_id
+ AND p.event_type = 'purchase' AND s.event_type = 'signup'
+ AND s.ts BETWEEN p.ts - INTERVAL '2 hours' AND p.ts
+""",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks + event-time range
+    condition (purchases joined to signups of the same user within the
+    preceding 2 h).  Both sides are unbounded; the range bound + the
+    watermark let Spark expire join state — without them state grows
+    forever.  Oracle = the equivalent batch interval join."""
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    signups = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "1 hour")
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("s_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "signup_id", "user_id")
+    run_stream_to_table(joined, "stream_stream_join", "append")
+    return spark.table("stream_stream_join")

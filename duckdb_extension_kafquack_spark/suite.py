@@ -603,6 +603,145 @@ def json_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_subquery",
+    """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+FROM orders o
+WHERE o_totalprice > 1.5 * (
+  SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+""",
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join (RewriteCorrelatedScalarSubquery); written in SQL to
+    exercise exactly that path."""
+    _t(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+        FROM orders o
+        WHERE o_totalprice > 1.5 * (
+          SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@query(
+    "math_funcs",
+    """
+SELECT l_linenumber,
+       ROUND(SUM(sqrt(l_extendedprice)), 4) AS sum_sqrt,
+       ROUND(SUM(ln(l_extendedprice)), 6) AS sum_ln,
+       ROUND(SUM(abs(l_discount - 0.05)), 6) AS sum_absdev,
+       SUM(CAST(ceil(l_quantity / 10.0) AS BIGINT)) AS sum_ceil_buckets,
+       SUM(CAST(floor(l_tax * 100) AS BIGINT)) AS sum_floor_tax,
+       SUM(CAST(l_orderkey % 7 AS BIGINT)) AS sum_mod7
+FROM lineitem
+GROUP BY l_linenumber
+""",
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_linenumber").agg(
+        F.round(F.sum(F.sqrt("l_extendedprice")), 4).alias("sum_sqrt"),
+        F.round(F.sum(F.log("l_extendedprice")), 6).alias("sum_ln"),
+        F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 6).alias("sum_absdev"),
+        F.sum(F.ceil(F.col("l_quantity") / 10.0).cast("long")).alias("sum_ceil_buckets"),
+        F.sum(F.floor(F.col("l_tax") * 100).cast("long")).alias("sum_floor_tax"),
+        F.sum((F.col("l_orderkey") % 7).cast("long")).alias("sum_mod7"),
+    )
+
+
+@query(
+    "array_funcs",
+    """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_toks,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+       list_sort(list_distinct(toks))[1] AS first_token,
+       list_sort(list_distinct(toks))[-1] AS last_token,
+       CAST(list_contains(toks, 'spark') AS BOOLEAN) AS has_spark,
+       array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 3), ',') AS first3
+FROM t
+""",
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order functions: filter/distinct/sort/slice/contains —
+    all JVM expression-level."""
+    docs = _t(spark, sf_dir)["documents"]
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    uniq = F.array_sort(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(uniq).alias("n_distinct"),
+        F.element_at(uniq, 1).alias("first_token"),
+        F.element_at(uniq, -1).alias("last_token"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_join(F.slice(uniq, 1, 3), ",").alias("first3"),
+    )
+
+
+@query(
+    "pivot_agg",
+    """
+SELECT c_mktsegment,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS total_f,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS total_o,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS total_p
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() — Spark plans it as the same conditional-sum
+    single pass the oracle spells out."""
+    t = _t(spark, sf_dir)
+    joined = t["orders"].join(
+        F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+    )
+    piv = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0))), 2))
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("total_f"),
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("total_o"),
+        F.coalesce(F.col("P"), F.lit(0.0)).alias("total_p"),
+    )
+
+
+@query(
+    "sort_limit_offset",
+    """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 10
+""",
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit/offset with deterministic tie-break; Spark
+    plans TakeOrderedAndProject (top-(k+offset) per partition, no full
+    sort)."""
+    o = _t(spark, sf_dir)["orders"]
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .offset(10)
+        .limit(20)
+    )
+
+
+@query(
     "string_date_funcs",
     """
 SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,

@@ -1,0 +1,132 @@
+"""Physical-plan contracts — the properties that matter at 100 TB.
+
+These tests pin the *plan*, not the result: pushdown reaching the scan,
+dimensions broadcasting, partial aggregation, top-k limiting before the
+shuffle, bucketed joins not shuffling.  A regression here is invisible
+at sf0.001 and fatal at scale."""
+
+from pyspark.sql import functions as F
+
+from duckdb_extension_kafquack_spark.plans import (
+    count_exchanges,
+    executed_plan,
+    pushed_filters,
+    read_schemas,
+    uses_broadcast_join,
+    wholestage_codegen_spans,
+)
+from duckdb_extension_kafquack_spark.suite import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    df = REGISTRY["filter_project"].fn(spark, SF_DIR)
+    pf = pushed_filters(df)
+    assert pf and any("l_shipdate" in f or "l_quantity" in f for f in pf)
+    rs = read_schemas(df)
+    # only the 6 referenced columns are deserialized, not all 11
+    assert rs and all("l_returnflag" not in s and "l_tax" not in s for s in rs)
+
+
+def test_q5_broadcasts_dimensions(spark):
+    df = REGISTRY["q5_local_supplier"].fn(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_has_partial_aggregation(spark):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "partial" in plan.lower()  # map-side combine before the exchange
+    df.collect()  # AQE reveals codegen spans only in the final plan
+    assert wholestage_codegen_spans(df) >= 1
+
+
+def test_topk_limits_before_shuffle(spark):
+    df = REGISTRY["topk_per_group"].fn(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "WindowGroupLimit" in plan  # partial top-k on the map side
+
+
+def test_sort_limit_avoids_global_sort(spark):
+    df = REGISTRY["sort_limit_offset"].fn(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in executed_plan(df)
+
+
+def test_range_join_is_broadcast_nlj_not_cartesian_shuffle(spark):
+    df = REGISTRY["range_join"].fn(spark, SF_DIR)
+    assert "BroadcastNestedLoopJoin" in executed_plan(df)
+
+
+def test_window_specs_share_one_shuffle(spark):
+    """window_funcs has two window specs over the same partition key —
+    they must reuse a single exchange on o_custkey."""
+    df = REGISTRY["window_funcs"].fn(spark, SF_DIR)
+    assert count_exchanges(df) <= 2
+
+
+def test_bucketed_join_has_no_exchange(spark, tables, tmp_path):
+    """Co-located (bucketed) large-large join: zero shuffle exchanges —
+    the physical property bucketing buys at scale."""
+    from duckdb_extension_kafquack_spark.sources.files import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/bkt'")
+    try:
+        write_bucketed(tables["orders"], "bkt.orders_b", "o_orderkey", 8)
+        write_bucketed(
+            tables["lineitem"].withColumnRenamed("l_orderkey", "o_orderkey"),
+            "bkt.lineitem_b",
+            "o_orderkey",
+            8,
+        )
+        joined = spark.table("bkt.lineitem_b").join(
+            spark.table("bkt.orders_b"), "o_orderkey"
+        )
+        n_shuffles = count_exchanges(joined)
+        assert n_shuffles == 0, executed_plan(joined)
+        assert joined.count() == tables["lineitem"].count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
+
+
+def test_partitioned_write_prunes_on_read(spark, tables, tmp_path):
+    from duckdb_extension_kafquack_spark.sources.files import (
+        read_any,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "orders_part")
+    write_partitioned(tables["orders"], path, ["o_orderstatus"])
+    df = read_any(spark, path).filter(F.col("o_orderstatus") == "F")
+    plan = executed_plan(df)
+    assert "PartitionFilters: [" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    """foreachBatch streaming sink: per-batch callable receives a batch
+    DataFrame + id; exactly the rows of the source land in the target."""
+    from duckdb_extension_kafquack_spark.sources.files import stream_foreach_batch
+    from duckdb_extension_kafquack_spark.sources.synthetic import (
+        kafka_messages_from_events,
+        synthetic_kafka_stream,
+    )
+
+    out = str(tmp_path / "sink")
+    seen: list[int] = []
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        seen.append(batch_id)
+        batch_df.write.mode("append").parquet(out)
+
+    q = stream_foreach_batch(
+        synthetic_kafka_stream(spark, SF_DIR), str(tmp_path / "ckpt"), write_batch
+    )
+    q.awaitTermination()
+    assert len(seen) >= 1
+    got = spark.read.parquet(out).count()
+    want = kafka_messages_from_events(spark, SF_DIR).count()
+    assert got == want

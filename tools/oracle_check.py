@@ -69,6 +69,7 @@ def main() -> int:
     sys.path.insert(0, "/root/repo")
     import duckdb_extension_kafquack_spark.operators  # noqa: F401 — registers north-star queries
     import duckdb_extension_kafquack_spark.streaming  # noqa: F401 — registers streaming queries
+    import duckdb_extension_kafquack_spark.functions.udf  # noqa: F401 — registers UDF/UDAF/UDTF queries
     from duckdb_extension_kafquack_spark.session import TABLES, get_spark
     from duckdb_extension_kafquack_spark.suite import REGISTRY
 
