@@ -169,11 +169,15 @@ def candidate_pairs(bands_df: DataFrame) -> DataFrame:
     )
 
 
-def verified_jaccard(pairs: DataFrame, toks: DataFrame) -> DataFrame:
+def verified_jaccard(
+    pairs: DataFrame, toks: DataFrame, sizes: DataFrame | None = None
+) -> DataFrame:
     """Exact token-set Jaccard for candidate pairs only (LSH keeps this
     linear-ish): |A∩B| via a token-equijoin restricted to candidates,
-    |A∪B| = |A|+|B|-|A∩B|."""
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    |A∪B| = |A|+|B|-|A∩B|.  Pass precomputed ``sizes`` (doc_id, n) to
+    avoid an extra aggregation over the shingle relation."""
+    if sizes is None:
+        sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     t1 = toks.select(F.col("doc_id").alias("doc1"), "tok")
     t2 = toks.select(F.col("doc_id").alias("doc2"), "tok")
     inter = (
@@ -199,10 +203,23 @@ def minhash_near_duplicates(
     docs: DataFrame, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → bands →
-    bucket join → exact-Jaccard verify ≥ threshold."""
-    toks = _word_shingles(docs)
-    pairs = candidate_pairs(minhash_bands(minhash_signatures(docs)))
-    jac = verified_jaccard(pairs, toks)
+    bucket join → exact-Jaccard verify ≥ threshold.
+
+    Physical shape: the shingle relation is persisted (it feeds the
+    signature pass and both sides of the intersection join — at scale
+    this is a materialized intermediate, not a recompute), and set sizes
+    ride the same groupBy as the signatures so the whole pipeline is
+    one explode + one aggregation + the two LSH joins.
+    """
+    from pyspark import StorageLevel
+
+    toks = _word_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    aggs = [
+        F.min(spark_seeded_md5(F.col("tok"), s)).alias(f"mh{s}") for s in range(NUM_HASHES)
+    ] + [F.count(F.lit(1)).alias("n")]
+    sig_sizes = toks.groupBy("doc_id").agg(*aggs)
+    pairs = candidate_pairs(minhash_bands(sig_sizes))
+    jac = verified_jaccard(pairs, toks, sig_sizes.select("doc_id", "n"))
     return jac.filter(F.col("jaccard") >= threshold).select(
         "doc1", "doc2", F.round("jaccard", 6).alias("jaccard")
     )

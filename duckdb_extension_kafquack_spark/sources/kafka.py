@@ -172,6 +172,30 @@ def kafka_consumer(
     return _project_reference_schema(reader.load(), keep_raw=keep_raw)
 
 
+def with_decode_policy(raw: DataFrame, value_col: str = "value_raw") -> DataFrame:
+    """UTF-8 decode policy for binary payloads (SURVEY §1.2 item 1).
+
+    The reference reinterpret-casts raw bytes to VARCHAR with no charset
+    validation (kafquack_extension.cpp:182-192), which can yield invalid
+    VARCHARs in DuckDB.  We make the policy explicit: decode with
+    replacement, and *flag* rows whose payload was not valid UTF-8 in
+    the ``error`` column (errors-are-data, like the reference's
+    transport errors).  Validity is detected JVM-side by re-encoding the
+    decoded string — equal bytes ⇔ the payload was valid UTF-8; no UDF.
+    """
+    # CAST(binary AS STRING) passes raw bytes through (the reference's
+    # reinterpret_cast); is_valid_utf8/make_valid_utf8 (Spark 4) detect
+    # and repair — decode() would throw under ANSI on malformed input.
+    valid = F.expr(f"is_valid_utf8(CAST({value_col} AS STRING))")
+    return raw.withColumn("value", F.expr(f"make_valid_utf8(CAST({value_col} AS STRING))")).withColumn(
+        "error",
+        F.when(
+            F.col(value_col).isNotNull() & ~valid,
+            F.lit("Decode: payload is not valid UTF-8 (replacement applied)"),
+        ).otherwise(F.col("error")),
+    )
+
+
 def register(spark: SparkSession) -> None:
     """Expose SQL-callable names, mirroring extension load
     (kafquack_extension.cpp:207-243).

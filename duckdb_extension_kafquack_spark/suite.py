@@ -603,6 +603,116 @@ def json_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_agg",
+    """
+SELECT o_orderstatus,
+       ROUND(STDDEV_SAMP(o_totalprice), 4) AS std_price,
+       ROUND(VAR_SAMP(o_totalprice), 2) AS var_price,
+       ROUND(CORR(o_totalprice, o_custkey), 6) AS corr_price_cust,
+       ROUND(COVAR_SAMP(o_totalprice, o_custkey), 2) AS covar_price_cust,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates incl. exact interpolated percentiles —
+    single partial+final pass; percentile is the only holistic one
+    (sorts within group)."""
+    o = _t(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("std_price"),
+        F.round(F.var_samp("o_totalprice"), 2).alias("var_price"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("corr_price_cust"),
+        F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias("covar_price_cust"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+    )
+
+
+@query(
+    "minmax_by",
+    """
+SELECT o_orderstatus,
+       arg_max(o_orderkey, o_totalprice + o_orderkey / 1e9) AS biggest_order,
+       arg_min(o_orderkey, o_totalprice + o_orderkey / 1e9) AS smallest_order,
+       ROUND(MAX(o_totalprice), 2) AS max_price,
+       ROUND(MIN(o_totalprice), 2) AS min_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax) — the ordering value is made unique with an
+    orderkey epsilon so both engines pick the same row on price ties."""
+    o = _t(spark, sf_dir)["orders"]
+    tie_safe = F.col("o_totalprice") + F.col("o_orderkey") / F.lit(1e9)
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", tie_safe).alias("biggest_order"),
+        F.min_by("o_orderkey", tie_safe).alias("smallest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+    )
+
+
+@query(
+    "regexp_funcs",
+    """
+SELECT regexp_extract(c_name, '[0-9]+', 0) AS cust_num,
+       regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS devoweled,
+       COUNT(*) AS n
+FROM customer
+WHERE regexp_matches(c_name, 'Customer#0*[0-9]*[02468]$')
+GROUP BY 1, 2
+""",
+)
+def regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp extract/replace/match — patterns restricted to the syntax
+    subset where Java regex and RE2 agree."""
+    c = _t(spark, sf_dir)["customer"]
+    return (
+        c.filter(F.col("c_name").rlike("Customer#0*[0-9]*[02468]$"))
+        .groupBy(
+            F.regexp_extract("c_name", "[0-9]+", 0).alias("cust_num"),
+            F.regexp_replace("c_mktsegment", "[AEIOU]", "_").alias("devoweled"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "null_funcs",
+    f"""
+SELECT COALESCE("key", '<keyless>') AS key_or_default,
+       COUNT(*) AS n,
+       COUNT("timestamp") AS n_with_ts,
+       COUNT(*) - COUNT("value") AS n_errors,
+       SUM(CASE WHEN NULLIF("key", '13') IS NULL AND "key" IS NOT NULL THEN 1 ELSE 0 END) AS n_user13
+FROM ({_KAFKA_ORACLE}) km
+GROUP BY 1
+""",
+)
+def null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL machinery (coalesce/nullif/conditional counting) over the
+    kafka projection — the reference's NULL semantics are load-bearing
+    (timestamp/key/value, cpp:166-197)."""
+    km = kafka_messages_from_events(spark, sf_dir)
+    return km.groupBy(
+        F.coalesce(F.col("key"), F.lit("<keyless>")).alias("key_or_default")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("timestamp").alias("n_with_ts"),
+        (F.count(F.lit(1)) - F.count("value")).alias("n_errors"),
+        F.sum(
+            F.when(
+                F.nullif(F.col("key"), F.lit("13")).isNull() & F.col("key").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_user13"),
+    )
+
+
+@query(
     "scalar_subquery",
     """
 SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price

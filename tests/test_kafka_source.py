@@ -116,3 +116,22 @@ class TestSemantics:
         got = spark.table("km_stream_drain").count()
         want = kafka_messages_from_events(spark, SF_DIR).count()
         assert got == want
+
+
+class TestDecodePolicy:
+    def test_invalid_utf8_flagged_valid_passthrough(self, spark):
+        from duckdb_extension_kafquack_spark.sources.kafka import with_decode_policy
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [
+                (1, bytearray("hello".encode())),
+                (2, bytearray(b"\xff\xfehello")),  # invalid UTF-8
+                (3, None),
+            ],
+            "id long, value_raw binary",
+        ).withColumn("error", F.lit(None).cast("string"))
+        out = {r.id: r for r in with_decode_policy(df).collect()}
+        assert out[1].value == "hello" and out[1].error is None
+        assert out[2].error is not None and "not valid UTF-8" in out[2].error
+        assert out[3].value is None and out[3].error is None
