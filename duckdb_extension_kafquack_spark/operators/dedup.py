@@ -276,6 +276,99 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(load_tables(spark, sf_dir)["documents"])
 
 
+def connected_components(edges: DataFrame, src: str = "doc1", dst: str = "doc2") -> DataFrame:
+    """Minimum-label propagation connected components over an edge list —
+    the clustering step after near-dup pair generation (keep one doc per
+    component).
+
+    Iterative DataFrame algorithm (the standard large-scale shape, GraphX
+    Pregel-style): each round every vertex takes the min label among
+    itself and its neighbors; converges in O(component diameter) rounds.
+    ``localCheckpoint`` truncates lineage each round so plans don't grow
+    exponentially.  Output: (doc_id, cluster_id=min doc_id in component).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint()
+    )
+    while True:
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.v)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.v == neighbor_min.a, "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _duck_clusters_sql() -> str:
+    """Recursive-CTE transitive closure (components are small, so closure
+    is cheap for the oracle; Spark side uses the scalable iteration)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc1, doc2 FROM ({_duck_minhash_sql()})
+), sym AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION
+  SELECT doc2 AS a, doc1 AS b FROM pairs
+), verts AS (
+  SELECT DISTINCT a AS v FROM sym
+), reach(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT re.v, s.b FROM reach re JOIN sym s ON re.r = s.a
+), comp AS (
+  SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
+)
+SELECT cluster_id,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM comp GROUP BY cluster_id
+"""
+
+
+@query("dedup_clusters", _duck_clusters_sql())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → per-cluster summary
+    (cluster_id = canonical keeper, n_docs = copies to drop)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = minhash_near_duplicates(docs).select("doc1", "doc2")
+    comp = connected_components(pairs)
+    return comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

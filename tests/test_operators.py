@@ -134,3 +134,19 @@ class TestMultimodal:
         blobs = blobs_from_documents(tables["documents"]).limit(1)
         with pytest.raises(Exception, match="NotImplementedError|decode"):
             decode_features(blobs, decode_stub=False).collect()
+
+
+class TestClustering:
+    def test_connected_components_chain_and_islands(self, spark):
+        from duckdb_extension_kafquack_spark.operators.dedup import (
+            connected_components,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+            "doc1 long, doc2 long",
+        )
+        comp = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
+        assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+        assert comp[10] == comp[11] == 10
+        assert comp[20] == comp[21] == comp[22] == 20
