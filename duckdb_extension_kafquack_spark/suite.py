@@ -573,6 +573,96 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union.unionAll(inter).unionAll(exc)
 
 
+@query(
+    "set_ops_all",
+    """
+WITH c AS (SELECT c_nationkey AS k FROM customer),
+     s AS (SELECT s_nationkey AS k FROM supplier)
+SELECT 'intersect_all' AS op, k, COUNT(*) AS n
+FROM (SELECT k FROM c INTERSECT ALL SELECT k FROM s) GROUP BY k
+UNION ALL
+SELECT 'except_all' AS op, k, COUNT(*) AS n
+FROM (SELECT k FROM c EXCEPT ALL SELECT k FROM s) GROUP BY k
+""",
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) — multiplicity
+    preserved, checked via per-key counts."""
+    t = _t(spark, sf_dir)
+    c = t["customer"].select(F.col("c_nationkey").alias("k"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("k"))
+    ia = (
+        c.intersectAll(s)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "k", "n")
+    )
+    ea = (
+        c.exceptAll(s)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "k", "n")
+    )
+    return ia.unionAll(ea)
+
+
+@query(
+    "sort_merge_join",
+    """
+SELECT o_orderpriority, COUNT(*) AS n_items, ROUND(SUM(l_quantity), 2) AS total_qty
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def sort_merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi-join forced to sort-merge (merge hint): the
+    strategy for two fact tables too big to broadcast — both sides
+    shuffle once on the join key, then streaming merge.  (Bucketing both
+    sides on l_orderkey removes even that shuffle — tests/test_plans.py.)
+    """
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .hint("merge")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "map_funcs",
+    """
+SELECT user_id,
+       COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchases,
+       COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signups,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events
+GROUP BY user_id
+""",
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed intermediate (map_from_entries of per-type counts →
+    element_at lookups) with scalar outputs so the oracle — which has no
+    equivalent map literal — checks values, not representation."""
+    ev = _t(spark, sf_dir)["events"]
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("type_counts")
+    )
+    return as_map.select(
+        "user_id",
+        F.coalesce(F.element_at("type_counts", "purchase"), F.lit(0)).alias("purchases"),
+        F.coalesce(F.element_at("type_counts", "signup"), F.lit(0)).alias("signups"),
+        F.size(F.map_keys("type_counts")).cast("long").alias("n_types"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 8. Scalar functions: JSON, string, date
 # ---------------------------------------------------------------------------

@@ -150,3 +150,29 @@ class TestClustering:
         assert comp[1] == comp[2] == comp[3] == comp[4] == 1
         assert comp[10] == comp[11] == 10
         assert comp[20] == comp[21] == comp[22] == 20
+
+
+class TestSkew:
+    def test_salted_agg_equals_direct(self, spark, tables):
+        from duckdb_extension_kafquack_spark.operators.skew import salted_agg
+
+        li = tables["lineitem"]
+        direct = {
+            r.l_suppkey: (r.n, r.qty)
+            for r in li.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty"))
+            .collect()
+        }
+        salted = {
+            r.l_suppkey: (r.n, r.sum_l_quantity)
+            for r in salted_agg(li, ["l_suppkey"], sums=["l_quantity"]).collect()
+        }
+        assert direct == salted
+
+    def test_salted_join_equals_plain_join(self, spark, tables):
+        from duckdb_extension_kafquack_spark.operators.skew import salted_join
+
+        li = tables["lineitem"].withColumnRenamed("l_suppkey", "s_suppkey")
+        plain = li.join(tables["supplier"], "s_suppkey").count()
+        salted = salted_join(li, tables["supplier"], "s_suppkey").count()
+        assert plain == salted

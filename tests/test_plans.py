@@ -130,3 +130,24 @@ def test_foreach_batch_sink(spark, tmp_path):
     got = spark.read.parquet(out).count()
     want = kafka_messages_from_events(spark, SF_DIR).count()
     assert got == want
+
+
+def test_csv_json_round_trip(spark, tables, tmp_path):
+    """File-format scans beyond parquet (SURVEY §2.2 row 2): CSV and JSON
+    writes read back with identical values."""
+    from duckdb_extension_kafquack_spark.sources.files import read_any
+
+    nation = tables["nation"]
+    csv_path, json_path = str(tmp_path / "n_csv"), str(tmp_path / "n_json")
+    nation.write.mode("overwrite").option("header", True).csv(csv_path)
+    nation.write.mode("overwrite").json(json_path)
+    got_csv = read_any(spark, csv_path, "csv", header=True, inferSchema=True)
+    got_json = read_any(spark, json_path, "json")
+    want = {(r.n_nationkey, r.n_name, r.n_regionkey) for r in nation.collect()}
+    assert {(r.n_nationkey, r.n_name, r.n_regionkey) for r in got_csv.collect()} == want
+    assert {(r.n_nationkey, r.n_name, r.n_regionkey) for r in got_json.collect()} == want
+
+
+def test_sort_merge_join_hint_respected(spark):
+    df = REGISTRY["sort_merge_join"].fn(spark, SF_DIR)
+    assert "SortMergeJoin" in executed_plan(df)
