@@ -33,9 +33,14 @@ BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
 JACCARD_THRESHOLD = 0.6
 
-# char-shingle variant (n-gram Jaccard): lighter blocking, stricter verify
-NGRAM = 3
-NGRAM_HASHES = 4
+# char-shingle variant (n-gram Jaccard).  5-grams, not 3-grams: this
+# corpus has only ~400 distinct char-3-grams, so every long doc contains
+# nearly all of them and 3-gram minhashes collide corpus-wide (measured:
+# 4.8M candidate pairs at sf0.1).  5-grams span word boundaries (~2k
+# distinct), and bands of 4 rows sharpen the S-curve (P=1-(1-s^4)^2) —
+# candidates drop to ~14k while ≥0.9-Jaccard near-dups keep ~90% recall.
+NGRAM = 5
+NGRAM_HASHES = 8
 NGRAM_BANDS = 2
 NGRAM_THRESHOLD = 0.7
 
@@ -220,9 +225,9 @@ def minhash_near_duplicates(
     sig_sizes = toks.groupBy("doc_id").agg(*aggs)
     pairs = candidate_pairs(minhash_bands(sig_sizes))
     jac = verified_jaccard(pairs, toks, sig_sizes.select("doc_id", "n"))
-    return jac.filter(F.col("jaccard") >= threshold).select(
-        "doc1", "doc2", F.round("jaccard", 6).alias("jaccard")
-    )
+    # no rounding: the Jaccard is a single IEEE division of exact ints —
+    # bit-identical in the oracle; round() only adds tie-boundary risk
+    return jac.filter(F.col("jaccard") >= threshold).select("doc1", "doc2", "jaccard")
 
 
 def _duck_minhash_sql(threshold: float = JACCARD_THRESHOLD) -> str:
@@ -263,7 +268,7 @@ WITH tok AS (
   GROUP BY c.doc1, c.doc2
 )
 SELECT i.doc1, i.doc2,
-       ROUND(icnt::DOUBLE / (s1.n + s2.n - icnt), 6) AS jaccard
+       icnt::DOUBLE / (s1.n + s2.n - icnt) AS jaccard
 FROM inter i
 JOIN sizes s1 ON s1.doc_id = i.doc1
 JOIN sizes s2 ON s2.doc_id = i.doc2
@@ -456,9 +461,19 @@ def _char_shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = NGRAM_THRESHOLD) -> DataFrame:
     """Char-3-gram Jaccard with MinHash blocking (4 hashes, 2 bands of 2):
-    candidates from band buckets, exact shingle-Jaccard verify."""
-    sh = _char_shingles(docs)
-    aggs = [F.min(spark_seeded_md5(F.col("sh"), 100 + s)).alias(f"mh{s}") for s in range(NGRAM_HASHES)]
+    candidates from band buckets, exact shingle-Jaccard verify.
+
+    The char-shingle relation is ~40× the corpus — persist it (it feeds
+    the signature pass and both sides of the intersection join) and fold
+    set sizes into the signature groupBy; recomputing it per use is the
+    difference between ~15s and ~270s at sf0.1."""
+    from pyspark import StorageLevel
+
+    sh = _char_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    aggs = [
+        F.min(spark_seeded_md5(F.col("sh"), 100 + s)).alias(f"mh{s}")
+        for s in range(NGRAM_HASHES)
+    ] + [F.count(F.lit(1)).alias("n")]
     sigs = sh.groupBy("doc_id").agg(*aggs)
     rows = NGRAM_HASHES // NGRAM_BANDS
     band_structs = [
@@ -473,10 +488,10 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = NGRAM_THRESHOLD) -> 
     )
     pairs = candidate_pairs(bands)
     toks = sh.withColumnRenamed("sh", "tok")
-    jac = verified_jaccard(pairs, toks)
-    return jac.filter(F.col("jaccard") >= threshold).select(
-        "doc1", "doc2", F.round("jaccard", 6).alias("jaccard")
-    )
+    jac = verified_jaccard(pairs, toks, sigs.select("doc_id", "n"))
+    # no rounding: the Jaccard is a single IEEE division of exact ints —
+    # bit-identical in the oracle; round() only adds tie-boundary risk
+    return jac.filter(F.col("jaccard") >= threshold).select("doc1", "doc2", "jaccard")
 
 
 def _duck_ngram_sql(threshold: float = NGRAM_THRESHOLD) -> str:
@@ -520,7 +535,7 @@ WITH sh AS (
   GROUP BY c.doc1, c.doc2
 )
 SELECT i.doc1, i.doc2,
-       ROUND(icnt::DOUBLE / (s1.n + s2.n - icnt), 6) AS jaccard
+       icnt::DOUBLE / (s1.n + s2.n - icnt) AS jaccard
 FROM inter i
 JOIN sizes s1 ON s1.doc_id = i.doc1
 JOIN sizes s2 ON s2.doc_id = i.doc2

@@ -106,7 +106,7 @@ def cosine_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos_sim"))
+        .select("query_id", "neighbor_id", "rank", F.col("cos").alias("cos_sim"))
     )
 
 
@@ -117,7 +117,7 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          ROW_NUMBER() OVER (PARTITION BY q.vec_id
                             ORDER BY {_DUCK_COS} DESC, c.vec_id) AS rank,
-         ROUND({_DUCK_COS}, 4) AS cos_sim
+         {_DUCK_COS} AS cos_sim
   FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
   WHERE q.vec_id % {QUERY_MOD} = 0
 ) WHERE rank <= {TOPK}
@@ -156,7 +156,7 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = TOPK) -> DataFr
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos_sim"))
+        .select("query_id", "neighbor_id", "rank", F.col("cos").alias("cos_sim"))
     )
 
 
@@ -170,7 +170,7 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          ROW_NUMBER() OVER (PARTITION BY q.vec_id
                             ORDER BY {_DUCK_COS} DESC, c.vec_id) AS rank,
-         ROUND({_DUCK_COS}, 4) AS cos_sim
+         {_DUCK_COS} AS cos_sim
   FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
   WHERE q.vec_id % {QUERY_MOD} = 0
 ) WHERE rank <= {TOPK}
@@ -240,7 +240,7 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos_sim"))
+        .select("query_id", "neighbor_id", "rank", F.col("cos").alias("cos_sim"))
     )
 
 
@@ -278,7 +278,7 @@ WITH cents AS (
 SELECT query_id, neighbor_id, rank, cos_sim FROM (
   SELECT query_id, neighbor_id,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
-         ROUND(cos, 4) AS cos_sim
+         cos AS cos_sim
   FROM scored
 ) WHERE rank <= {TOPK}
 """
@@ -333,7 +333,7 @@ def embedding_near_duplicates(
                 cosine_similarity(F.col("a.embedding"), F.col("c.embedding")).alias("cos"),
             )
             .filter(F.col("cos") >= threshold)
-            .select("id1", "id2", F.round("cos", 4).alias("cos_sim"))
+            .select("id1", "id2", F.col("cos").alias("cos_sim"))
         )
 
     spark = embeddings.sparkSession

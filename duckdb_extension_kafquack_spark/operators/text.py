@@ -94,24 +94,31 @@ query("text_langid", _duck_langid_sql())(
 
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Length / type-token-ratio / stopword-ratio quality features and a
-    blended score — the standard cheap pre-filter for LLM corpora."""
+    blended score — the standard cheap pre-filter for LLM corpora.
+
+    Cross-engine exactness: every output is a SINGLE IEEE division of
+    exact integers (the blended score's numerator is integer arithmetic:
+    120n·score = 60u + 36(n−s) + min(3c, 24n)), so Spark and the oracle
+    produce bit-identical doubles with NO rounding — round() itself is
+    the one thing the engines disagree on at tie boundaries.
+    """
     toks = _tok_col()
     n_tok = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    ttr = n_uniq / n_tok
-    stop_ratio = n_stop / n_tok
-    avg_len = (F.length("text") - (n_tok - 1)) / n_tok  # chars net of separators
-    score = 0.5 * ttr + 0.3 * (1 - stop_ratio) + 0.2 * F.least(avg_len / 8, F.lit(1.0))
+    net_chars = F.length("text") - (n_tok - 1)  # chars net of separators
+    score_num = (
+        60 * n_uniq + 36 * (n_tok - n_stop) + F.least(3 * net_chars, 24 * n_tok)
+    )
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
         n_tok.alias("n_tokens"),
         n_uniq.alias("n_unique_tokens"),
-        F.round(ttr, 6).alias("type_token_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(avg_len, 6).alias("avg_token_len"),
-        F.round(score, 6).alias("quality_score"),
+        (n_uniq / n_tok).alias("type_token_ratio"),
+        (n_stop / n_tok).alias("stopword_ratio"),
+        (net_chars / n_tok).alias("avg_token_len"),
+        (score_num / (120.0 * n_tok)).alias("quality_score"),
     )
 
 
@@ -132,12 +139,11 @@ SELECT doc_id,
        CAST(n_chars AS INTEGER) AS n_chars,
        CAST(n_tokens AS INTEGER) AS n_tokens,
        CAST(n_unique_tokens AS INTEGER) AS n_unique_tokens,
-       ROUND(n_unique_tokens::DOUBLE / n_tokens, 6) AS type_token_ratio,
-       ROUND(n_stop::DOUBLE / n_tokens, 6) AS stopword_ratio,
-       ROUND(net_chars::DOUBLE / n_tokens, 6) AS avg_token_len,
-       ROUND(0.5 * (n_unique_tokens::DOUBLE / n_tokens)
-           + 0.3 * (1 - n_stop::DOUBLE / n_tokens)
-           + 0.2 * LEAST((net_chars::DOUBLE / n_tokens) / 8, 1.0), 6) AS quality_score
+       n_unique_tokens::DOUBLE / n_tokens AS type_token_ratio,
+       n_stop::DOUBLE / n_tokens AS stopword_ratio,
+       net_chars::DOUBLE / n_tokens AS avg_token_len,
+       (60 * n_unique_tokens + 36 * (n_tokens - n_stop)
+          + LEAST(3 * net_chars, 24 * n_tokens))::DOUBLE / (120.0 * n_tokens) AS quality_score
 FROM feats
 """
 
