@@ -115,8 +115,8 @@ def cosine_topk(
     f"""
 SELECT query_id, neighbor_id, rank, cos_sim FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                            ORDER BY {_DUCK_COS} DESC, c.vec_id) AS rank,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_DUCK_COS} DESC, c.vec_id) AS INTEGER) AS rank,
          {_DUCK_COS} AS cos_sim
   FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
   WHERE q.vec_id % {QUERY_MOD} = 0
@@ -168,8 +168,8 @@ WITH bucketed AS (
 )
 SELECT query_id, neighbor_id, rank, cos_sim FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                            ORDER BY {_DUCK_COS} DESC, c.vec_id) AS rank,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_DUCK_COS} DESC, c.vec_id) AS INTEGER) AS rank,
          {_DUCK_COS} AS cos_sim
   FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
   WHERE q.vec_id % {QUERY_MOD} = 0
@@ -277,7 +277,7 @@ WITH cents AS (
 )
 SELECT query_id, neighbor_id, rank, cos_sim FROM (
   SELECT query_id, neighbor_id,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
          cos AS cos_sim
   FROM scored
 ) WHERE rank <= {TOPK}

@@ -389,8 +389,8 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_funcs",
     """
 SELECT o_orderkey, o_custkey, o_totalprice,
-       ROW_NUMBER() OVER w AS rn,
-       RANK()       OVER w AS rnk,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+       CAST(RANK() OVER w AS INTEGER) AS rnk,
        ROUND(LAG(o_totalprice) OVER w, 2)  AS prev_price,
        ROUND(LEAD(o_totalprice) OVER w, 2) AS next_price,
        ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -427,8 +427,8 @@ def window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
   SELECT c_mktsegment, o_orderkey, o_totalprice,
-         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
-                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
   FROM orders JOIN customer ON o_custkey = c_custkey
 ) WHERE rn <= 3
 """,
@@ -637,8 +637,8 @@ def sort_merge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_funcs",
     """
 SELECT user_id,
-       COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchases,
-       COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signups,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchases,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signups,
        COUNT(DISTINCT event_type) AS n_types
 FROM events
 GROUP BY user_id
@@ -672,7 +672,7 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
        ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
        MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
@@ -778,7 +778,7 @@ SELECT COALESCE("key", '<keyless>') AS key_or_default,
        COUNT(*) AS n,
        COUNT("timestamp") AS n_with_ts,
        COUNT(*) - COUNT("value") AS n_errors,
-       SUM(CASE WHEN NULLIF("key", '13') IS NULL AND "key" IS NOT NULL THEN 1 ELSE 0 END) AS n_user13
+       CAST(SUM(CASE WHEN NULLIF("key", '13') IS NULL AND "key" IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_user13
 FROM ({_KAFKA_ORACLE}) km
 GROUP BY 1
 """,
@@ -835,9 +835,9 @@ SELECT l_linenumber,
        ROUND(SUM(sqrt(l_extendedprice)), 4) AS sum_sqrt,
        ROUND(SUM(ln(l_extendedprice)), 6) AS sum_ln,
        ROUND(SUM(abs(l_discount - 0.05)), 6) AS sum_absdev,
-       SUM(CAST(ceil(l_quantity / 10.0) AS BIGINT)) AS sum_ceil_buckets,
-       SUM(CAST(floor(l_tax * 100) AS BIGINT)) AS sum_floor_tax,
-       SUM(CAST(l_orderkey % 7 AS BIGINT)) AS sum_mod7
+       CAST(SUM(CAST(ceil(l_quantity / 10.0) AS BIGINT)) AS BIGINT) AS sum_ceil_buckets,
+       CAST(SUM(CAST(floor(l_tax * 100) AS BIGINT)) AS BIGINT) AS sum_floor_tax,
+       CAST(SUM(CAST(l_orderkey % 7 AS BIGINT)) AS BIGINT) AS sum_mod7
 FROM lineitem
 GROUP BY l_linenumber
 """,
@@ -950,7 +950,7 @@ SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
        COUNT(*) AS n_orders,
        ROUND(AVG(o_totalprice), 4) AS avg_price,
        MIN(upper(substr(o_orderpriority, 1, 1))) AS min_prio_initial,
-       MAX(length(o_orderstatus)) AS max_status_len
+       CAST(MAX(length(o_orderstatus)) AS INTEGER) AS max_status_len
 FROM orders
 GROUP BY 1, 2, 3
 """,
