@@ -1,0 +1,120 @@
+"""Temporal join helpers: generic as-of join, two physical strategies.
+
+SURVEY §2.2 maps the reference-absent "as-of / range / interval" join
+row to Spark compositions; the suite's ``asof_join`` query pins one
+instance.  This module generalizes it into a reusable API:
+
+* :func:`asof_join` — **union + running-last trick** (default): tag both
+  inputs, union, one window pass per key carries the latest right-side
+  row forward (backward as-of) or the next one backward (forward).
+  Scales like a sort within key-partitions: ONE shuffle, no pandas, no
+  state; the right strategy for large-large temporal joins.
+* :func:`asof_join_pandas` — per-key ``cogroup().applyInPandas`` running
+  ``pandas.merge_asof``.  Simpler semantics surface (tolerance,
+  nearest); whole key-groups must fit in executor memory — use for
+  moderate per-key cardinalities.
+
+Both return the same rows (equivalence-tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | str,
+    right_cols: list[str],
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of join: for each left row, the temporally closest right row at
+    or before (``backward``) / at or after (``forward``) its ``on`` time,
+    within the same ``by`` key."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be either backward or forward")
+    by = [by] if isinstance(by, str) else list(by)
+
+    l_tagged = left.withColumn("__side", F.lit(1))
+    r_proj = right.select(
+        *by, F.col(on), *[F.col(c).alias(f"__r_{c}") for c in right_cols]
+    ).withColumn("__side", F.lit(0))
+    for c in left.columns:
+        if c not in r_proj.columns:
+            r_proj = r_proj.withColumn(c, F.lit(None))
+    for c in [f"__r_{rc}" for rc in right_cols]:
+        l_tagged = l_tagged.withColumn(c, F.lit(None))
+    unioned = l_tagged.unionByName(r_proj.select(l_tagged.columns))
+
+    if direction == "backward":
+        # right rows sort before left rows at equal time → visible to them
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = F.last
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = F.first
+
+    carried = [
+        pick(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+        for c in right_cols
+    ]
+    return (
+        unioned.select("*", *carried)
+        .filter(F.col("__side") == 1)
+        .drop("__side", *[f"__r_{c}" for c in right_cols])
+    )
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str],
+    direction: str = "backward",
+    tolerance=None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """pandas.merge_asof per key via cogrouped applyInPandas — Arrow-
+    batched, whole key-group in memory (guard per-key cardinality)."""
+    import pandas as pd
+
+    out_fields = [f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields]
+    right_types = {f.name: f.dataType.simpleString() for f in right.schema.fields}
+    out_fields += [f"{c}{suffix}:{right_types[c]}" for c in right_cols]
+    out_schema = ", ".join(f.replace(":", " ") for f in out_fields)
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values(on)
+        rpdf = rpdf.sort_values(on)[[by, on, *right_cols]].rename(
+            columns={c: f"{c}{suffix}" for c in right_cols}
+        )
+        if rpdf.empty:
+            for c in right_cols:
+                lpdf[f"{c}{suffix}"] = None
+            return lpdf
+        return pd.merge_asof(
+            lpdf,
+            rpdf.drop(columns=[by]),
+            on=on,
+            direction=direction,
+            tolerance=tolerance,
+        )
+
+    return (
+        left.groupBy(by)
+        .cogroup(right.groupBy(by))
+        .applyInPandas(merge, out_schema)
+    )

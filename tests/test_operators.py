@@ -195,3 +195,51 @@ class TestSkew:
         plain = li.join(tables["supplier"], "s_suppkey").count()
         salted = salted_join(li, tables["supplier"], "s_suppkey").count()
         assert plain == salted
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        purchases = spark.createDataFrame(
+            [(1, 10, 100.0), (1, 25, 101.0), (2, 5, 102.0), (3, 7, 103.0)],
+            "user long, t long, amount double",
+        )
+        signups = spark.createDataFrame(
+            [(1, 8, "a"), (1, 20, "b"), (2, 6, "c"), (4, 1, "d")],
+            "user long, t long, plan string",
+        )
+        return purchases, signups
+
+    def test_backward_semantics(self, spark):
+        from duckdb_extension_kafquack_spark.operators.joins import asof_join
+
+        p, s = self._frames(spark)
+        out = {(r.user, r.t): r.plan_right
+               for r in asof_join(p, s, on="t", by="user", right_cols=["plan"]).collect()}
+        assert out[(1, 10)] == "a"    # latest signup at/before t=10
+        assert out[(1, 25)] == "b"
+        assert out[(2, 5)] is None    # signup at t=6 is after
+        assert out[(3, 7)] is None    # user has no signups
+
+    def test_forward_semantics(self, spark):
+        from duckdb_extension_kafquack_spark.operators.joins import asof_join
+
+        p, s = self._frames(spark)
+        out = {(r.user, r.t): r.plan_right
+               for r in asof_join(p, s, on="t", by="user",
+                                  right_cols=["plan"], direction="forward").collect()}
+        assert out[(1, 10)] == "b"    # next signup at/after t=10
+        assert out[(2, 5)] == "c"
+        assert out[(1, 25)] is None
+
+    def test_window_and_pandas_strategies_agree(self, spark):
+        from duckdb_extension_kafquack_spark.operators.joins import (
+            asof_join,
+            asof_join_pandas,
+        )
+
+        p, s = self._frames(spark)
+        a = {(r.user, r.t): r.plan_right
+             for r in asof_join(p, s, on="t", by="user", right_cols=["plan"]).collect()}
+        b = {(r.user, r.t): r.plan_right
+             for r in asof_join_pandas(p, s, on="t", by="user", right_cols=["plan"]).collect()}
+        assert a == b
