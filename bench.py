@@ -31,12 +31,17 @@ HEADLINE = [
     "rollup_agg",
     "tumbling_window",
     "session_window",
+    "sort_merge_join",
+    "stats_agg",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "text_quality",
     "text_fingerprint",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "dedup_embedding_cosine",
+    "corpus_curation",
 ]
 
 
