@@ -170,6 +170,48 @@ def run_stream_to_table(df: DataFrame, name: str, mode: str = "complete") -> Non
         q.awaitTermination()
 
 
+_SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM ordered
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, sess_id
+"""
+
+
+@query("streaming_session_window", _SESSION_ORACLE)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows over the live stream (stateful window merging —
+    sessions grow/merge as events arrive); availableNow drain in complete
+    mode, checked against the batch islands oracle."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = ev.groupBy(
+        F.session_window("ts", SESSION_GAP).alias("w"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = agg.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
+    run_stream_to_table(out, "stream_session_window", "complete")
+    return spark.table("stream_session_window")
+
+
 @query("streaming_tumbling_window", _TUMBLING_ORACLE)
 def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME tumbling aggregation, executed as a real Structured

@@ -381,6 +381,100 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "outer_joins",
+    """
+SELECT n_name,
+       COUNT(c_custkey) AS n_customers,
+       COUNT(s_suppkey) AS n_suppliers,
+       COUNT(*) AS n_rows
+FROM nation
+LEFT JOIN customer ON c_nationkey = n_nationkey
+FULL JOIN supplier ON s_nationkey = n_nationkey AND c_custkey IS NOT NULL
+GROUP BY n_name
+""",
+)
+def outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT + FULL OUTER joins with NULL-preserving counts."""
+    t = _t(spark, sf_dir)
+    j = t["nation"].join(
+        t["customer"], F.col("c_nationkey") == F.col("n_nationkey"), "left"
+    ).join(
+        t["supplier"],
+        (F.col("s_nationkey") == F.col("n_nationkey")) & F.col("c_custkey").isNotNull(),
+        "full",
+    )
+    return j.groupBy("n_name").agg(
+        F.count("c_custkey").alias("n_customers"),
+        F.count("s_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "unpivot_melt",
+    """
+SELECT l_linenumber, metric, ROUND(SUM(val), 2) AS total
+FROM (
+  SELECT l_linenumber, 'quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_linenumber, 'discount' AS metric, l_discount AS val FROM lineitem
+  UNION ALL
+  SELECT l_linenumber, 'tax' AS metric, l_tax AS val FROM lineitem
+)
+GROUP BY l_linenumber, metric
+""",
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) then re-aggregate; Spark's native
+    ``unpivot`` — the oracle spells out the equivalent UNION ALL."""
+    li = _t(spark, sf_dir)["lineitem"]
+    long = li.unpivot(
+        ids=["l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).withColumn(
+        "metric",
+        F.when(F.col("metric") == "l_quantity", "quantity")
+        .when(F.col("metric") == "l_discount", "discount")
+        .otherwise("tax"),
+    )
+    return long.groupBy("l_linenumber", "metric").agg(
+        F.round(F.sum("val"), 2).alias("total")
+    )
+
+
+@query(
+    "window_ranking_extras",
+    """
+SELECT o_orderkey,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       FIRST_VALUE(o_orderkey) OVER w AS cheapest_order,
+       NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_cheapest
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_ranking_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist/first_value/nth_value — pct_rank and
+    cume are exact rationals (rank/count), identical doubles cross-engine."""
+    o = _t(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_order"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_cheapest"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 5. Window functions / top-k
 # ---------------------------------------------------------------------------
