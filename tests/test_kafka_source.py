@@ -135,3 +135,12 @@ class TestDecodePolicy:
         assert out[1].value == "hello" and out[1].error is None
         assert out[2].error is not None and "not valid UTF-8" in out[2].error
         assert out[3].value is None and out[3].error is None
+
+
+class TestKafquackAlias:
+    def test_module_alias_exports_api(self):
+        import kafquack
+
+        assert callable(kafquack.kafka_consumer)
+        assert callable(kafquack.register)
+        assert len(kafquack.KAFKA_MESSAGE_SCHEMA.fields) == 7
