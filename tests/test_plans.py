@@ -151,3 +151,29 @@ def test_csv_json_round_trip(spark, tables, tmp_path):
 def test_sort_merge_join_hint_respected(spark):
     df = REGISTRY["sort_merge_join"].fn(spark, SF_DIR)
     assert "SortMergeJoin" in executed_plan(df)
+
+
+def test_streaming_checkpoint_no_reprocessing(spark, tmp_path):
+    """Offsets live in the checkpoint WAL (SURVEY §3.4): a second start
+    from the same checkpoint reprocesses nothing — the engine's upgrade
+    over the reference's per-message at-most-once commit."""
+    from duckdb_extension_kafquack_spark.sources.synthetic import (
+        kafka_messages_from_events,
+        synthetic_kafka_stream,
+    )
+
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    want = kafka_messages_from_events(spark, SF_DIR).count()
+
+    for _ in range(2):  # second run resumes from the committed offsets
+        q = (
+            synthetic_kafka_stream(spark, SF_DIR)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    assert spark.read.parquet(out).count() == want  # not 2×want
