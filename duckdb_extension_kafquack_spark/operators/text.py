@@ -9,7 +9,7 @@ scan itself.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import duck_hash64, spark_hash64
@@ -219,4 +219,94 @@ FROM exploded GROUP BY doc_id
 
 query("text_fingerprint", _DUCK_FINGERPRINT)(
     lambda spark, sf_dir: fingerprints(load_tables(spark, sf_dir)["documents"])
+)
+
+
+VOCAB_TOP_K = 50
+
+
+def vocabulary(docs: DataFrame, top_k: int = VOCAB_TOP_K) -> DataFrame:
+    """Corpus vocabulary: token frequency + document frequency, top-k by
+    count (ties broken lexically) — the tokenizer-training input."""
+    toks = docs.select("doc_id", F.explode(_tok_col()).alias("tok"))
+    stats = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("tok"))
+    return (
+        stats.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "tok", "tf", "df")
+    )
+
+
+_DUCK_VOCAB = f"""
+SELECT rank, tok, tf, df FROM (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, tok) AS INTEGER) AS rank, tok, tf, df
+  FROM (
+    SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+          FROM documents)
+    GROUP BY tok
+  )
+) WHERE rank <= {VOCAB_TOP_K}
+"""
+
+query("text_vocabulary", _DUCK_VOCAB)(
+    lambda spark, sf_dir: vocabulary(load_tables(spark, sf_dir)["documents"])
+)
+
+
+TFIDF_TOP_TERMS = 3
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_TERMS) -> DataFrame:
+    """Per-doc top-k characteristic terms by tf·N/df.
+
+    The idf factor is the exact rational N/df instead of ln(N/df) —
+    monotone-identical ranking, and (unlike libm ln) bit-identical
+    across engines, so the score itself is oracle-checkable."""
+    toks = docs.select("doc_id", F.explode(_tok_col()).alias("tok"))
+    n_docs = docs.count()  # scalar: corpus size (driver-side constant, not data)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.select("doc_id", "tok").distinct().groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(df_, "tok").select(
+        "doc_id",
+        "tok",
+        ((F.col("tf") * F.lit(n_docs)) / F.col("df")).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "tok", "tfidf")
+    )
+
+
+_DUCK_TFIDF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.tok, (tf.tf * n.n_docs)::DOUBLE / df.df AS tfidf
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, rank, tok, tfidf FROM (
+  SELECT doc_id, tok, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_TOP_TERMS}
+"""
+
+query("text_tfidf", _DUCK_TFIDF)(
+    lambda spark, sf_dir: tfidf_top_terms(load_tables(spark, sf_dir)["documents"])
 )
