@@ -77,6 +77,62 @@ def asof_join(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    by: list[str] | str,
+    lower,
+    upper,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Interval (range) join at scale: ``right_ts ∈ [left_ts+lower,
+    left_ts+upper]`` within ``by`` keys — WITHOUT a nested-loop join.
+
+    Naive non-equi joins on time degenerate to per-key cross products.
+    The scalable shape: quantize time into buckets at least as wide as
+    the interval, equi-join on (key, bucket) with the right side
+    exploded into each bucket its interval can touch, then apply the
+    exact range predicate.  The shuffle is keyed on (by, bucket) —
+    uniform, bounded fan-out of ceil(span/bucket)+1 copies.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    span_expr = f"CAST(ceil((CAST({_iv(upper)} AS DOUBLE) - {_iv(lower)}) / {_iv(bucket)}) AS INT)"
+    l_b = left.withColumn(
+        "__bucket", F.expr(f"CAST(floor(unix_micros({left_ts}) / {_iv(bucket)}) AS LONG)")
+    )
+    r_b = right.withColumn(
+        "__b0",
+        F.expr(
+            f"CAST(floor((unix_micros({right_ts}) - {_iv(upper)}) / {_iv(bucket)}) AS LONG)"
+        ),
+    ).withColumn(
+        "__bucket", F.explode(F.expr(f"sequence(__b0, __b0 + {span_expr} + 1)"))
+    ).drop("__b0")
+    cond = (
+        (F.col(right_ts) >= F.col(left_ts) + F.expr(f"INTERVAL {lower}"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return l_b.join(r_b, [*by, "__bucket"]).filter(cond).drop("__bucket")
+
+
+def _iv(spec) -> str:
+    """Interval spec like '1 hour' / '-2 hours' → microseconds literal."""
+    units = {
+        "second": 1_000_000,
+        "seconds": 1_000_000,
+        "minute": 60_000_000,
+        "minutes": 60_000_000,
+        "hour": 3_600_000_000,
+        "hours": 3_600_000_000,
+        "day": 86_400_000_000,
+        "days": 86_400_000_000,
+    }
+    n, unit = str(spec).split()
+    return str(int(float(n) * units[unit]))
+
+
 def asof_join_pandas(
     left: DataFrame,
     right: DataFrame,

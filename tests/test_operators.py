@@ -243,3 +243,35 @@ class TestAsofJoin:
         b = {(r.user, r.t): r.plan_right
              for r in asof_join_pandas(p, s, on="t", by="user", right_cols=["plan"]).collect()}
         assert a == b
+
+
+class TestIntervalJoin:
+    def test_bucketed_equals_naive_range_join(self, spark, tables):
+        """The bucketized interval join returns exactly the rows of the
+        naive non-equi join — same semantics, keyed shuffle instead of a
+        per-key cross product."""
+        from duckdb_extension_kafquack_spark.operators.joins import interval_join
+
+        ev = tables["events"]
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("pid"), F.col("user_id"), F.col("ts").alias("pts")
+        )
+        s = ev.filter(F.col("event_type") == "signup").select(
+            F.col("event_id").alias("sid"),
+            F.col("user_id"),
+            F.col("ts").alias("sts"),
+        )
+        naive = (
+            p.join(s, "user_id")
+            .filter(
+                (F.col("sts") >= F.col("pts") - F.expr("INTERVAL 2 HOURS"))
+                & (F.col("sts") <= F.col("pts"))
+            )
+            .select("pid", "sid")
+        )
+        bucketed = interval_join(
+            p, s, "pts", "sts", by="user_id", lower="-2 hours", upper="0 seconds"
+        ).select("pid", "sid")
+        a = {(r.pid, r.sid) for r in naive.collect()}
+        b = {(r.pid, r.sid) for r in bucketed.collect()}
+        assert a == b and len(a) > 0

@@ -1,0 +1,133 @@
+"""Property-based equivalence tests (hypothesis): the rewrite rules the
+engine relies on hold for arbitrary inputs, not just the fixtures.
+
+Example counts are small (each example runs Spark jobs); properties are
+chosen so a failure would indicate a real semantic bug, not flakiness.
+"""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key (few → collisions guaranteed)
+        st.integers(min_value=-1000, max_value=1000),  # int value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SLOW
+@given(data=rows)
+def test_salted_agg_equals_direct_agg(spark, data):
+    """Two-phase salted aggregation ≡ direct groupBy for any input."""
+    from duckdb_extension_kafquack_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [(k, float(v)) for k, v in data], "k long, v double"
+    )
+    direct = {
+        r.k: (r.n, r.s)
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")).collect()
+    }
+    salted = {
+        r.k: (r.n, r.sum_v)
+        for r in salted_agg(df, ["k"], sums=["v"], salt_buckets=4).collect()
+    }
+    assert set(direct) == set(salted)
+    for k in direct:
+        assert direct[k][0] == salted[k][0]
+        assert math.isclose(direct[k][1], salted[k][1], rel_tol=1e-9, abs_tol=1e-9)
+
+
+timed_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.integers(min_value=0, max_value=100),  # time
+    ),
+    min_size=1,
+    max_size=25,
+    unique=True,
+)
+
+
+@SLOW
+@given(left=timed_rows, right=timed_rows)
+def test_asof_window_equals_pandas_strategy(spark, left, right):
+    """The union+window as-of join ≡ pandas merge_asof for any input."""
+    from duckdb_extension_kafquack_spark.operators.joins import (
+        asof_join,
+        asof_join_pandas,
+    )
+
+    ldf = spark.createDataFrame(
+        [(k, t, float(i)) for i, (k, t) in enumerate(left)], "k long, t long, lv double"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, f"r{i}") for i, (k, t) in enumerate(right)], "k long, t long, plan string"
+    )
+    a = {
+        (r.k, r.t): r.plan_right
+        for r in asof_join(ldf, rdf, on="t", by="k", right_cols=["plan"]).collect()
+    }
+    b = {
+        (r.k, r.t): r.plan_right
+        for r in asof_join_pandas(ldf, rdf, on="t", by="k", right_cols=["plan"]).collect()
+    }
+    assert a == b
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12), st.integers(min_value=0, max_value=12)
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=15,
+)
+
+
+@SLOW
+@given(edges=edges_strategy)
+def test_connected_components_against_union_find(spark, edges):
+    """Distributed min-label propagation ≡ classic driver-side union-find."""
+    from duckdb_extension_kafquack_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {v: find(v) for v in parent}
+    # canonicalize: min member of each component
+    comp_min: dict[int, int] = {}
+    for v, r in want.items():
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {v: comp_min[find(v)] for v in parent}
+
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc1 long, doc2 long"
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(df).collect()}
+    assert got == want
