@@ -63,6 +63,15 @@ def get_spark(app_name: str = "kafquack-spark", *, shuffle_partitions: int | Non
     return builder.getOrCreate()
 
 
+def ensure_session_conf(spark: SparkSession) -> None:
+    """Settings our plans rely on, applied to ANY session (the driver
+    builds its own SparkSession without :func:`get_spark`'s configs —
+    without ``nanosAsLong`` every events.parquet read throws
+    PARQUET_TYPE_ILLEGAL; both confs are runtime-settable SQLConfs)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, normalizing types to the logical schema.
 
@@ -70,6 +79,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``nanosAsLong``; convert with integer division (ns values ~1.7e18
     overflow double precision) to µs, exactly what DuckDB does on read.
     """
+    ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(

@@ -68,6 +68,9 @@ def synthetic_kafka_stream(
     used by the streaming tests with ``trigger(availableNow=True)``,
     the Spark idiom for the reference's "drain what's there" read.
     """
+    from ..session import ensure_session_conf
+
+    ensure_session_conf(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     events = (
         spark.readStream.schema(static.schema)

@@ -143,6 +143,9 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ensure_session_conf
+
+    ensure_session_conf(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     # FileStreamSource wants a directory; select just the events file
     ev = (
