@@ -196,6 +196,51 @@ def with_decode_policy(raw: DataFrame, value_col: str = "value_raw") -> DataFram
     )
 
 
+def kafka_producer(
+    df: DataFrame,
+    brokers: str,
+    topic: str,
+    *,
+    key_col: str | None = "key",
+    value_col: str = "value",
+    checkpoint: str | None = None,
+    **named_params: Any,
+) -> "DataStreamWriter | DataFrameWriter":  # noqa: F821
+    """The write path the reference lacks entirely (SURVEY §2.2 "sinks:
+    none") — produce a DataFrame back to Kafka with the same option
+    validation as :func:`kafka_consumer`.
+
+    Returns the CONFIGURED writer (caller invokes ``.start()`` /
+    ``.save()``) so tests can verify the full configuration without a
+    broker.  Streaming input → ``writeStream`` (exactly-once with the
+    checkpoint); batch input → ``df.write``.
+    """
+    security_protocol = named_params.pop("security_protocol", None)
+    sasl_mechanism = named_params.pop("sasl_mechanism", None)
+    username = named_params.pop("username", None)
+    password = named_params.pop("password", None)
+    sec_opts = _validate_options(
+        security_protocol, sasl_mechanism, username, password, named_params
+    )
+
+    cols = [F.col(value_col).cast("string").alias("value")]
+    if key_col is not None:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    payload = df.select(*cols)
+
+    writer = payload.writeStream if df.isStreaming else payload.write
+    writer = (
+        writer.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+    )
+    if df.isStreaming and checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    for k, v in sec_opts.items():
+        writer = writer.option(k, v)
+    return writer
+
+
 def register(spark: SparkSession) -> None:
     """Expose SQL-callable names, mirroring extension load
     (kafquack_extension.cpp:207-243).

@@ -173,6 +173,35 @@ def run_stream_to_table(df: DataFrame, name: str, mode: str = "complete") -> Non
         q.awaitTermination()
 
 
+_SLIDING_ORACLE = """
+SELECT time_bucket(INTERVAL '30 minutes', ts) - (o.i * INTERVAL '30 minutes') AS window_start,
+       time_bucket(INTERVAL '30 minutes', ts) - (o.i * INTERVAL '30 minutes') + INTERVAL '1 hour' AS window_end,
+       COUNT(*) AS n,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events, (VALUES (0), (1)) o(i)
+GROUP BY 1, 2
+"""
+
+
+@query("streaming_sliding_window", _SLIDING_ORACLE)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows over the live stream — each event feeds
+    two overlapping window states; complete-mode drain vs the offset
+    cross-join oracle."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = ev.groupBy(F.window("ts", SLIDE_WIN, SLIDE_STEP).alias("w")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    )
+    out = agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n",
+        "avg_value",
+    )
+    run_stream_to_table(out, "stream_sliding_window", "complete")
+    return spark.table("stream_sliding_window")
+
+
 _SESSION_ORACLE = """
 WITH ordered AS (
   SELECT user_id, ts, value,

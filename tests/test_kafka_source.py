@@ -144,3 +144,40 @@ class TestKafquackAlias:
         assert callable(kafquack.kafka_consumer)
         assert callable(kafquack.register)
         assert len(kafquack.KAFKA_MESSAGE_SCHEMA.fields) == 7
+
+
+class TestKafkaProducer:
+    def test_batch_writer_configured(self, spark, tables):
+        from duckdb_extension_kafquack_spark.sources.kafka import kafka_producer
+        from duckdb_extension_kafquack_spark.sources.synthetic import (
+            kafka_messages_from_events,
+        )
+
+        km = kafka_messages_from_events(spark, "/root/testdata/sf0.001")
+        w = kafka_producer(km, "b:9092", "out-topic",
+                           security_protocol="SASL_PLAINTEXT",
+                           username="u", password="p")
+        # configured, not started — no broker needed
+        assert w.__class__.__name__ in ("DataFrameWriter",)
+
+    def test_streaming_writer_configured(self, spark):
+        from duckdb_extension_kafquack_spark.sources.kafka import kafka_producer
+        from duckdb_extension_kafquack_spark.sources.synthetic import (
+            synthetic_kafka_stream,
+        )
+
+        stream = synthetic_kafka_stream(spark, "/root/testdata/sf0.001")
+        w = kafka_producer(stream, "b:9092", "out-topic", checkpoint="/tmp/x")
+        assert w.__class__.__name__ in ("DataStreamWriter",)
+
+    def test_producer_validation_parity(self, spark, tables):
+        import pytest as _pytest
+
+        from duckdb_extension_kafquack_spark.sources.kafka import kafka_producer
+        from duckdb_extension_kafquack_spark.sources.synthetic import (
+            kafka_messages_from_events,
+        )
+
+        km = kafka_messages_from_events(spark, "/root/testdata/sf0.001")
+        with _pytest.raises(ValueError, match="security_protocol must be either"):
+            kafka_producer(km, "b:9092", "t", security_protocol="SSL")
