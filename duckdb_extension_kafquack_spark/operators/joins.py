@@ -1,4 +1,4 @@
-"""Temporal join helpers: generic as-of join, two physical strategies.
+"""Temporal join helpers: generic as-of join + bucketized interval join.
 
 SURVEY §2.2 maps the reference-absent "as-of / range / interval" join
 row to Spark compositions; the suite's ``asof_join`` query pins one
@@ -173,4 +173,77 @@ def asof_join_pandas(
         left.groupBy(by)
         .cogroup(right.groupBy(by))
         .applyInPandas(merge, out_schema)
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked suite entries for the join helpers
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from ..session import load_tables  # noqa: E402
+from ..suite import query  # noqa: E402
+
+
+@query(
+    "interval_join_bucketed",
+    """
+SELECT p.event_id AS purchase_id, s.event_id AS signup_id, p.user_id
+FROM events p JOIN events s
+  ON p.user_id = s.user_id
+ AND p.event_type = 'purchase' AND s.event_type = 'signup'
+ AND s.ts BETWEEN p.ts - INTERVAL '2 hours' AND p.ts
+""",
+)
+def interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketized interval join as a suite entry — identical rows to
+    the naive range join the oracle spells out, via a keyed (user,
+    time-bucket) equi-join instead of a per-key cross product."""
+    ev = load_tables(spark, sf_dir)["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id"), F.col("ts").alias("pts")
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id"),
+        F.col("ts").alias("sts"),
+    )
+    return interval_join(
+        p, s, "pts", "sts", by="user_id", lower="-2 hours", upper="0 seconds"
+    ).select("purchase_id", "signup_id", "user_id")
+
+
+@query(
+    "asof_join_forward",
+    """
+SELECT event_id, user_id, ts, next_purchase_ts FROM (
+  SELECT event_id, user_id, ts, event_type,
+         first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_ts
+  FROM events
+) WHERE event_type = 'signup'
+""",
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each signup's next purchase (the conversion-lag
+    primitive), via the generic forward-direction helper."""
+    ev = load_tables(spark, sf_dir)["events"]
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("ts").alias("purchase_ts")
+    )
+    return asof_join(
+        signups,
+        purchases,
+        on="ts",
+        by="user_id",
+        right_cols=["purchase_ts"],
+        direction="forward",
+        suffix="",
+    ).select(
+        "event_id", "user_id", "ts", F.col("purchase_ts").alias("next_purchase_ts")
     )
