@@ -44,7 +44,11 @@ NGRAM_HASHES = 8
 NGRAM_BANDS = 2
 NGRAM_THRESHOLD = 0.7
 
-SIMHASH_BITS = 16
+# 60 bits (the full width of the cross-engine md5 hash): 16/32-bit
+# signatures collide heavily on this shared-vocabulary corpus (25k/4.3k
+# Hamming≤1 pairs at sf0.01); at 60 bits the 627 surviving pairs are
+# genuinely near-identical token distributions.
+SIMHASH_BITS = 60
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
@@ -439,6 +443,103 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+SIMHASH_HAMMING_MAX = 1
+_SIMHASH_BLOCKS = 4  # 16 bits → 4 blocks of 4; Hamming≤1 ⇒ ≥3 blocks equal
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = SIMHASH_HAMMING_MAX) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split the 16-bit signature into 4 blocks of 4
+    bits — a pair within Hamming 1 agrees on ≥3 blocks, so candidates
+    are pairs sharing any (block_id, block_value, other-3-blocks) key…
+    simplified to the standard scheme: band on each single block's
+    *complement* (the 12 remaining bits); exact ``bit_count(xor)``
+    verifies.  Self-join keys are (block_id, 12-bit value) — uniform,
+    no cross product.
+    """
+    sigs = simhash_signatures(docs)
+    bands = []
+    bits_per = SIMHASH_BITS // _SIMHASH_BLOCKS
+    mask = (1 << SIMHASH_BITS) - 1
+    for b in range(_SIMHASH_BLOCKS):
+        # drop block b, keep the other 12 bits as the band key
+        block_mask = ((1 << bits_per) - 1) << (b * bits_per)
+        keep = mask ^ block_mask
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col("simhash").bitwiseAND(F.lit(keep)).alias("band_sig"),
+            )
+        )
+    banded = sigs.select(
+        F.col("doc_id"), F.col("simhash"), F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", "simhash", "bb.band", "bb.band_sig")
+    a, b_ = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def _duck_simhash_pairs_sql() -> str:
+    from ..functions.hashing import duck_hash64
+
+    h = duck_hash64("tok")
+    bit_sums = ",\n         ".join(
+        f"SUM((( h >> {i}) & 1) * 2 - 1) AS s{i}" for i in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+    )
+    bits_per = SIMHASH_BITS // _SIMHASH_BLOCKS
+    mask = (1 << SIMHASH_BITS) - 1
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {b} AS band, simhash & {mask ^ (((1 << bits_per) - 1) << (b * bits_per))} AS band_sig FROM sigs"
+        for b in range(_SIMHASH_BLOCKS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+), hashed AS (
+  SELECT doc_id, {h} AS h FROM tok
+), sums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM hashed GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums
+), bands AS (
+{band_union}
+)
+SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+"""
+
+
+@query("dedup_simhash_hamming", _duck_simhash_pairs_sql())
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_pairs(load_tables(spark, sf_dir)["documents"])
 
 
 # ---------------------------------------------------------------------------
