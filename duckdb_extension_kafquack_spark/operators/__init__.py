@@ -6,27 +6,50 @@ Importing this package registers their suite entries (see ..suite.REGISTRY).
 from . import dedup, joins, multimodal, pipeline, similarity, skew, text  # noqa: F401
 
 from .dedup import (
+    connected_components,
     exact_duplicates,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
+    simhash_near_pairs,
     simhash_signatures,
 )
+from .joins import asof_join, asof_join_pandas, interval_join
 from .multimodal import blobs_from_documents, decode_features
-from .similarity import cosine_topk, embedding_near_duplicates, lsh_topk
-from .text import fingerprints, language_id, quality_scores, token_counts
+from .pipeline import curate
+from .similarity import cosine_topk, embedding_near_duplicates, ivf_topk, lsh_topk
+from .skew import salted_agg, salted_join
+from .text import (
+    fingerprints,
+    language_id,
+    quality_scores,
+    tfidf_top_terms,
+    token_counts,
+    vocabulary,
+)
 
 __all__ = [
     "exact_duplicates",
     "minhash_near_duplicates",
     "simhash_signatures",
+    "simhash_near_pairs",
     "ngram_jaccard_pairs",
+    "connected_components",
     "cosine_topk",
     "lsh_topk",
+    "ivf_topk",
     "embedding_near_duplicates",
     "language_id",
     "quality_scores",
     "token_counts",
     "fingerprints",
+    "vocabulary",
+    "tfidf_top_terms",
     "blobs_from_documents",
     "decode_features",
+    "asof_join",
+    "asof_join_pandas",
+    "interval_join",
+    "salted_agg",
+    "salted_join",
+    "curate",
 ]

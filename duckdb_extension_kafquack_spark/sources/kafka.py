@@ -119,6 +119,16 @@ def _project_reference_schema(raw: DataFrame, *, keep_raw: bool) -> DataFrame:
     return raw.select(*cols)
 
 
+def _subscribe_option(topic, is_pattern: bool) -> tuple[str, str]:
+    """Superset of the reference's single-topic subscribe (cpp:126): a
+    list subscribes to several topics, ``is_pattern`` to a regex."""
+    if isinstance(topic, (list, tuple)):
+        return "subscribe", ",".join(topic)
+    if is_pattern:
+        return "subscribePattern", topic
+    return "subscribe", topic
+
+
 def kafka_consumer(
     spark: SparkSession,
     brokers: str,
@@ -147,17 +157,20 @@ def kafka_consumer(
     sasl_mechanism = named_params.pop("sasl_mechanism", None)
     username = named_params.pop("username", None)
     password = named_params.pop("password", None)
+    topic_is_pattern = bool(named_params.pop("topic_is_pattern", False))
     sec_opts = _validate_options(
         security_protocol, sasl_mechanism, username, password, named_params
     )
     if mode not in ("stream", "batch"):
         raise ValueError("mode must be either stream or batch")
 
+    subscribe_opt, subscribe_val = _subscribe_option(topic, topic_is_pattern)
+
     reader = spark.readStream if mode == "stream" else spark.read
     reader = (
         reader.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
+        .option(subscribe_opt, subscribe_val)
         .option("kafka.group.id", group_id)
         .option("startingOffsets", starting_offsets)
     )

@@ -181,3 +181,16 @@ class TestKafkaProducer:
         km = kafka_messages_from_events(spark, "/root/testdata/sf0.001")
         with _pytest.raises(ValueError, match="security_protocol must be either"):
             kafka_producer(km, "b:9092", "t", security_protocol="SSL")
+
+
+class TestSubscribeVariants:
+    """Superset of the reference's single-topic subscribe (cpp:126).
+    kafka_consumer().load() itself needs the spark-sql-kafka connector
+    jar (not shipped in this container), so the mapping is tested pure."""
+
+    def test_topic_list_and_pattern_mapping(self):
+        from duckdb_extension_kafquack_spark.sources.kafka import _subscribe_option
+
+        assert _subscribe_option("t", False) == ("subscribe", "t")
+        assert _subscribe_option(["t1", "t2"], False) == ("subscribe", "t1,t2")
+        assert _subscribe_option("t-.*", True) == ("subscribePattern", "t-.*")
