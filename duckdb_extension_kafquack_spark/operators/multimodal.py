@@ -103,6 +103,121 @@ def decode_features(blobs: DataFrame, *, decode_stub: bool = True) -> DataFrame:
     return blobs.mapInPandas(extract, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("blob_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("blob_id", LongType(), False),
+        StructField("frame_no", IntegerType(), False),
+        StructField("frame_ts_ms", LongType(), False),
+        StructField("frame_payload", BinaryType(), True),
+        StructField("frame_hash", StringType(), False),
+    ]
+)
+
+
+def resize_images(
+    blobs: DataFrame, target_w: int = 224, target_h: int = 224, *, decode_stub: bool = True
+) -> DataFrame:
+    """Image resize as an Arrow-batched map stage (1 row in → 1 row out,
+    payload transformed executor-side).  The codec is STUBBED (no image
+    libs in this container): the fake 'resize' deterministically truncates
+    the payload proportionally — the Spark plumbing (binary in/out
+    schema, batching, no shuffle) is the real part.
+    """
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image resize requires codec libraries not present "
+                    "in this environment; run with decode_stub=True"
+                )
+            out_len = (target_w * target_h) // 512  # fake byte budget
+            payload = pdf["payload"].map(
+                lambda b: bytes(b[:out_len]) if b is not None else None
+            )
+            yield pd.DataFrame(
+                {
+                    "blob_id": pdf["blob_id"],
+                    "payload": payload,
+                    "width": target_w,
+                    "height": target_h,
+                    "n_bytes": payload.map(lambda b: len(b) if b else 0).astype("int64"),
+                }
+            )
+
+    return blobs.mapInPandas(do_resize, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    blobs: DataFrame, every_ms: int = 1000, max_frames: int = 8, *, decode_stub: bool = True
+) -> DataFrame:
+    """Video frame sampling: 1 blob row in → N frame rows out (the fan-out
+    shape `mapInPandas` supports natively).  Frame extraction is STUBBED
+    deterministically (slices of the payload stand in for decoded frames);
+    schema/batching/ordering are real.
+    """
+    import hashlib
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame sampling requires video codecs not present "
+                    "in this environment; run with decode_stub=True"
+                )
+            rows = {k: [] for k in ("blob_id", "frame_no", "frame_ts_ms", "frame_payload", "frame_hash")}
+            for blob_id, payload in zip(pdf["blob_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                n = min(max_frames, max(1, len(data) // 64))
+                step = max(1, len(data) // n) if data else 1
+                for i in range(n):
+                    frame = data[i * step : i * step + 64]
+                    rows["blob_id"].append(blob_id)
+                    rows["frame_no"].append(i)
+                    rows["frame_ts_ms"].append(i * every_ms)
+                    rows["frame_payload"].append(frame)
+                    rows["frame_hash"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(extract, FRAME_SCHEMA)
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+WITH blobs AS (
+  SELECT doc_id AS blob_id, encode(text) AS payload FROM documents
+)
+SELECT blob_id, COUNT(*) AS n_frames, MAX(frame_ts_ms) AS last_ts_ms
+FROM (
+  SELECT blob_id,
+         LEAST(8, GREATEST(1, octet_length(payload) // 64)) AS n
+  FROM blobs
+), LATERAL (SELECT unnest(range(0, n)) AS frame_no, unnest(range(0, n)) * 1000 AS frame_ts_ms)
+GROUP BY blob_id
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out summarized per blob (count + last ts) so
+    the deterministic stub is oracle-checkable."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    frames = sample_frames(blobs_from_documents(docs))
+    return frames.groupBy("blob_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_ts_ms").alias("last_ts_ms"),
+    )
+
+
 @query(
     "multimodal_meta",
     """

@@ -310,3 +310,46 @@ SELECT doc_id, rank, tok, tfidf FROM (
 query("text_tfidf", _DUCK_TFIDF)(
     lambda spark, sf_dir: tfidf_top_terms(load_tables(spark, sf_dir)["documents"])
 )
+
+
+def surprisal_scores(docs: DataFrame) -> DataFrame:
+    """Unigram-LM surprisal proxy: mean inverse corpus probability of a
+    doc's tokens, avg(T/tf) where T = total corpus tokens — high for
+    docs of rare tokens, the cheap 'perplexity-like' quality signal.
+    Rational per-token terms keep it cross-engine; the final mean is a
+    float sum → rounded."""
+    toks = docs.select("doc_id", F.explode(_tok_col()).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = toks.count()
+    scored = toks.join(tf, "tok").select(
+        "doc_id", (F.lit(total) / F.col("tf")).alias("inv_p")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("inv_p"), 6).alias("mean_surprisal"),
+        F.round(F.max("inv_p"), 6).alias("max_surprisal"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+_DUCK_SURPRISAL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok
+), total AS (
+  SELECT COUNT(*) AS t FROM toks
+), scored AS (
+  SELECT toks.doc_id, total.t::DOUBLE / tf.tf AS inv_p
+  FROM toks JOIN tf USING (tok) CROSS JOIN total
+)
+SELECT doc_id,
+       ROUND(AVG(inv_p), 6) AS mean_surprisal,
+       ROUND(MAX(inv_p), 6) AS max_surprisal,
+       COUNT(*) AS n_tokens
+FROM scored GROUP BY doc_id
+"""
+
+query("text_surprisal", _DUCK_SURPRISAL)(
+    lambda spark, sf_dir: surprisal_scores(load_tables(spark, sf_dir)["documents"])
+)

@@ -131,3 +131,44 @@ def test_connected_components_against_union_find(spark, edges):
     )
     got = {r.doc_id: r.cluster_id for r in connected_components(df).collect()}
     assert got == want
+
+
+interval_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=500),  # seconds offset
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SLOW
+@given(left=interval_rows, right=interval_rows)
+def test_interval_join_equals_naive(spark, left, right):
+    """Bucketized interval join ≡ naive non-equi join for arbitrary
+    event times (bucket width chosen smaller than the interval span to
+    exercise the multi-bucket fan-out path)."""
+    from duckdb_extension_kafquack_spark.operators.joins import interval_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, ls long"
+    ).withColumn("lts", F.timestamp_seconds(F.col("ls")))
+    rdf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(right)], "rid long, k long, rs long"
+    ).withColumn("rts", F.timestamp_seconds(F.col("rs")))
+    naive = (
+        ldf.join(rdf, "k")
+        .filter(
+            (F.col("rts") >= F.col("lts") - F.expr("INTERVAL 3 MINUTES"))
+            & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 1 MINUTES"))
+        )
+        .select("lid", "rid")
+    )
+    bucketed = interval_join(
+        ldf, rdf, "lts", "rts", by="k",
+        lower="-3 minutes", upper="1 minutes", bucket="1 minute",
+    ).select("lid", "rid")
+    assert {(r.lid, r.rid) for r in naive.collect()} == {
+        (r.lid, r.rid) for r in bucketed.collect()
+    }
