@@ -173,6 +173,44 @@ def run_stream_to_table(df: DataFrame, name: str, mode: str = "complete") -> Non
         q.awaitTermination()
 
 
+@query(
+    "hierarchical_rollup",
+    """
+SELECT time_bucket(INTERVAL '1 day', ts) AS day_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the daily rollup is computed
+    FROM the hourly rollup (re-aggregating partials), not by rescanning
+    raw events — the pattern that makes multi-resolution dashboards
+    O(hours) instead of O(events) at 100 TB.  The oracle aggregates raw
+    directly; equality proves the hierarchy is lossless (sum/count are
+    associative; the rounding happens only at the final level)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    daily = (
+        hourly.select(
+            F.date_trunc("day", F.col("w.start")).alias("day_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .groupBy("day_start", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sum_value"), 2).alias("total_value"),
+        )
+    )
+    return daily
+
+
 _SLIDING_ORACLE = """
 SELECT time_bucket(INTERVAL '30 minutes', ts) - (o.i * INTERVAL '30 minutes') AS window_start,
        time_bucket(INTERVAL '30 minutes', ts) - (o.i * INTERVAL '30 minutes') + INTERVAL '1 hour' AS window_end,

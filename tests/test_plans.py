@@ -177,3 +177,60 @@ def test_streaming_checkpoint_no_reprocessing(spark, tmp_path):
         q.awaitTermination()
 
     assert spark.read.parquet(out).count() == want  # not 2×want
+
+
+def test_watermark_bounds_state_and_append_emission(spark, tmp_path):
+    """Watermark semantics Spark actually guarantees (and we rely on):
+    append mode emits a window only once its end is below the watermark,
+    and state for closed windows is evicted (bounded state).  NOTE:
+    *dropping* of too-late input is best-effort in Spark — observed on
+    4.1: a late window can be admitted and immediately finalized — so we
+    pin emission/eviction, not drops."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "stream_src")
+    rows_on_time = [(i, f"2024-01-02 12:{i % 60:02d}:00") for i in range(20)]
+    rows_late = [(100 + i, f"2024-01-01 00:0{i}:00") for i in range(5)]  # a day late
+    spark.createDataFrame(rows_on_time, "id long, ts_s string").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s").coalesce(1).write.parquet(src + "/batch1")
+    _time.sleep(2)  # FileStreamSource orders by modification time
+    spark.createDataFrame(rows_late, "id long, ts_s string").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s").coalesce(1).write.parquet(src + "/batch2")
+    now = _time.time()
+    for sub, t in (("batch1", now - 60), ("batch2", now)):
+        for root, _, files in os.walk(f"{src}/{sub}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = stream.groupBy(F.window("ts", "1 hour").alias("w")).count()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_data_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("late_data_test").collect()
+    starts = [r.w.start.isoformat() for r in emitted]
+    # 1. at-most-once emission per window
+    assert len(starts) == len(set(starts))
+    # 2. only windows strictly below the final watermark are emitted:
+    #    the on-time 12:00 window (end 13:00 > watermark 12:09) stays open
+    assert not any(s.startswith("2024-01-02") for s in starts), starts
+    # 3. closed-window state was evicted (bounded state)
+    last = q.recentProgress[-1]["stateOperators"][0]
+    assert last["numRowsTotal"] <= 1, last
