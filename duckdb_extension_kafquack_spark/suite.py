@@ -382,6 +382,33 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "deterministic_sample",
+    f"""
+SELECT COUNT(*) AS n_sampled,
+       MIN(doc_id) AS first_doc,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+FROM documents
+WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
+""",
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% Bernoulli sample that is REPRODUCIBLE across engines and runs
+    (hash of the key, not an RNG) — the sampling you actually want in a
+    training pipeline, where `TABLESAMPLE` gives unstable membership."""
+    from .functions.hashing import spark_hash64
+
+    docs = _t(spark, sf_dir)["documents"]
+    sampled = docs.filter(
+        spark_hash64(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 100 < 10
+    )
+    return sampled.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("first_doc"),
+        F.sum("n_chars").cast("long").alias("sampled_chars"),
+    )
+
+
+@query(
     "outer_joins",
     """
 SELECT n_name,
