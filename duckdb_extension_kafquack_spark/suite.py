@@ -409,6 +409,34 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stratified_sample",
+    """
+SELECT source,
+       COUNT(*) AS n_sampled,
+       MIN(doc_id) AS first_doc
+FROM documents
+WHERE ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+      < (CASE WHEN source = 'src0' THEN 50 ELSE 10 END)
+GROUP BY source
+""",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling rates (e.g. upsample a scarce source) with
+    hash-based reproducible membership — the data-mixing primitive for
+    corpus construction."""
+    from .functions.hashing import spark_hash64
+
+    docs = _t(spark, sf_dir)["documents"]
+    rate = F.when(F.col("source") == "src0", 50).otherwise(10)
+    h = spark_hash64(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    return (
+        docs.filter(h % 100 < rate)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+@query(
     "outer_joins",
     """
 SELECT n_name,

@@ -194,3 +194,22 @@ class TestSubscribeVariants:
         assert _subscribe_option("t", False) == ("subscribe", "t")
         assert _subscribe_option(["t1", "t2"], False) == ("subscribe", "t1,t2")
         assert _subscribe_option("t-.*", True) == ("subscribePattern", "t-.*")
+
+
+class TestTimestampBounds:
+    def test_timestamp_options_exclusive_with_offsets(self):
+        """startingTimestamp replaces startingOffsets (mutually exclusive
+        Kafka-source options); mapping tested pure — .load() needs the
+        connector jar."""
+        from duckdb_extension_kafquack_spark.sources.kafka import (
+            _offset_bound_options,
+        )
+
+        o = _offset_bound_options("batch", "earliest", "latest", None, None)
+        assert o == {"startingOffsets": "earliest", "endingOffsets": "latest"}
+        o = _offset_bound_options("batch", "earliest", "latest", 1700000000000, 1700000360000)
+        assert o == {"startingTimestamp": "1700000000000",
+                     "endingTimestamp": "1700000360000"}
+        assert "startingOffsets" not in o  # mutually exclusive
+        o = _offset_bound_options("stream", "earliest", "latest", 1700000000000, None)
+        assert o == {"startingTimestamp": "1700000000000"}  # no ending bound in stream

@@ -234,3 +234,24 @@ def test_watermark_bounds_state_and_append_emission(spark, tmp_path):
     # 3. closed-window state was evicted (bounded state)
     last = q.recentProgress[-1]["stateOperators"][0]
     assert last["numRowsTotal"] <= 1, last
+
+
+def test_stream_fan_out_consistent_sinks(spark, tmp_path):
+    """Multi-sink fan-out: each target gets exactly its predicate's rows;
+    together they partition the stream (error rows vs clean rows)."""
+    from duckdb_extension_kafquack_spark.sources.files import stream_fan_out
+    from duckdb_extension_kafquack_spark.sources.synthetic import (
+        kafka_messages_from_events,
+        synthetic_kafka_stream,
+    )
+
+    clean, errs = str(tmp_path / "clean"), str(tmp_path / "errs")
+    q = stream_fan_out(
+        synthetic_kafka_stream(spark, SF_DIR),
+        str(tmp_path / "ckpt"),
+        {clean: "error IS NULL", errs: "error IS NOT NULL"},
+    )
+    q.awaitTermination()
+    km = kafka_messages_from_events(spark, SF_DIR)
+    assert spark.read.parquet(clean).count() == km.filter("error IS NULL").count()
+    assert spark.read.parquet(errs).count() == km.filter("error IS NOT NULL").count()
