@@ -1,0 +1,127 @@
+"""Scaling probe: how the heavy operators behave as the corpus grows.
+
+Replicates the documents/embeddings fixtures k× (doc_id offset keeps
+keys unique; texts get a per-replica suffix token so replicas are
+near-dups of each other — the worst realistic case for dedup) and times
+the LSH / SimHash / quality / ANN paths at 1×, 4×, 16×.  Near-linear
+growth here is the evidence that the banded-join design has no hidden
+quadratic term; writes SCALING.md.
+
+Usage: python tools/scaling_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+
+def replicate_docs(docs: DataFrame, k: int) -> DataFrame:
+    """k near-duplicate copies of every doc, disjoint ids."""
+    n = docs.count()
+    parts = []
+    for i in range(k):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + i * n).alias("doc_id"),
+                # distinct replica marker → replicas are near- (not exact-) dups
+                F.concat(F.col("text"), F.lit(f" replica{i}")).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def replicate_embeddings(emb: DataFrame, k: int) -> DataFrame:
+    n = emb.count()
+    parts = [
+        emb.select((F.col("vec_id") + i * n).alias("vec_id"), "embedding", "label")
+        for i in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    from duckdb_extension_kafquack_spark.operators.dedup import (
+        minhash_near_duplicates,
+        simhash_signatures,
+    )
+    from duckdb_extension_kafquack_spark.operators.similarity import (
+        cosine_topk,
+        embedding_near_duplicates,
+    )
+    from duckdb_extension_kafquack_spark.operators.text import quality_scores
+    from duckdb_extension_kafquack_spark.session import get_spark, read_table
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = read_table(spark, sf_dir, "documents")
+    emb0 = read_table(spark, sf_dir, "embeddings")
+    quality_scores(docs0).write.format("noop").mode("overwrite").save()  # warmup
+
+    results: dict[str, dict[int, float]] = {}
+
+    def bench(name: str, k: int, df: DataFrame) -> None:
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        results.setdefault(name, {})[k] = round(time.time() - t0, 2)
+
+    for k in (1, 4, 16):
+        docs = replicate_docs(docs0, k).localCheckpoint()
+        bench("quality_scores", k, quality_scores(docs))
+        bench("minhash_lsh_dedup", k, minhash_near_duplicates(docs))
+        bench("simhash_signatures", k, simhash_signatures(docs))
+        emb = replicate_embeddings(emb0, k).localCheckpoint()
+        queries = emb.filter(F.col("vec_id") % 500 == 0)
+        bench("ann_cosine_topk", k, cosine_topk(emb, queries))
+        if k <= 4:  # exact all-pairs is the documented ≤broadcast-size baseline
+            bench("embedding_near_dup", k, embedding_near_duplicates(emb))
+        print(f"k={k}: " + ", ".join(f"{n}={t[k]}s" for n, t in results.items() if k in t))
+
+    n_docs = docs0.count()
+    n_emb = emb0.count()
+    lines = [
+        "# SCALING — heavy operators vs corpus replication",
+        "",
+        f"Base: `{sf_dir}` ({n_docs} docs, {n_emb} vectors), replicated k× as",
+        "near-duplicates (worst case for dedup: every replica group is a",
+        "real near-dup cluster).  local[32]; times in seconds (single run,",
+        "~±20% scheduler noise).  The question is the GROWTH SHAPE: banded",
+        "LSH joins and map-only scoring should scale ~linearly in rows —",
+        "a quadratic term would explode at 16×.",
+        "",
+        "| operator | 1× | 4× | 16× | 16×/1× ratio |",
+        "|---|---|---|---|---|",
+    ]
+    for name, t in results.items():
+        r16 = f"{t[16] / t[1]:.1f}×" if 16 in t and t[1] else "—"
+        lines.append(
+            f"| {name} | {t.get(1, '—')} | {t.get(4, '—')} | {t.get(16, '—')} | {r16} |"
+        )
+    lines += [
+        "",
+        "`embedding_near_dup` (exact all-pairs) is intentionally limited to",
+        "≤4× here — it is the documented broadcast-size baseline; beyond",
+        "that the SRP-blocked variant replaces it (same plan shape as the",
+        "LSH rows above).",
+    ]
+    with open("/root/repo/SCALING.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote SCALING.md")
+
+
+if __name__ == "__main__":
+    main()
