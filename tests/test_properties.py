@@ -172,3 +172,48 @@ def test_interval_join_equals_naive(spark, left, right):
     assert {(r.lid, r.rid) for r in naive.collect()} == {
         (r.lid, r.rid) for r in bucketed.collect()
     }
+
+
+doc_texts = st.lists(
+    st.text(alphabet="abcd ", min_size=1, max_size=30).map(str.strip).filter(bool),
+    min_size=2,
+    max_size=8,
+)
+
+
+@SLOW
+@given(texts=doc_texts)
+def test_minhash_always_finds_exact_duplicates(spark, texts):
+    """Guarantee (not lottery): an exact duplicate has identical shingle
+    sets → identical minhashes → collides in EVERY band → the pair is
+    always emitted with jaccard 1.0."""
+    from duckdb_extension_kafquack_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    dup_id = len(rows)
+    rows.append((dup_id, texts[0]))  # exact dup of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.doc1, r.doc2): r.jaccard for r in minhash_near_duplicates(df).collect()}
+    assert pairs.get((0, dup_id)) == 1.0
+
+
+def test_operators_handle_empty_input(spark):
+    """Every core operator returns an empty result (not an error) on an
+    empty table — the behavior composed pipelines rely on."""
+    from duckdb_extension_kafquack_spark.operators.dedup import (
+        exact_duplicates,
+        minhash_near_duplicates,
+        simhash_signatures,
+    )
+    from duckdb_extension_kafquack_spark.operators.text import (
+        fingerprints,
+        quality_scores,
+        vocabulary,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string, source string, n_chars long")
+    for op in (exact_duplicates, minhash_near_duplicates, simhash_signatures,
+               quality_scores, fingerprints, vocabulary):
+        assert op(empty).count() == 0, op.__name__
