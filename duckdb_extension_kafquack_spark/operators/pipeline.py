@@ -70,3 +70,56 @@ GROUP BY d.source
 @query("corpus_curation", _DUCK_CURATE)
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate(load_tables(spark, sf_dir)["documents"])
+
+
+def _duck_ensemble_sql() -> str:
+    from .similarity import _DUCK_COS_AC, NEAR_DUP_COSINE
+
+    return f"""
+WITH text_pairs AS (
+  SELECT doc1 AS id1, doc2 AS id2 FROM ({_duck_minhash_sql()})
+), emb_pairs AS (
+  SELECT a.vec_id AS id1, c.vec_id AS id2
+  FROM embeddings a JOIN embeddings c ON a.vec_id < c.vec_id
+  WHERE {_DUCK_COS_AC} >= {NEAR_DUP_COSINE}
+), unioned AS (
+  SELECT id1, id2, 1 AS from_text, 0 AS from_embedding FROM text_pairs
+  UNION ALL
+  SELECT id1, id2, 0 AS from_text, 1 AS from_embedding FROM emb_pairs
+)
+SELECT id1, id2,
+       CAST(MAX(from_text) AS INTEGER) AS from_text,
+       CAST(MAX(from_embedding) AS INTEGER) AS from_embedding
+FROM unioned GROUP BY id1, id2
+"""
+
+
+@query("dedup_ensemble", _duck_ensemble_sql())
+def dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble near-dup candidates: the union of the lexical signal
+    (MinHash-LSH over shingles) and the semantic signal (embedding
+    cosine), tagged per source — the production pattern where neither
+    signal alone has full recall.  Both branches reuse their operators
+    unchanged; one groupBy merges the verdicts."""
+    from pyspark.sql import functions as F
+
+    from .similarity import embedding_near_duplicates
+
+    t = load_tables(spark, sf_dir)
+    text_pairs = minhash_near_duplicates(t["documents"]).select(
+        F.col("doc1").alias("id1"),
+        F.col("doc2").alias("id2"),
+        F.lit(1).alias("from_text"),
+        F.lit(0).alias("from_embedding"),
+    )
+    emb_pairs = embedding_near_duplicates(t["embeddings"]).select(
+        "id1", "id2", F.lit(0).alias("from_text"), F.lit(1).alias("from_embedding")
+    )
+    return (
+        text_pairs.unionByName(emb_pairs)
+        .groupBy("id1", "id2")
+        .agg(
+            F.max("from_text").cast("int").alias("from_text"),
+            F.max("from_embedding").cast("int").alias("from_embedding"),
+        )
+    )
