@@ -60,9 +60,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = suite.REGISTRY[name]
-        t0 = time.time()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: steady-state plan cost, not scheduler noise
+            t0 = time.time()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
