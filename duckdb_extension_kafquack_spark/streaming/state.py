@@ -123,6 +123,52 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table("stateful_user_stats")
 
 
+@query(
+    "streaming_kafka_topic_stats",
+    """
+SELECT CAST(user_id % 4 AS INTEGER) AS "partition",
+       time_bucket(INTERVAL '6 hours', ts) AS window_start,
+       COUNT(*) AS n_messages,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       MAX(event_id) AS max_offset
+FROM events
+WHERE event_id % 101 <> 0 AND event_id % 97 <> 0
+GROUP BY 1, 2
+""",
+)
+def streaming_kafka_topic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole deployment, streaming-native: kafka-shaped
+    source → error-row filter → JSON payload decode → event-time windowed
+    aggregation per partition — `SELECT ... FROM kafka_consumer(...)`
+    upgraded to an unbounded windowed query.  Null-timestamp rows (the
+    reference's broker-sent-no-timestamp case) are excluded by the
+    event-time window itself — the oracle mirrors that."""
+    from ..sources.synthetic import synthetic_kafka_stream
+
+    km = synthetic_kafka_stream(spark, sf_dir)
+    parsed = (
+        km.filter(F.col("error").isNull() & F.col("timestamp").isNotNull())
+        .withColumn("k", F.get_json_object("value", "$.k").cast("int"))
+        .withWatermark("timestamp", "1 day")
+    )
+    agg = parsed.groupBy(
+        F.col("partition"), F.window("timestamp", "6 hours").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_messages"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.max("offset").alias("max_offset"),
+    )
+    out = agg.select(
+        "partition",
+        F.col("w.start").alias("window_start"),
+        "n_messages",
+        "sum_k",
+        "max_offset",
+    )
+    run_stream_to_table(out, "kafka_topic_stats", "complete")
+    return spark.table("kafka_topic_stats")
+
+
 def dedup_within_watermark(kafka_stream: DataFrame, delay: str = "1 hour") -> DataFrame:
     """Effectively-once within the watermark horizon: drop replays of the
     same (topic, partition, offset) — bounded state, unlike a global
