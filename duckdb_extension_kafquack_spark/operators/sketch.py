@@ -1,0 +1,119 @@
+"""Count-min sketch: sublinear frequency estimation, Spark-first.
+
+The classic streaming sketch as a distributed aggregation: d hash rows ×
+w buckets of counters built in ONE groupBy over the exploded token
+stream (the sketch is a tiny (d·w)-row table regardless of corpus
+size — THE point at 100 TB: frequency queries against d·w counters, not
+a billion-row group-by).  Estimates are the min over the d counters a
+key hashes to; overestimation-only by construction.
+
+Hashes are the cross-engine md5 family (functions/hashing.py), so the
+DuckDB oracle reproduces the sketch — and therefore every estimate —
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duck_hash64, spark_hash64
+from ..session import load_tables
+from ..suite import query
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _token_stream(docs: DataFrame) -> DataFrame:
+    """(tok) with repetition — the multiset the sketch summarizes."""
+    return docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok")
+    )
+
+
+def cms_build(items: DataFrame, col: str = "tok", depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """The sketch: (row, bucket, counter) with depth·width rows total.
+    One explode (d per item) + one groupBy — partial aggregation does
+    ~everything map-side since the key space is d·w."""
+    rows = [
+        F.struct(
+            F.lit(d).alias("row"),
+            (spark_hash64(F.col(col), 1000 + d) % width).cast("int").alias("bucket"),
+        )
+        for d in range(depth)
+    ]
+    return (
+        items.select(F.explode(F.array(*rows)).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, col: str = "tok",
+                 depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Point estimates: min over the d counters each key hashes into.
+    The keys side is small (a query set) → broadcast join against the
+    tiny sketch."""
+    rows = [
+        F.struct(
+            F.lit(d).alias("row"),
+            (spark_hash64(F.col(col), 1000 + d) % width).cast("int").alias("bucket"),
+        )
+        for d in range(depth)
+    ]
+    key_buckets = keys.select(
+        col, F.explode(F.array(*rows)).alias("rb")
+    ).select(col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        key_buckets.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(col)
+        .agg(F.min("counter").alias("cms_estimate"))
+    )
+
+
+def _duck_cms_sql() -> str:
+    hash_rows = "\nUNION ALL\n".join(
+        f"SELECT tok, {d} AS row, CAST({duck_hash64('tok', 1000 + d)} % {CMS_WIDTH} AS INTEGER) AS bucket FROM toks"
+        for d in range(CMS_DEPTH)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+), hashed AS (
+{hash_rows}
+), sketch AS (
+  SELECT row, bucket, COUNT(*) AS counter FROM hashed GROUP BY row, bucket
+), exact AS (
+  SELECT tok, COUNT(*) AS exact_count FROM toks GROUP BY tok
+), key_buckets AS (
+  SELECT DISTINCT tok, row, bucket FROM hashed
+), est AS (
+  SELECT kb.tok, MIN(s.counter) AS cms_estimate
+  FROM key_buckets kb JOIN sketch s USING (row, bucket)
+  GROUP BY kb.tok
+)
+SELECT e.tok, x.exact_count, e.cms_estimate,
+       CAST(e.cms_estimate - x.exact_count AS BIGINT) AS overestimate
+FROM est e JOIN exact x USING (tok)
+"""
+
+
+@query("cms_frequency_estimates", _duck_cms_sql())
+def cms_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch every token's frequency and compare to the exact count —
+    overestimate ≥ 0 always (CMS guarantee), exact for heavy hitters at
+    this width."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    stream = _token_stream(docs)
+    sketch = cms_build(stream)
+    keys = stream.distinct()
+    est = cms_estimate(sketch, keys)
+    exact = stream.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    return exact.join(est, "tok").select(
+        "tok",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).cast("long").alias("overestimate"),
+    )

@@ -3,6 +3,8 @@
 import pytest
 from pyspark.sql import functions as F
 
+import duckdb_extension_kafquack_spark.operators  # noqa: F401 — registers suite queries
+
 from tests.conftest import SF_DIR
 
 
@@ -275,3 +277,15 @@ class TestIntervalJoin:
         a = {(r.pid, r.sid) for r in naive.collect()}
         b = {(r.pid, r.sid) for r in bucketed.collect()}
         assert a == b and len(a) > 0
+
+
+class TestCountMinSketch:
+    def test_overestimate_only_and_heavy_hitters_exact(self, spark, tables):
+        from duckdb_extension_kafquack_spark.suite import REGISTRY
+
+        rows = REGISTRY["cms_frequency_estimates"].fn(spark, "/root/testdata/sf0.001").collect()
+        assert all(r.overestimate >= 0 for r in rows)  # CMS never undercounts
+        assert all(r.cms_estimate >= r.exact_count for r in rows)
+        # with width >> distinct tokens, most estimates are exact
+        exact_frac = sum(1 for r in rows if r.overestimate == 0) / len(rows)
+        assert exact_frac >= 0.5, exact_frac
