@@ -291,91 +291,104 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries)
 
 
+NEAR_DUP_BLOCKS = 8  # block-pair tiling factor for the exact all-pairs scan
+
+
 def embedding_near_duplicates(
-    embeddings: DataFrame, threshold: float = NEAR_DUP_COSINE, *, blocked: bool = False
+    embeddings: DataFrame,
+    threshold: float = NEAR_DUP_COSINE,
+    *,
+    n_blocks: int = NEAR_DUP_BLOCKS,
 ) -> DataFrame:
-    """Near-dup pairs (cosine ≥ threshold) — the embedding-space analogue
-    of MinHash-LSH dedup.
+    """Exact near-dup pairs (cosine ≥ threshold) — the embedding-space
+    analogue of MinHash-LSH dedup.
 
-    Physical strategy: the normalized corpus matrix is broadcast and
-    each partition scores its rows against it with one BLAS matmul
-    (Arrow-batched ``mapInPandas``) — no pair rows ever shuffle, the
-    2M-pair cross product exists only inside numpy.  This is the exact
-    baseline for corpora that fit a broadcast (≤ ~1M×64); beyond that,
-    set ``blocked=True`` to restrict candidates to SRP buckets first
-    (keyed self-join, linear state — the 100 TB path; the fixture's
-    near-dup pairs sit at cosine ≈0.45-0.51 where 8-bit SRP recall is
-    poor, so the oracle-checked default is exact).
+    Physical strategy: block-pair tiling of the all-pairs comparison.
+    The corpus is hashed into ``n_blocks`` blocks; every unordered block
+    pair (i ≤ j) becomes one shuffle group holding the two blocks' rows,
+    and each group scores only its own |blk_i|×|blk_j| tile.  Both sides
+    reach the tile through ordinary equi-joins on (i, j), so the plan is
+    fully distributed: no driver-side collect of the corpus, no
+    whole-corpus broadcast, and replication is bounded at (n_blocks+1)/2
+    copies per row.  At 100 TB, ``n_blocks`` grows with corpus size so a
+    tile stays executor-sized; the O(n²) comparison work is inherent to
+    exact low-threshold near-dup (the fixture's pairs sit at cosine
+    ≈0.45-0.51, where SRP-LSH recall is poor — LSH stays the *approximate*
+    path via :func:`lsh_topk`).
+
+    Two stages keep it both BLAS-fast and oracle-exact:
+
+    1. *Candidate generation*: each tile group (the two blocks' rows,
+       Arrow-batched into ``applyInPandas``) runs ONE numpy matmul and
+       emits only the id pairs whose numpy cosine clears
+       ``threshold − slack`` — the |blk_i|×|blk_j| cross product exists
+       only inside BLAS, and only ids (not vectors) leave the stage.
+    2. *Exact re-score*: the few candidates join back to the corpus and
+       are scored with the JVM ``zip_with``/``aggregate`` fold —
+       bit-identical to DuckDB's ``list_dot_product`` (products commute
+       and the sum order is fixed, so it is symmetric in its arguments).
+       The final ``≥ threshold`` filter happens on THAT value, so
+       numpy's different accumulation order (off by ~1e-15, far inside
+       the slack) never decides membership and the emitted ``cos_sim``
+       hash-matches the oracle UNROUNDED — no round-half tie risk.
     """
-    import numpy as np
-
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
-    if blocked:
-        b = embeddings.select(
-            "vec_id", "embedding", srp_bucket("embedding").alias("bucket")
-        )
-        a, c = b.alias("a"), b.alias("c")
-        return (
-            a.join(
-                c,
-                (F.col("a.bucket") == F.col("c.bucket"))
-                & (F.col("a.vec_id") < F.col("c.vec_id")),
-            )
-            .select(
-                F.col("a.vec_id").alias("id1"),
-                F.col("c.vec_id").alias("id2"),
-                cosine_similarity(F.col("a.embedding"), F.col("c.embedding")).alias("cos"),
-            )
-            .filter(F.col("cos") >= threshold)
-            .select("id1", "id2", F.col("cos").alias("cos_sim"))
-        )
-
     spark = embeddings.sparkSession
-    pdf = embeddings.select("vec_id", "embedding").toPandas()
-    corpus_ids = pdf["vec_id"].to_numpy()
-    corpus = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-    corpus_norms = np.linalg.norm(corpus, axis=1)
-    b_ids = spark.sparkContext.broadcast(corpus_ids)
-    b_mat = spark.sparkContext.broadcast(corpus)
-    b_norms = spark.sparkContext.broadcast(corpus_norms)
-
-    out_schema = StructType(
-        [
-            StructField("id1", LongType(), False),
-            StructField("id2", LongType(), False),
-            StructField("cos_sim", DoubleType(), False),
-        ]
+    slack = 1e-9
+    blocks = embeddings.select(
+        "vec_id", "embedding", (F.col("vec_id") % n_blocks).cast("int").alias("blk")
     )
+    tile_rows = [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j]
+    n_tiles = len(tile_rows)
+    tiles = spark.createDataFrame(tile_rows, "i int, j int")
+    side_a = blocks.join(F.broadcast(tiles), F.col("blk") == F.col("i")).select(
+        "i", "j", F.lit(0).alias("side"), "vec_id", "embedding"
+    )
+    side_c = blocks.join(F.broadcast(tiles), F.col("blk") == F.col("j")).select(
+        "i", "j", F.lit(1).alias("side"), "vec_id", "embedding"
+    )
+    # pin the tile partitioning explicitly: the input is small in BYTES
+    # but each tile is quadratic in COMPUTE — AQE coalesces by byte size
+    # and would funnel every tile into one task
+    tiled = side_a.unionByName(side_c).repartition(n_tiles, "i", "j")
 
-    def score(batches):
+    def find_candidates(key, pdf):
+        import numpy as np
         import pandas as pd
 
-        for part in batches:
-            if len(part) == 0:
-                continue
-            ids = part["vec_id"].to_numpy()
-            vecs = np.vstack(part["embedding"].to_numpy()).astype(np.float64)
-            # (v·w)/(|v||w|) — same operation order as the SQL oracle
-            sims = (vecs @ b_mat.value.T) / np.outer(
-                np.linalg.norm(vecs, axis=1), b_norms.value
-            )
-            rows, cols = np.nonzero(sims >= threshold)
-            keep = ids[rows] < b_ids.value[cols]
-            yield pd.DataFrame(
-                {
-                    "id1": ids[rows][keep],
-                    "id2": b_ids.value[cols][keep],
-                    "cos_sim": np.round(sims[rows, cols][keep], 4),
-                }
-            )
+        i, j = key
+        a = pdf[pdf["side"] == 0]
+        a_ids = a["vec_id"].to_numpy()
+        a_mat = np.vstack(a["embedding"].to_numpy()).astype(np.float64)
+        a_sims = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+        if i == j:  # diagonal: both sides are the same block
+            sims = a_sims @ a_sims.T
+            r, c = np.nonzero(np.triu(sims >= threshold - slack, k=1))
+            id1, id2 = a_ids[r], a_ids[c]
+        else:
+            c_rows = pdf[pdf["side"] == 1]
+            c_ids = c_rows["vec_id"].to_numpy()
+            c_mat = np.vstack(c_rows["embedding"].to_numpy()).astype(np.float64)
+            sims = a_sims @ (c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)).T
+            r, c = np.nonzero(sims >= threshold - slack)
+            id1, id2 = a_ids[r], c_ids[c]
+        lo, hi = np.minimum(id1, id2), np.maximum(id1, id2)
+        return pd.DataFrame({"id1": lo, "id2": hi})
 
-    return embeddings.select("vec_id", "embedding").mapInPandas(score, out_schema)
+    cand = tiled.groupBy("i", "j").applyInPandas(find_candidates, "id1 long, id2 long")
+    e1 = embeddings.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("emb1"))
+    e2 = embeddings.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("emb2"))
+    # candidates are small by construction → two broadcast joins fetch
+    # their vectors off corpus scans, no corpus shuffle
+    with_e1 = e1.join(F.broadcast(cand), "id1")
+    return (
+        e2.join(F.broadcast(with_e1), "id2")
+        .select(
+            "id1",
+            "id2",
+            cosine_similarity(F.col("emb1"), F.col("emb2")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 _DUCK_COS_AC = (
@@ -388,7 +401,7 @@ _DUCK_COS_AC = (
 @query(
     "dedup_embedding_cosine",
     f"""
-SELECT a.vec_id AS id1, c.vec_id AS id2, ROUND({_DUCK_COS_AC}, 4) AS cos_sim
+SELECT a.vec_id AS id1, c.vec_id AS id2, {_DUCK_COS_AC} AS cos_sim
 FROM embeddings a JOIN embeddings c ON a.vec_id < c.vec_id
 WHERE {_DUCK_COS_AC} >= {NEAR_DUP_COSINE}
 """,

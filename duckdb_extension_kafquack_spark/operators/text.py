@@ -227,16 +227,22 @@ VOCAB_TOP_K = 50
 
 def vocabulary(docs: DataFrame, top_k: int = VOCAB_TOP_K) -> DataFrame:
     """Corpus vocabulary: token frequency + document frequency, top-k by
-    count (ties broken lexically) — the tokenizer-training input."""
+    count (ties broken lexically) — the tokenizer-training input.
+
+    Two-phase top-k: ``orderBy().limit(k)`` plans as
+    TakeOrderedAndProject (per-partition partial top-k, then a k-row
+    merge on the driver-side reduce) — the full vocabulary never
+    funnels through one reducer.  Only the ≤k survivors see the
+    unpartitioned ranking window, which is O(k)."""
     toks = docs.select("doc_id", F.explode(_tok_col()).alias("tok"))
     stats = toks.groupBy("tok").agg(
         F.count(F.lit(1)).alias("tf"),
         F.countDistinct("doc_id").alias("df"),
     )
+    top = stats.orderBy(F.col("tf").desc(), F.col("tok")).limit(top_k)
     w = Window.orderBy(F.col("tf").desc(), F.col("tok"))
     return (
-        stats.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "tok", "tf", "df")
     )
 

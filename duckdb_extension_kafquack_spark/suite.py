@@ -682,16 +682,40 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_RSD = 0.01
+
+
+@query(
+    "approx_distinct",
+    f"""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(*) AS n,
+       TRUE AS within_error
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL sketches differ between engines → rows-only check (no oracle)."""
+    """HLL sketches differ between engines, so the estimate itself can't
+    hash-match; instead the oracle checks a BOUNDED-ERROR invariant:
+    |approx − exact| ≤ 5·rsd·exact, emitted as a boolean column that the
+    driver's value hash covers (oracle side is literal TRUE — any group
+    out of bound hash-mismatches and fails the gate)."""
     li = _t(spark, sf_dir)["lineitem"]
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_partkey", APPROX_RSD).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count(F.lit(1)).alias("n"),
+    ).select(
+        "l_returnflag",
+        "exact_parts",
+        "n",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 5 * APPROX_RSD * F.col("exact_parts")
+        ).alias("within_error"),
     )
-
-
-REGISTRY["approx_distinct"] = Query(approx_distinct, None)
 
 
 # ---------------------------------------------------------------------------
