@@ -21,8 +21,8 @@ express the semantics (and then as Arrow-batched pandas UDFs).
 """
 
 from .session import get_spark, load_tables
-from .sources.kafka import kafka_consumer, register
+from .sources.kafka import kafka_consumer, register, register_topic_view
 
-__all__ = ["get_spark", "load_tables", "kafka_consumer", "register"]
+__all__ = ["get_spark", "load_tables", "kafka_consumer", "register", "register_topic_view"]
 
 __version__ = "0.1.0"

@@ -435,7 +435,7 @@ FROM sigs GROUP BY simhash HAVING COUNT(*) > 1
 @query("dedup_simhash", _duck_simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash buckets with >1 doc — near-dup clusters at Hamming distance 0
-    on a 16-bit majority signature."""
+    on the 60-bit majority signature (SIMHASH_BITS)."""
     docs = load_tables(spark, sf_dir)["documents"]
     sigs = simhash_signatures(docs)
     return (
@@ -446,19 +446,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_HAMMING_MAX = 1
-_SIMHASH_BLOCKS = 4  # 16 bits → 4 blocks of 4; Hamming≤1 ⇒ ≥3 blocks equal
+_SIMHASH_BLOCKS = 4  # 60 bits → 4 blocks of 15; Hamming≤1 ⇒ ≥3 blocks equal
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = SIMHASH_HAMMING_MAX) -> DataFrame:
     """SimHash near-dup pairs at Hamming distance ≤ ``max_hamming``.
 
-    Pigeonhole banding: split the 16-bit signature into 4 blocks of 4
-    bits — a pair within Hamming 1 agrees on ≥3 blocks, so candidates
-    are pairs sharing any (block_id, block_value, other-3-blocks) key…
-    simplified to the standard scheme: band on each single block's
-    *complement* (the 12 remaining bits); exact ``bit_count(xor)``
-    verifies.  Self-join keys are (block_id, 12-bit value) — uniform,
-    no cross product.
+    Pigeonhole banding: split the 60-bit signature into 4 blocks of 15
+    bits — a pair within Hamming 1 differs in at most one block, so it
+    agrees exactly on at least 3 blocks' *complement*.  Band on each
+    single block's complement (the 45 remaining bits); exact
+    ``bit_count(xor)`` verifies.  Self-join keys are (block_id, 45-bit
+    value) — uniform, no cross product.
     """
     sigs = simhash_signatures(docs)
     bands = []
@@ -548,20 +547,23 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _char_shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:
     """Distinct (doc_id, shingle) with character n-grams — JVM-side
-    sequence+transform, no Python."""
-    return (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(f"transform(sequence(1, length(text) - {n - 1}), i -> substr(text, i, {n}))")
-            ).alias("sh"),
-        )
-        .distinct()
+    sequence+transform, no Python.
+
+    Docs shorter than ``n`` chars are their own single shingle: without
+    the guard Spark's ``sequence(1, length-{n-1})`` would produce a
+    DESCENDING sequence (step −1) and bogus substr shingles while the
+    DuckDB oracle's ``range`` yields an empty list — a cross-engine
+    divergence on short documents.  Mirrors the word-shingle CASE."""
+    shingles = (
+        f"CASE WHEN length(text) >= {n} THEN "
+        f"transform(sequence(1, length(text) - {n - 1}), i -> substr(text, i, {n})) "
+        f"ELSE array(text) END"
     )
+    return docs.select("doc_id", F.explode(F.expr(shingles)).alias("sh")).distinct()
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = NGRAM_THRESHOLD) -> DataFrame:
-    """Char-3-gram Jaccard with MinHash blocking (4 hashes, 2 bands of 2):
+    """Char-5-gram Jaccard with MinHash blocking (8 hashes, 2 bands of 4):
     candidates from band buckets, exact shingle-Jaccard verify.
 
     The char-shingle relation is ~40× the corpus — persist it (it feeds
@@ -611,7 +613,9 @@ def _duck_ngram_sql(threshold: float = NGRAM_THRESHOLD) -> str:
 WITH sh AS (
   SELECT DISTINCT doc_id, s.sh
   FROM documents,
-       unnest(list_transform(range(1, length(text) - {NGRAM - 2}), i -> substr(text, i, {NGRAM}))) AS s(sh)
+       unnest(CASE WHEN length(text) >= {NGRAM}
+              THEN list_transform(range(1, length(text) - {NGRAM - 2}), i -> substr(text, i, {NGRAM}))
+              ELSE [text] END) AS s(sh)
 ), mh AS (
   SELECT doc_id,
          {mh_cols}

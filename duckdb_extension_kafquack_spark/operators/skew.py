@@ -91,7 +91,14 @@ def salted_join(
     side is mid-plan): salt the skewed side, explode the small side
     ``salt_buckets``× so every (key, salt) partition finds its match.
     Use only when the small side really is small — the explode is a
-    deliberate salt_buckets× duplication."""
+    deliberate salt_buckets× duplication.
+
+    The salt here derives from ``monotonically_increasing_id()``, which
+    depends on the physical partitioning: a task RETRY or a different
+    upstream partitioning assigns different salts.  The JOIN RESULT is
+    unaffected (every salt value finds its exploded match — salting only
+    routes rows), but plans that additionally branch on ``__salt`` or
+    persist it would not be retry-stable; keep the salt internal."""
     salted = skewed.withColumn(
         "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
     )

@@ -72,9 +72,15 @@ def stream_fan_out(
 
     ``sinks`` maps target path → filter expression (SQL string; "true"
     for all rows).  The batch DataFrame is persisted once so the N sink
-    writes share a single evaluation of the upstream plan; the batch id
-    + checkpoint give per-batch atomicity across the fan-out (all sinks
-    see the same offsets or none).
+    writes share a single evaluation of the upstream plan.
+
+    Delivery is AT-LEAST-ONCE, not atomic across sinks: plain append
+    writes are not transactional, so a failure after sink 1's write
+    replays the whole batch on restart and duplicates rows in sinks that
+    already committed.  For exactly-once, make the writes idempotent by
+    batch id — e.g. ``.partitionBy("batch_id")`` with dynamic-partition
+    ``overwrite`` (replaying batch N then rewrites, not re-appends, its
+    partition), or a transactional table format.
     """
 
     def write_all(batch_df: DataFrame, batch_id: int) -> None:

@@ -89,8 +89,15 @@ def _validate_options(
         )
         opts["kafka.security.protocol"] = security_protocol
         opts["kafka.sasl.mechanism"] = mech
+        # JAAS config is a quoted string: escape backslashes and double
+        # quotes so a credential containing either cannot break out of
+        # the quoting or inject extra options (the reference passes
+        # sasl.username/sasl.password as discrete librdkafka keys and
+        # never hits this, cpp:121-124)
+        u = username.replace("\\", "\\\\").replace('"', '\\"')
+        p = password.replace("\\", "\\\\").replace('"', '\\"')
         opts["kafka.sasl.jaas.config"] = (
-            f'{module} required username="{username}" password="{password}";'
+            f'{module} required username="{u}" password="{p}";'
         )
     return opts
 
@@ -286,15 +293,43 @@ def kafka_producer(
     return writer
 
 
+def register_topic_view(
+    spark: SparkSession,
+    view_name: str,
+    brokers: str,
+    topic: str,
+    group_id: str,
+    **kafka_params: Any,
+) -> None:
+    """SQL access path: bind a topic to a temp view, driver-side.
+
+    ``register_topic_view(spark, "t", ...)`` then ``SELECT * FROM t`` is
+    the Spark idiom for the reference's ``SELECT * FROM
+    kafka_consumer(...)`` (kafquack_extension.cpp:223-229).  The view is
+    LAZY — each SQL query against it plans a distributed Kafka scan with
+    pushdown/pruning; nothing funnels through the driver (unlike a
+    Python UDTF, which runs in an executor worker where no JVM session
+    exists and could only ever stream rows through a single process).
+    Accepts every :func:`kafka_consumer` keyword (mode, offsets,
+    security, ...).
+    """
+    kafka_consumer(spark, brokers, topic, group_id, **kafka_params).createOrReplaceTempView(
+        view_name
+    )
+
+
 def register(spark: SparkSession) -> None:
     """Expose SQL-callable names, mirroring extension load
     (kafquack_extension.cpp:207-243).
 
     The reference registers ``kafka_consumer`` but its README calls it
     ``kafquack`` (README.md:13 vs cpp:223) — we register BOTH, canonical
-    first.  Python UDTFs cannot yield streaming relations, so the SQL
-    names build a *batch* read; streaming goes through the Python API or
-    a temp view (SURVEY.md §7.4).
+    first.  The SQL names are *dispatch shims*: a Python UDTF executes
+    in an executor worker with no JVM-backed SparkSession, so it cannot
+    launch the distributed Kafka read itself (it would also funnel every
+    row through one Python process).  Calling them raises immediately
+    with the supported route — :func:`register_topic_view`, which binds
+    the same argument list to a lazily-planned temp view.
     """
     try:
         from pyspark.sql.functions import udtf  # Spark 3.5+/4.x
@@ -302,12 +337,17 @@ def register(spark: SparkSession) -> None:
         return
 
     @udtf(returnType=KAFKA_MESSAGE_SCHEMA)
-    class KafkaConsumerUDTF:  # pragma: no cover - needs a live broker
+    class KafkaConsumerUDTF:
         def eval(self, brokers: str, topic: str, group_id: str):
-            session = SparkSession.getActiveSession()
-            df = kafka_consumer(session, brokers, topic, group_id, mode="batch")
-            for row in df.toLocalIterator():
-                yield tuple(row)
+            raise NotImplementedError(
+                "kafka_consumer(...) cannot run as a SQL table function: a "
+                "Python UDTF executes on an executor without a SparkSession "
+                "and would serialize the whole topic through one process. "
+                "Bind the topic to a view instead: "
+                "register_topic_view(spark, 'msgs', brokers, topic, group_id) "
+                "then SELECT * FROM msgs."
+            )
+            yield  # pragma: no cover — makes eval a generator, never reached
 
     spark.udtf.register("kafka_consumer", KafkaConsumerUDTF)
     spark.udtf.register("kafquack", KafkaConsumerUDTF)

@@ -17,6 +17,7 @@ from duckdb_extension_kafquack_spark import (  # noqa: F401
 )
 from duckdb_extension_kafquack_spark.sources.kafka import (  # noqa: F401
     KAFKA_MESSAGE_SCHEMA,
+    register_topic_view,
     with_decode_policy,
 )
 from duckdb_extension_kafquack_spark.sources.synthetic import (  # noqa: F401
@@ -29,6 +30,7 @@ __all__ = [
     "load_tables",
     "kafka_consumer",
     "register",
+    "register_topic_view",
     "KAFKA_MESSAGE_SCHEMA",
     "with_decode_policy",
     "kafka_messages_from_events",

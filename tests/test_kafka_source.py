@@ -213,3 +213,53 @@ class TestTimestampBounds:
         assert "startingOffsets" not in o  # mutually exclusive
         o = _offset_bound_options("stream", "earliest", "latest", 1700000000000, None)
         assert o == {"startingTimestamp": "1700000000000"}  # no ending bound in stream
+
+
+class TestJaasEscaping:
+    def test_quotes_and_backslashes_escaped(self):
+        """A credential containing '"' or '\\' must not break out of the
+        JAAS quoting or inject extra options (the reference passes
+        discrete librdkafka keys, cpp:121-124, and never hits this)."""
+        opts = _validate_options("SASL_SSL", None, 'u"ser', 'pa\\ss"word;', {})
+        jaas = opts["kafka.sasl.jaas.config"]
+        assert 'username="u\\"ser"' in jaas
+        assert 'password="pa\\\\ss\\"word;"' in jaas
+
+    def test_plain_credentials_unchanged(self):
+        opts = _validate_options("SASL_SSL", None, "user", "pass", {})
+        assert 'username="user" password="pass";' in opts["kafka.sasl.jaas.config"]
+
+
+class TestSqlRegistration:
+    def test_udtf_names_registered_and_raise_with_guidance(self, spark):
+        """The SQL names exist (reference registers kafka_consumer,
+        cpp:223-229; README says kafquack) but a Python UDTF executes on
+        an executor with no SparkSession — calling one must fail fast
+        and point at register_topic_view, not hang or funnel rows."""
+        from duckdb_extension_kafquack_spark.sources.kafka import register
+
+        register(spark)
+        for name in ("kafka_consumer", "kafquack"):
+            with pytest.raises(Exception) as exc:
+                spark.sql(f"SELECT * FROM {name}('b:9092', 't', 'g')").collect()
+            assert "register_topic_view" in str(exc.value)
+
+    def test_register_topic_view_binds_lazy_view(self, spark, monkeypatch):
+        """register_topic_view is the driver-side SQL access path: it
+        binds kafka_consumer's DataFrame to a temp view (lazy —
+        per-query distributed scan, no driver funnel).  The Kafka
+        connector jar is absent here, so stub the consumer with the
+        broker-free harness and verify the SQL plumbing."""
+        import duckdb_extension_kafquack_spark.sources.kafka as kmod
+
+        def fake_consumer(sp, brokers, topic, group_id, **kw):
+            assert (brokers, topic, group_id) == ("b:9092", "events", "g1")
+            assert kw == {"mode": "batch"}
+            return kafka_messages_from_events(sp, SF_DIR)
+
+        monkeypatch.setattr(kmod, "kafka_consumer", fake_consumer)
+        kmod.register_topic_view(spark, "kafka_msgs", "b:9092", "events", "g1", mode="batch")
+        out = spark.sql(
+            "SELECT count(*) AS n FROM kafka_msgs WHERE error IS NULL"
+        ).collect()
+        assert out[0].n > 0

@@ -289,3 +289,41 @@ class TestCountMinSketch:
         # with width >> distinct tokens, most estimates are exact
         exact_frac = sum(1 for r in rows if r.overestimate == 0) / len(rows)
         assert exact_frac >= 0.5, exact_frac
+
+
+class TestShortDocShingles:
+    def test_char_shingles_short_docs_match_oracle(self, spark):
+        """Docs shorter than NGRAM chars: Spark's sequence() would go
+        DESCENDING (bogus shingles) while DuckDB's range() yields [] —
+        the CASE guard pins both engines to [text] (whole-doc shingle)."""
+        import duckdb
+
+        from duckdb_extension_kafquack_spark.operators.dedup import NGRAM, _char_shingles
+
+        docs = spark.createDataFrame(
+            [(1, "ab"), (2, "abcd"), (3, "abcde"), (4, "abcdef")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_id, r.sh) for r in _char_shingles(docs).collect()
+        }
+        assert (1, "ab") in got and (2, "abcd") in got  # whole-doc shingle
+        assert (3, "abcde") in got and len([g for g in got if g[0] == 3]) == 1
+        assert {g[1] for g in got if g[0] == 4} == {"abcde", "bcdef"}
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany(
+            "INSERT INTO documents VALUES (?, ?)",
+            [(1, "ab"), (2, "abcd"), (3, "abcde"), (4, "abcdef")],
+        )
+        duck = set(
+            con.execute(
+                f"""SELECT DISTINCT doc_id, s.sh FROM documents,
+                unnest(CASE WHEN length(text) >= {NGRAM}
+                       THEN list_transform(range(1, length(text) - {NGRAM - 2}),
+                                           i -> substr(text, i, {NGRAM}))
+                       ELSE [text] END) AS s(sh)"""
+            ).fetchall()
+        )
+        assert got == duck
