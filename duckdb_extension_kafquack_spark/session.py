@@ -59,6 +59,18 @@ def get_spark(app_name: str = "kafquack-spark", *, shuffle_partitions: int | Non
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # RocksDB state store (SURVEY §7.4): streaming state spills to
+        # local disk instead of living on the JVM heap — session windows
+        # and stateful dedup survive beyond toy state sizes.  Changelog
+        # checkpointing uploads per-batch deltas, not full snapshots.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     )
     return builder.getOrCreate()
 
@@ -70,6 +82,16 @@ def ensure_session_conf(spark: SparkSession) -> None:
     PARQUET_TYPE_ILLEGAL; both confs are runtime-settable SQLConfs)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # streaming-state confs are read at query START, so setting them on a
+    # live session covers the driver's bare SparkSession too
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -255,3 +255,70 @@ def test_stream_fan_out_consistent_sinks(spark, tmp_path):
     km = kafka_messages_from_events(spark, SF_DIR)
     assert spark.read.parquet(clean).count() == km.filter("error IS NULL").count()
     assert spark.read.parquet(errs).count() == km.filter("error IS NOT NULL").count()
+
+
+def test_checkpoint_resume_with_rocksdb_state(spark, tmp_path):
+    """Stop/resume across restarts with the RocksDB state store active
+    (SURVEY §7.4): phase 2 starts from the phase-1 checkpoint, reads ONLY
+    the newly-arrived file, and its complete-mode output equals the batch
+    aggregate over BOTH files — i.e. phase-1 state was recovered from the
+    RocksDB checkpoint, not recomputed."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    assert "RocksDBStateStoreProvider" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    shutil.copy("/root/testdata/sf0.1/events.parquet", src / "events_a.parquet")
+    schema = spark.read.parquet(str(src / "events_a.parquet")).schema
+
+    def run_once(qname):
+        ev = spark.readStream.schema(schema).parquet(str(src))
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long")))
+        agg = (
+            ev.withWatermark("ts", "30 days")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r.event_type: r.n for r in spark.table(qname).collect()}
+
+    first = run_once("rocksdb_resume_1")
+    want_a = {
+        r.event_type: r.n
+        for r in spark.read.parquet(str(src / "events_a.parquet"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert first == want_a
+
+    shutil.copy("/root/testdata/sf0.01/events.parquet", src / "events_b.parquet")
+    second = run_once("rocksdb_resume_2")
+    want_both = {
+        r.event_type: r.n
+        for r in spark.read.parquet(str(src))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert second == want_both
+
+    # the state checkpoint is really RocksDB: changelog checkpointing
+    # writes per-batch .changelog deltas (+ .zip snapshots) under state/
+    state_files = [p.name for p in (tmp_path / "ckpt" / "state").rglob("*") if p.is_file()]
+    assert any(n.endswith(".changelog") for n in state_files) or any(
+        n.endswith(".zip") for n in state_files
+    ), f"no RocksDB artifacts in state dir: {state_files[:10]}"
