@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import duck_seeded_md5, spark_seeded_md5
+from ..functions.hashing import duck_seeded_md5
 from ..session import load_tables
 from ..suite import query
 
@@ -131,20 +131,45 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
-    """doc_id + minhash_0..minhash_{k-1} over word-3-gram shingles.
+def _repartition_if_narrow(df: DataFrame) -> DataFrame:
+    """Map-only plans inherit the scan's split count — a single small
+    parquet file means ONE task no matter how many cores.  At real scale
+    the input has many splits and this is a no-op; locally it spreads
+    the per-doc signature work across the session's cores."""
+    import os
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return df.repartition(cpus) if df.rdd.getNumPartitions() < cpus else df
+
+
+def minhash_sig_sets(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, stoks, n, mh0..mh{k-1}) — per-doc distinct shingle set,
+    its size, and the MinHash signature, ALL computed map-side.
 
     MinHash via lexical min of seeded md5 digests: ``min(md5(seed||tok))``
     is the min over an (approximately) random permutation of the shingle
     universe — a valid MinHash family, and identical in any engine with
-    md5.  Single explode + single groupBy; k hashes are k agg exprs over
-    the same pass (no k-fold data blow-up).
+    md5.  ``array_min(transform(...))`` evaluates it per row: signatures
+    need NO explode and NO shuffle (the textbook explode→groupBy shape
+    shuffles the entire shingle relation just to regroup it by the doc
+    it came from).  The shingle set rides along for the later exact-
+    Jaccard verify — per-doc state, linear in corpus size.
     """
-    toks = _word_shingles(docs)
-    aggs = [
-        F.min(spark_seeded_md5(F.col("tok"), s)).alias(f"mh{s}") for s in range(num_hashes)
+    mh_cols = [
+        f"array_min(transform(stoks, t -> md5('{s}:' || t))) AS mh{s}"
+        for s in range(num_hashes)
     ]
-    return toks.groupBy("doc_id").agg(*aggs)
+    return (
+        _repartition_if_narrow(docs)
+        .selectExpr("doc_id", "filter(split(text, ' '), t -> t != '') AS toks")
+        .selectExpr("doc_id", f"array_distinct({_SPARK_SHINGLES}) AS stoks")
+        .selectExpr("doc_id", "stoks", "size(stoks) AS n", *mh_cols)
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """doc_id + minhash_0..minhash_{k-1} over word-3-gram shingles."""
+    return minhash_sig_sets(docs, num_hashes).drop("stoks", "n")
 
 
 def minhash_bands(sigs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
@@ -214,24 +239,43 @@ def minhash_near_duplicates(
     """Full MinHash-LSH near-dup pipeline: shingle → signature → bands →
     bucket join → exact-Jaccard verify ≥ threshold.
 
-    Physical shape: the shingle relation is persisted (it feeds the
-    signature pass and both sides of the intersection join — at scale
-    this is a materialized intermediate, not a recompute), and set sizes
-    ride the same groupBy as the signatures so the whole pipeline is
-    one explode + one aggregation + the two LSH joins.
+    Physical shape: signatures AND shingle sets come out of one map-only
+    pass (:func:`minhash_sig_sets`, persisted — it feeds the band join
+    and both sides of the verify).  The ONLY data-sized shuffle is the
+    banded candidate self-join; the verify joins the (small by LSH
+    construction) candidate pairs back to the persisted sig relation and
+    counts ``array_intersect`` per pair — no re-shuffle of the shingle
+    relation at all.
     """
     from pyspark import StorageLevel
 
-    toks = _word_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    aggs = [
-        F.min(spark_seeded_md5(F.col("tok"), s)).alias(f"mh{s}") for s in range(NUM_HASHES)
-    ] + [F.count(F.lit(1)).alias("n")]
-    sig_sizes = toks.groupBy("doc_id").agg(*aggs)
-    pairs = candidate_pairs(minhash_bands(sig_sizes))
-    jac = verified_jaccard(pairs, toks, sig_sizes.select("doc_id", "n"))
+    sig = minhash_sig_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = candidate_pairs(minhash_bands(sig))
+    s1 = sig.select(
+        F.col("doc_id").alias("doc1"), F.col("stoks").alias("t1"), F.col("n").alias("n1")
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("doc2"), F.col("stoks").alias("t2"), F.col("n").alias("n2")
+    )
     # no rounding: the Jaccard is a single IEEE division of exact ints —
     # bit-identical in the oracle; round() only adds tie-boundary risk
-    return jac.filter(F.col("jaccard") >= threshold).select("doc1", "doc2", "jaccard")
+    return (
+        s1.join(F.broadcast(pairs), "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.size(F.array_intersect("t1", "t2")).alias("icnt"),
+            "n1",
+            "n2",
+        )
+        .select(
+            "doc1",
+            "doc2",
+            (F.col("icnt") / (F.col("n1") + F.col("n2") - F.col("icnt"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def _duck_minhash_sql(threshold: float = JACCARD_THRESHOLD) -> str:
@@ -382,25 +426,57 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
-    """Per-doc SimHash: bit i is the majority vote of bit i across token
-    hashes.  One explode + one groupBy with ``bits`` conditional sums —
-    stays in whole-stage codegen, no UDF."""
-    toks = _tokens(docs)
-    from ..functions.hashing import spark_hash64
+_SIMHASH_LANE_BITS = 20  # 3 counters per long; cap 2^20-1 distinct tokens/doc
+_SIMHASH_LANES_PER_WORD = 64 // _SIMHASH_LANE_BITS
 
-    h = spark_hash64(F.col("tok"))
-    toks = toks.select("doc_id", h.alias("h"))
-    bit_sums = [
-        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{i}")
+
+def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash: bit i is the majority vote of bit i across
+    (distinct) token hashes.
+
+    Two scale choices vs the textbook formulation:
+
+    * token dedup is ``array_distinct`` per row (map-side) instead of a
+      global ``distinct`` — one shuffle (the doc groupBy), not two;
+    * the ``bits`` per-bit counters are PACKED 3-per-long into 20-bit
+      lanes, so the aggregate carries bits/3 longs of state instead of
+      ``bits`` — summing lanes never carries across as long as a doc has
+      < 2^20 distinct tokens (≈1M; far beyond any real document).
+      Majority of bit i is then ``2·ones_i > n`` — identical to the
+      sign-of-±1-sum form the DuckDB oracle keeps (ties, n even with
+      ones = n/2, fall to 0 in both).
+
+    All expression-level — whole-stage codegen, no UDF.  The wide
+    expressions are generated as SQL STRINGS (one ``F.expr`` / JVM parse
+    each): building them as PySpark Column operator trees costs ~1.5 s of
+    driver-side Py4J round-trips PER QUERY CONSTRUCTION — more than the
+    cluster-side execution itself."""
+    from ..functions.hashing import HEX_CHARS
+
+    lpw, lane_bits = _SIMHASH_LANES_PER_WORD, _SIMHASH_LANE_BITS
+    toks = docs.selectExpr(
+        "doc_id", "explode(array_distinct(filter(split(text, ' '), t -> t != ''))) AS tok"
+    )
+    hashed = toks.selectExpr(
+        "doc_id", f"CAST(conv(substring(md5(tok), 1, {HEX_CHARS}), 16, 10) AS BIGINT) AS h"
+    )
+    n_words = (bits + lpw - 1) // lpw
+    packed_sums = []
+    for w in range(n_words):
+        terms = " + ".join(
+            f"((h >> {w * lpw + lane}) & 1) * {1 << (lane * lane_bits)}"
+            for lane in range(lpw)
+            if w * lpw + lane < bits
+        )
+        packed_sums.append(F.expr(f"SUM({terms}) AS p{w}"))
+    sums = hashed.groupBy("doc_id").agg(*packed_sums, F.expr("COUNT(*) AS nt"))
+
+    lane_mask = (1 << lane_bits) - 1
+    sig_terms = " + ".join(
+        f"IF(((p{i // lpw} >> {(i % lpw) * lane_bits}) & {lane_mask}) * 2 > nt, {1 << i}L, 0L)"
         for i in range(bits)
-    ]
-    sums = toks.groupBy("doc_id").agg(*bit_sums)
-    sig = None
-    for i in range(bits):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return sums.select("doc_id", sig.cast("long").alias("simhash"))
+    )
+    return sums.selectExpr("doc_id", f"CAST({sig_terms} AS BIGINT) AS simhash")
 
 
 def _duck_simhash_sql() -> str:
@@ -566,18 +642,30 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = NGRAM_THRESHOLD) -> 
     """Char-5-gram Jaccard with MinHash blocking (8 hashes, 2 bands of 4):
     candidates from band buckets, exact shingle-Jaccard verify.
 
-    The char-shingle relation is ~40× the corpus — persist it (it feeds
-    the signature pass and both sides of the intersection join) and fold
-    set sizes into the signature groupBy; recomputing it per use is the
-    difference between ~15s and ~270s at sf0.1."""
+    Same map-side shape as :func:`minhash_near_duplicates`: the distinct
+    char-shingle SET and its 8 minhashes are computed per row (no
+    explode/groupBy — the char-shingle relation is ~40× the corpus and
+    shuffling it even once dominated this operator's cost); the banded
+    candidate self-join is the only data-sized shuffle, and the verify
+    counts ``array_intersect`` per candidate pair off the persisted
+    per-doc sets."""
     from pyspark import StorageLevel
 
-    sh = _char_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    aggs = [
-        F.min(spark_seeded_md5(F.col("sh"), 100 + s)).alias(f"mh{s}")
+    shingles = (
+        f"CASE WHEN length(text) >= {NGRAM} THEN "
+        f"transform(sequence(1, length(text) - {NGRAM - 1}), i -> substr(text, i, {NGRAM})) "
+        f"ELSE array(text) END"
+    )
+    mh_cols = [
+        f"array_min(transform(stoks, t -> md5('{100 + s}:' || t))) AS mh{s}"
         for s in range(NGRAM_HASHES)
-    ] + [F.count(F.lit(1)).alias("n")]
-    sigs = sh.groupBy("doc_id").agg(*aggs)
+    ]
+    sigs = (
+        _repartition_if_narrow(docs)
+        .selectExpr("doc_id", f"array_distinct({shingles}) AS stoks")
+        .selectExpr("doc_id", "stoks", "size(stoks) AS n", *mh_cols)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     rows = NGRAM_HASHES // NGRAM_BANDS
     band_structs = [
         F.struct(
@@ -590,11 +678,31 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = NGRAM_THRESHOLD) -> 
         "doc_id", "bb.band", "bb.band_sig"
     )
     pairs = candidate_pairs(bands)
-    toks = sh.withColumnRenamed("sh", "tok")
-    jac = verified_jaccard(pairs, toks, sigs.select("doc_id", "n"))
+    s1 = sigs.select(
+        F.col("doc_id").alias("doc1"), F.col("stoks").alias("t1"), F.col("n").alias("n1")
+    )
+    s2 = sigs.select(
+        F.col("doc_id").alias("doc2"), F.col("stoks").alias("t2"), F.col("n").alias("n2")
+    )
     # no rounding: the Jaccard is a single IEEE division of exact ints —
     # bit-identical in the oracle; round() only adds tie-boundary risk
-    return jac.filter(F.col("jaccard") >= threshold).select("doc1", "doc2", "jaccard")
+    return (
+        s1.join(F.broadcast(pairs), "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.size(F.array_intersect("t1", "t2")).alias("icnt"),
+            "n1",
+            "n2",
+        )
+        .select(
+            "doc1",
+            "doc2",
+            (F.col("icnt") / (F.col("n1") + F.col("n2") - F.col("icnt"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def _duck_ngram_sql(threshold: float = NGRAM_THRESHOLD) -> str:

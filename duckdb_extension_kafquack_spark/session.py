@@ -110,18 +110,36 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_ACTIVE_VIEWS: dict[int, str] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every fixture table as a DataFrame and register temp views.
 
     Parquet scans get column pruning + predicate pushdown from Catalyst
     for free; at 100 TB the same call reads a partitioned table and
     partition pruning applies — nothing here materializes on the driver.
+
+    DataFrames are cached per (session, sf_dir): they are immutable plan
+    handles, and re-deriving them costs ~1 s of file listing + schema
+    reads per call — pure overhead when a suite runs 79 queries against
+    the same directory.  Temp views are (re-)registered whenever the
+    session's active sf_dir changes so SQL names always resolve to the
+    requested scale factor.
     """
-    out: dict[str, DataFrame] = {}
-    for name in TABLES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            df = read_table(spark, sf_dir, name)
+    ensure_session_conf(spark)
+    key = (id(spark), sf_dir)
+    cached = _TABLE_CACHE.get(key)
+    if cached is None:
+        cached = {}
+        for name in TABLES:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if os.path.exists(path):
+                cached[name] = read_table(spark, sf_dir, name)
+        _TABLE_CACHE[key] = cached
+    if _ACTIVE_VIEWS.get(id(spark)) != sf_dir:
+        for name, df in cached.items():
             df.createOrReplaceTempView(name)
-            out[name] = df
-    return out
+        _ACTIVE_VIEWS[id(spark)] = sf_dir
+    return cached

@@ -47,13 +47,20 @@ def main() -> None:
     rows = []
     for name in HEADLINE:
         q = REGISTRY[name]
-        t0 = time.time()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        spark_s = time.time() - t0
-        if q.oracle is not None:
+        # min-of-2 on BOTH engines (same policy as bench.py): steady-state
+        # plan cost, not one-shot codegen/Python-worker startup — the part
+        # that amortizes away over a real workload
+        spark_s = float("inf")
+        for _ in range(2):
             t0 = time.time()
-            con.execute(f"SELECT COUNT(*) FROM ({q.oracle})").fetchone()
-            duck_s = time.time() - t0
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            spark_s = min(spark_s, time.time() - t0)
+        if q.oracle is not None:
+            duck_s = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                con.execute(f"SELECT COUNT(*) FROM ({q.oracle})").fetchone()
+                duck_s = min(duck_s, time.time() - t0)
         else:
             duck_s = float("nan")
         rows.append((name, spark_s, duck_s))
@@ -64,13 +71,15 @@ def main() -> None:
         "",
         f"`{sf_dir}`, local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}] vs DuckDB same thread count.",
         "",
+        "Both engines timed min-of-2 (steady-state plan cost; one-shot",
+        "codegen / Python-worker startup amortizes over a real workload).",
         "DuckDB wins short queries on startup cost (no task scheduling, no",
-        "JVM boundary); that fixed ~1 s floor is what Spark trades for",
+        "JVM boundary); that fixed ~0.5-1 s floor is what Spark trades for",
         "horizontal scale — at 100 TB these plans distribute unchanged while",
         "a single node cannot grow.  Heavy operators tell the real story:",
-        "LSH dedup and BLAS near-dup run within ~1× of DuckDB's vectorized",
-        "core.  (Against the *reference* itself — a single-threaded scan",
-        "with one synchronous broker commit per message,",
+        "LSH/ngram dedup and tiled BLAS near-dup run at or below DuckDB's",
+        "vectorized core.  (Against the *reference* itself — a single-",
+        "threaded scan with one synchronous broker commit per message,",
         "kafquack_extension.cpp:63-65,199-204 — every row here wins by",
         "construction; DuckDB-at-parity is the stretch comparison.)",
         "",
