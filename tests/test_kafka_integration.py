@@ -51,3 +51,60 @@ def test_stream_drain_available_now(spark, tmp_path):
     stream = kafka_consumer(spark, BROKERS, TOPIC, "kafquack-it-stream")
     run_stream_to_table(stream, "kafka_it_drain", "append")
     assert spark.table("kafka_it_drain").count() >= 0
+
+
+@needs_broker
+def test_produce_consume_sql_produce_round_trip(spark):
+    """The reference's whole deployment, end to end against a live
+    broker (integration/README.md): produce 100 JSON messages →
+    kafka_consumer().load() → SQL over register_topic_view → produce the
+    aggregate to a second topic → re-consume and verify.  Counts use >=
+    because topics accumulate across reruns (append-only log)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_extension_kafquack_spark.sources.kafka import (
+        kafka_consumer,
+        kafka_producer,
+        register_topic_view,
+    )
+
+    topic_in, topic_out = "kafquack-it-rt-in", "kafquack-it-rt-out"
+
+    src = spark.range(100).selectExpr(
+        "CAST(id AS STRING) AS key",
+        "to_json(named_struct('k', id % 7)) AS value",
+    )
+    kafka_producer(src, BROKERS, topic_in).save()
+
+    register_topic_view(spark, "rt_msgs", BROKERS, topic_in, "kafquack-it-rt", mode="batch")
+    agg = spark.sql(
+        """SELECT get_json_object(value, '$.k') AS k, COUNT(*) AS n
+           FROM rt_msgs WHERE error IS NULL GROUP BY 1"""
+    )
+    counts = {int(r.k): r.n for r in agg.collect()}
+    assert set(counts) == set(range(7))
+    assert sum(counts.values()) >= 100
+
+    kafka_producer(
+        agg.select(F.col("k").alias("key"), F.col("n").cast("string").alias("value")),
+        BROKERS,
+        topic_out,
+    ).save()
+    back = kafka_consumer(spark, BROKERS, topic_out, "kafquack-it-rt2", mode="batch")
+    got = {int(r.key) for r in back.select("key").collect()}
+    assert got >= set(range(7))
+
+
+@needs_broker
+def test_error_column_null_on_healthy_broker(spark):
+    """Errors-are-data contract on the live path: Spark's Kafka source
+    has no per-row transport-error surface (a failed fetch fails the
+    task), so on a healthy broker every fetched row must have
+    error IS NULL and value IS NOT NULL (cpp:189-197 parity)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_extension_kafquack_spark.sources.kafka import kafka_consumer
+
+    df = kafka_consumer(spark, BROKERS, TOPIC, "kafquack-it-err", mode="batch")
+    bad = df.filter(F.col("error").isNotNull() | F.col("value").isNull())
+    assert bad.count() == 0

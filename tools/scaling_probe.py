@@ -87,8 +87,9 @@ def main() -> None:
         emb = replicate_embeddings(emb0, k).localCheckpoint()
         queries = emb.filter(F.col("vec_id") % 500 == 0)
         bench("ann_cosine_topk", k, cosine_topk(emb, queries))
-        if k <= 4:  # exact all-pairs is the documented ≤broadcast-size baseline
-            bench("embedding_near_dup", k, embedding_near_duplicates(emb))
+        # block-pair tiled exact all-pairs: O(n²) compute by design, but
+        # distributed (tiles scale with n_blocks²) — probe all k
+        bench("embedding_near_dup", k, embedding_near_duplicates(emb))
         print(f"k={k}: " + ", ".join(f"{n}={t[k]}s" for n, t in results.items() if k in t))
 
     n_docs = docs0.count()
@@ -113,10 +114,12 @@ def main() -> None:
         )
     lines += [
         "",
-        "`embedding_near_dup` (exact all-pairs) is intentionally limited to",
-        "≤4× here — it is the documented broadcast-size baseline; beyond",
-        "that the SRP-blocked variant replaces it (same plan shape as the",
-        "LSH rows above).",
+        "`embedding_near_dup` is the block-pair tiled EXACT all-pairs scan:",
+        "its work is inherently O(n²) (expect ~256× time at 16× rows), but",
+        "it is fully distributed — per-tile BLAS with only candidate ids",
+        "leaving each tile, no driver collect, no whole-corpus broadcast;",
+        "`n_blocks` grows with the corpus so a tile stays executor-sized.",
+        "The sub-quadratic rows above are the LSH paths used at scale.",
     ]
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
