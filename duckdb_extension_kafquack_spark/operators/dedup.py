@@ -434,12 +434,18 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash: bit i is the majority vote of bit i across
     (distinct) token hashes.
 
-    Two scale choices vs the textbook formulation:
+    Three scale choices vs the textbook formulation:
 
     * token dedup is ``array_distinct`` per row (map-side) instead of a
-      global ``distinct`` — one shuffle (the doc groupBy), not two;
+      global ``distinct``;
+    * the whole signature is computed MAP-SIDE with higher-order array
+      functions — ``transform`` hashes the token array once, a single
+      ``aggregate`` folds the packed bit-sums — so there is NO explode
+      and NO shuffle at all (the textbook explode→groupBy shape shuffles
+      the entire token relation just to regroup it by the doc it came
+      from; at 100 TB that shuffle IS the query cost);
     * the ``bits`` per-bit counters are PACKED 3-per-long into 20-bit
-      lanes, so the aggregate carries bits/3 longs of state instead of
+      lanes, so the fold carries bits/3 longs of state instead of
       ``bits`` — summing lanes never carries across as long as a doc has
       < 2^20 distinct tokens (≈1M; far beyond any real document).
       Majority of bit i is then ``2·ones_i > n`` — identical to the
@@ -450,33 +456,42 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     expressions are generated as SQL STRINGS (one ``F.expr`` / JVM parse
     each): building them as PySpark Column operator trees costs ~1.5 s of
     driver-side Py4J round-trips PER QUERY CONSTRUCTION — more than the
-    cluster-side execution itself."""
+    cluster-side execution itself.  The two-step select keeps the packed
+    fold as a once-referenced-per-bit alias; CollapseProject will not
+    inline a non-cheap alias referenced ``bits`` times, so the fold runs
+    once per row (pinned by tests/test_plans.py)."""
     from ..functions.hashing import HEX_CHARS
 
     lpw, lane_bits = _SIMHASH_LANES_PER_WORD, _SIMHASH_LANE_BITS
-    toks = docs.selectExpr(
-        "doc_id", "explode(array_distinct(filter(split(text, ' '), t -> t != ''))) AS tok"
-    )
-    hashed = toks.selectExpr(
-        "doc_id", f"CAST(conv(substring(md5(tok), 1, {HEX_CHARS}), 16, 10) AS BIGINT) AS h"
-    )
     n_words = (bits + lpw - 1) // lpw
-    packed_sums = []
+    upd = []
     for w in range(n_words):
+        # shiftright(): the `>>` operator does not parse inside HOF lambdas
         terms = " + ".join(
-            f"((h >> {w * lpw + lane}) & 1) * {1 << (lane * lane_bits)}"
+            f"(shiftright(h, {w * lpw + lane}) & 1) * {1 << (lane * lane_bits)}"
             for lane in range(lpw)
             if w * lpw + lane < bits
         )
-        packed_sums.append(F.expr(f"SUM({terms}) AS p{w}"))
-    sums = hashed.groupBy("doc_id").agg(*packed_sums, F.expr("COUNT(*) AS nt"))
+        upd.append(f"acc[{w}] + ({terms})")
+    upd.append(f"acc[{n_words}] + 1")  # last lane-word = distinct-token count
+    zeros = ", ".join(["0L"] * (n_words + 1))
+    ps_expr = (
+        "aggregate("
+        "transform(array_distinct(filter(split(text, ' '), t -> t != '')), "
+        f"t -> CAST(conv(substring(md5(t), 1, {HEX_CHARS}), 16, 10) AS BIGINT)), "
+        f"array({zeros}), (acc, h) -> array({', '.join(upd)}))"
+    )
 
     lane_mask = (1 << lane_bits) - 1
     sig_terms = " + ".join(
-        f"IF(((p{i // lpw} >> {(i % lpw) * lane_bits}) & {lane_mask}) * 2 > nt, {1 << i}L, 0L)"
+        f"IF(((ps[{i // lpw}] >> {(i % lpw) * lane_bits}) & {lane_mask}) * 2 > ps[{n_words}], {1 << i}L, 0L)"
         for i in range(bits)
     )
-    return sums.selectExpr("doc_id", f"CAST({sig_terms} AS BIGINT) AS simhash")
+    return (
+        _repartition_if_narrow(docs)
+        .selectExpr("doc_id", f"{ps_expr} AS ps")
+        .selectExpr("doc_id", f"CAST({sig_terms} AS BIGINT) AS simhash")
+    )
 
 
 def _duck_simhash_sql() -> str:

@@ -59,6 +59,21 @@ def test_range_join_is_broadcast_nlj_not_cartesian_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in executed_plan(df)
 
 
+def test_simhash_signatures_are_map_side(spark):
+    """The textbook simhash shape explodes every token and shuffles the
+    whole token relation through groupBy(doc_id) — at 100 TB that shuffle
+    IS the query.  Ours folds the signature per-row with HOF aggregate:
+    no Generate (explode), and the only exchanges are the narrow-input
+    spread + the final groupBy(simhash) on one long per doc."""
+    df = REGISTRY["dedup_simhash"].fn(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Generate" not in plan  # no explode anywhere
+    assert count_exchanges(df) <= 2
+    # the packed fold must appear exactly once per row: CollapseProject
+    # must not have inlined the 21-lane aggregate into the 60 bit-tests
+    assert plan.count("aggregate(transform(array_distinct") <= 1
+
+
 def test_window_specs_share_one_shuffle(spark):
     """window_funcs has two window specs over the same partition key —
     they must reuse a single exchange on o_custkey."""
