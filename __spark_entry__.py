@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from duckdb_extension_kafquack_spark import suite  # noqa: E402
 from duckdb_extension_kafquack_spark import operators  # noqa: E402,F401  (registers north-star queries)
+from duckdb_extension_kafquack_spark import tpch  # noqa: E402,F401  (registers TPC-H-shaped queries)
 from duckdb_extension_kafquack_spark import streaming  # noqa: E402,F401  (registers streaming queries)
 from duckdb_extension_kafquack_spark.functions import udf  # noqa: E402,F401  (registers UDF/UDAF/UDTF queries)
 

@@ -15,7 +15,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from duckdb_extension_kafquack_spark import operators, streaming, suite  # noqa: F401
+from duckdb_extension_kafquack_spark import operators, streaming, suite, tpch  # noqa: F401
 from duckdb_extension_kafquack_spark.session import get_spark, load_tables
 
 HEADLINE = [

@@ -7,6 +7,9 @@ at sf0.001 and fatal at scale."""
 
 from pyspark.sql import functions as F
 
+import duckdb_extension_kafquack_spark.operators  # noqa: F401 — registers suite queries
+import duckdb_extension_kafquack_spark.tpch  # noqa: F401 — registers TPC-H queries
+
 from duckdb_extension_kafquack_spark.plans import (
     count_exchanges,
     executed_plan,
@@ -57,6 +60,22 @@ def test_sort_limit_avoids_global_sort(spark):
 def test_range_join_is_broadcast_nlj_not_cartesian_shuffle(spark):
     df = REGISTRY["range_join"].fn(spark, SF_DIR)
     assert "BroadcastNestedLoopJoin" in executed_plan(df)
+
+
+def test_q8_broadcasts_all_dimensions(spark):
+    """Six dimension legs (part, supplier, nation×2, region) broadcast;
+    only orders⋈lineitem and the customer probe may shuffle."""
+    df = REGISTRY["q8_market_share"].fn(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_topn_avoids_global_sort(spark):
+    """ORDER BY revenue LIMIT 20 must be TakeOrderedAndProject — each
+    partition ships its local top 20, never a full sort exchange."""
+    df = REGISTRY["q10_returned_items"].fn(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in executed_plan(df)
 
 
 def test_simhash_signatures_are_map_side(spark):

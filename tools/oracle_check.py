@@ -70,6 +70,7 @@ def main() -> int:
     import duckdb_extension_kafquack_spark.operators  # noqa: F401 — registers north-star queries
     import duckdb_extension_kafquack_spark.streaming  # noqa: F401 — registers streaming queries
     import duckdb_extension_kafquack_spark.functions.udf  # noqa: F401 — registers UDF/UDAF/UDTF queries
+    import duckdb_extension_kafquack_spark.tpch  # noqa: F401 — registers TPC-H-shaped queries
     from duckdb_extension_kafquack_spark.session import TABLES, get_spark
     from duckdb_extension_kafquack_spark.suite import REGISTRY
 
