@@ -1,0 +1,388 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs:
+benchmark decontamination, repetition filtering (Gopher-style), PII /
+blocklist scrubbing, mixture resampling, and per-group quantile stats.
+
+Scale design (the point of each op at 100 TB):
+
+* ``contamination_check`` — the benchmark set is SMALL by construction
+  (test sets are thousands of docs, the corpus is billions), so its
+  n-gram set is aggregated once and broadcast; the corpus side is a
+  map-only ``array_intersect`` per doc.  No shuffle of the corpus, no
+  driver-side materialization (``collect_set`` runs executor-side and
+  ships with the broadcast exchange).
+* ``text_repetition`` — all Gopher-style repetition features fold
+  per-row with higher-order functions (sort + run-length scan); the only
+  shuffle is the final tiny per-language rollup.
+* ``pii_scrub`` — pure ``regexp_extract_all`` / array-filter counters;
+  map-only + tiny rollup.  Regex patterns are restricted to syntax with
+  identical semantics in Java regex (Spark) and RE2 (DuckDB oracle).
+* ``mixture_resample`` — deterministic hash-based Bernoulli sampling per
+  language (md5 bucket < rate·1000): reproducible across engines, runs,
+  and cluster sizes, unlike ``rand()``-based sampling.
+* ``quantile_stats`` — exact ``percentile`` here (oracle-checkable);
+  the 100 TB path swaps in ``approx_percentile`` with the same plan
+  shape (noted in the docstring rather than silently).
+
+Cross-engine exactness: every filter threshold compares EXACT int/int
+divisions (both engines do one IEEE division of identical integers), so
+no boundary row can flip; only order-dependent float AVGs are rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+from ..suite import query
+
+# ---------------------------------------------------------------------------
+# Contamination check (benchmark n-gram decontamination)
+# ---------------------------------------------------------------------------
+
+# 4-grams: real pipelines use 8-13; the synthetic fixture's tiny
+# vocabulary needs a shorter n for the check to exercise non-zero hits
+CONTAM_NGRAM = 4
+_BENCH_MOD = 97  # doc_id % 97 == 0 → the held-out "benchmark" slice
+
+_SPARK_TOKS = "filter(split(text, ' '), t -> t != '')"
+# guard: sequence(1, n-4) is DESCENDING when n < 5 (bogus shingles) — ADVICE r01
+_SPARK_5GRAMS = (
+    f"IF(size(toks) >= {CONTAM_NGRAM}, "
+    f"array_distinct(transform(sequence(1, size(toks) - {CONTAM_NGRAM - 1}), "
+    f"i -> concat_ws(' ', slice(toks, i, {CONTAM_NGRAM})))), "
+    "CAST(array() AS ARRAY<STRING>))"
+)
+
+
+def contamination_counts(docs: DataFrame) -> DataFrame:
+    """Per-source decontamination report: how many corpus docs share at
+    least one word-5-gram with the benchmark slice (doc_id % 97 == 0).
+
+    Plan: benchmark 5-grams → ``collect_set`` into ONE row (executor-side
+    aggregation, rows ∝ |benchmark grams|) → broadcast cross-join →
+    per-doc ``array_intersect`` map-side → per-source rollup.  The corpus
+    never shuffles; the broadcast is bounded by the benchmark size."""
+    grams = docs.selectExpr(
+        "doc_id", "source", f"{_SPARK_TOKS} AS toks"
+    ).selectExpr("doc_id", "source", f"{_SPARK_5GRAMS} AS gs")
+    bench = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("gs").alias("g"))
+        .agg(F.collect_set("g").alias("barr"))
+    )
+    corpus = grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    scored = corpus.join(F.broadcast(bench)).select(
+        "doc_id",
+        "source",
+        F.size(F.array_intersect("gs", "barr")).alias("icnt"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_checked"),
+        F.sum(F.when(F.col("icnt") > 0, 1).otherwise(0)).cast("bigint").alias(
+            "contaminated_docs"
+        ),
+        F.sum("icnt").cast("bigint").alias("contaminated_ngrams"),
+    )
+
+
+_DUCK_5GRAMS = (
+    f"CASE WHEN len(toks) >= {CONTAM_NGRAM} "
+    f"THEN list_distinct(list_transform(range(1, len(toks) - {CONTAM_NGRAM - 2}), "
+    f"i -> array_to_string(list_slice(toks, i, i + {CONTAM_NGRAM - 1}), ' '))) "
+    "ELSE [] END"
+)
+
+_DUCK_CONTAM_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id, source, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, {_DUCK_5GRAMS} AS gs FROM tokd
+), bench AS (
+  SELECT DISTINCT g FROM grams, unnest(gs) AS u(g) WHERE doc_id % {_BENCH_MOD} = 0
+), bench_arr AS (
+  SELECT list(g) AS barr FROM bench
+), scored AS (
+  -- cross join the 1-row benchmark array (DuckDB rejects subqueries
+  -- inside list-function arguments) — same shape as Spark's broadcast
+  SELECT doc_id, source, len(list_intersect(gs, barr)) AS icnt
+  FROM grams, bench_arr WHERE doc_id % {_BENCH_MOD} <> 0
+)
+SELECT source, COUNT(*) AS docs_checked,
+       CAST(SUM(CASE WHEN icnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS contaminated_docs,
+       CAST(SUM(icnt) AS BIGINT) AS contaminated_ngrams
+FROM scored GROUP BY source
+"""
+
+
+@query("contamination_check", _DUCK_CONTAM_SQL)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return contamination_counts(load_tables(spark, sf_dir)["documents"])
+
+
+# ---------------------------------------------------------------------------
+# Repetition filters (Gopher-style)
+# ---------------------------------------------------------------------------
+
+DUP_WORD_FRAC_MAX = 0.55  # flag docs whose word-dup fraction exceeds this
+TOP_BIGRAM_FRAC_MAX = 0.08  # flag docs dominated by one repeated bigram
+
+# max run length in the SORTED bigram array == max bigram multiplicity;
+# fold state: (prev gram, current run, best run) — one pass, map-side
+_SPARK_TOP_RUN = (
+    "aggregate(array_sort(bg), "
+    "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+    "(acc, x) -> named_struct("
+    "'prev', x, "
+    "'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1L), "
+    "'best', greatest(acc.best, IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1L))), "
+    "acc -> acc.best)"
+)
+
+
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition features, all map-side: duplicate-word fraction
+    (1 − distinct/total) and top-bigram fraction (multiplicity of the
+    most frequent 2-gram over all 2-grams, via a sorted run-length fold
+    instead of an explode→groupBy of the whole bigram relation)."""
+    return (
+        docs.selectExpr("doc_id", "lang", f"{_SPARK_TOKS} AS toks")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "size(toks) AS n",
+            "size(array_distinct(toks)) AS nd",
+            "IF(size(toks) >= 2, transform(sequence(1, size(toks) - 1), "
+            "i -> concat_ws(' ', slice(toks, i, 2))), CAST(array() AS ARRAY<STRING>)) AS bg",
+        )
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "IF(n > 0, CAST(n - nd AS DOUBLE) / n, CAST(0.0 AS DOUBLE)) AS dup_word_frac",
+            f"IF(size(bg) > 0, CAST({_SPARK_TOP_RUN} AS DOUBLE) / size(bg), CAST(0.0 AS DOUBLE))"
+            " AS top_bigram_frac",
+        )
+    )
+
+
+_DUCK_REPETITION_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), feats AS (
+  SELECT doc_id, lang, len(toks) AS n, len(list_distinct(toks)) AS nd,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                                  i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+              ELSE [] END AS bg
+  FROM tokd
+), bgx AS (
+  SELECT doc_id, u.g FROM feats, unnest(bg) AS u(g)
+), top AS (
+  SELECT doc_id, MAX(c) AS best, SUM(c) AS nbg FROM (
+    SELECT doc_id, g, COUNT(*) AS c FROM bgx GROUP BY doc_id, g
+  ) GROUP BY doc_id
+), scored AS (
+  SELECT f.doc_id, f.lang,
+         CASE WHEN f.n > 0 THEN CAST(f.n - f.nd AS DOUBLE) / f.n ELSE 0.0 END AS dup_word_frac,
+         CASE WHEN t.nbg > 0 THEN CAST(t.best AS DOUBLE) / t.nbg ELSE 0.0 END AS top_bigram_frac
+  FROM feats f LEFT JOIN top t ON f.doc_id = t.doc_id
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN dup_word_frac > {DUP_WORD_FRAC_MAX} THEN 1 ELSE 0 END) AS BIGINT)
+         AS flagged_dup_words,
+       CAST(SUM(CASE WHEN top_bigram_frac > {TOP_BIGRAM_FRAC_MAX} THEN 1 ELSE 0 END) AS BIGINT)
+         AS flagged_top_bigram,
+       ROUND(AVG(dup_word_frac), 6) AS avg_dup_word_frac,
+       ROUND(AVG(top_bigram_frac), 6) AS avg_top_bigram_frac
+FROM scored GROUP BY lang
+"""
+
+
+@query("text_repetition", _DUCK_REPETITION_SQL)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language repetition report.  Thresholds compare exact int/int
+    divisions — no float-boundary divergence; the AVGs are order-dependent
+    float sums, rounded identically on both sides."""
+    scores = repetition_scores(load_tables(spark, sf_dir)["documents"])
+    return scores.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("dup_word_frac") > DUP_WORD_FRAC_MAX, 1).otherwise(0))
+        .cast("bigint")
+        .alias("flagged_dup_words"),
+        F.sum(F.when(F.col("top_bigram_frac") > TOP_BIGRAM_FRAC_MAX, 1).otherwise(0))
+        .cast("bigint")
+        .alias("flagged_top_bigram"),
+        F.round(F.avg("dup_word_frac"), 6).alias("avg_dup_word_frac"),
+        F.round(F.avg("top_bigram_frac"), 6).alias("avg_top_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII / blocklist scrubbing
+# ---------------------------------------------------------------------------
+
+# Java-regex ∩ RE2 common syntax only (no backrefs, no lookaround).
+# Single-backslash raw strings: the Spark side passes them as F.lit
+# columns (no SQL-literal escape processing); the DuckDB side embeds
+# them in standard SQL literals, which keep backslashes verbatim.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+PHONE_RE = r"\+?[0-9]{7,15}"
+BLOCKLIST = ("key", "hash")  # stand-in for a sensitive-term list
+REDACTED = "[REDACTED]"
+
+
+def scrub_report(docs: DataFrame) -> DataFrame:
+    """Per-source scrubbing stats: PII pattern hits (emails / IPv4 /
+    phone-like digit runs) plus blocklist-term redaction and the
+    resulting corpus shrinkage.  Map-only; one tiny rollup shuffle."""
+    bl = ", ".join(f"'{w}'" for w in BLOCKLIST)
+    return (
+        docs.select(
+            "source",
+            # F.lit patterns: no SQL-string escape layer between the
+            # Python constant and the regex engine
+            F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+            F.size(F.regexp_extract_all("text", F.lit(IPV4_RE), F.lit(0))).alias("n_ipv4"),
+            F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+            F.expr(f"size(filter({_SPARK_TOKS}, t -> t IN ({bl})))").alias("n_blocklist"),
+            F.expr(
+                f"length(array_join(transform({_SPARK_TOKS}, "
+                f"t -> IF(t IN ({bl}), '{REDACTED}', t)), ' '))"
+            ).alias("scrubbed_chars"),
+            F.length("text").alias("raw_chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_emails").cast("bigint").alias("emails"),
+            F.sum("n_ipv4").cast("bigint").alias("ipv4s"),
+            F.sum("n_phones").cast("bigint").alias("phones"),
+            F.sum("n_blocklist").cast("bigint").alias("blocklist_hits"),
+            F.sum("raw_chars").cast("bigint").alias("raw_chars"),
+            F.sum("scrubbed_chars").cast("bigint").alias("scrubbed_chars"),
+        )
+    )
+
+
+def _duck_scrub_sql() -> str:
+    bl = ", ".join(f"'{w}'" for w in BLOCKLIST)
+    return f"""
+WITH scrubbed AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ipv4,
+         len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+         len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
+                         t -> t IN ({bl}))) AS n_blocklist,
+         length(array_to_string(list_transform(
+           list_filter(string_split(text, ' '), t -> t <> ''),
+           t -> CASE WHEN t IN ({bl}) THEN '{REDACTED}' ELSE t END), ' ')) AS scrubbed_chars,
+         length(text) AS raw_chars
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_emails) AS BIGINT) AS emails,
+       CAST(SUM(n_ipv4) AS BIGINT) AS ipv4s,
+       CAST(SUM(n_phones) AS BIGINT) AS phones,
+       CAST(SUM(n_blocklist) AS BIGINT) AS blocklist_hits,
+       CAST(SUM(raw_chars) AS BIGINT) AS raw_chars,
+       CAST(SUM(scrubbed_chars) AS BIGINT) AS scrubbed_chars
+FROM scrubbed GROUP BY source
+"""
+
+
+@query("pii_scrub", _duck_scrub_sql())
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scrub_report(load_tables(spark, sf_dir)["documents"])
+
+
+# ---------------------------------------------------------------------------
+# Mixture resampling (deterministic per-language rates)
+# ---------------------------------------------------------------------------
+
+MIXTURE_RATES: dict[str, float] = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.25, "zh": 0.1}
+_MIX_BUCKETS = 1000
+
+
+def mixture_resample(docs: DataFrame, rates: dict[str, float] | None = None) -> DataFrame:
+    """Deterministic Bernoulli sampling per language: keep a doc iff its
+    md5-derived bucket (0..999) < rate·1000.  Hash sampling (vs ``rand``)
+    is reproducible across engines, retries, and cluster sizes — the
+    property a training-data pipeline needs for auditability."""
+    from ..functions.hashing import spark_hash64
+
+    rates = MIXTURE_RATES if rates is None else rates
+    rate = None
+    for lang, r in sorted(rates.items()):
+        c = F.when(F.col("lang") == lang, F.lit(int(r * _MIX_BUCKETS)))
+        rate = c if rate is None else rate.when(F.col("lang") == lang, F.lit(int(r * _MIX_BUCKETS)))
+    rate = rate.otherwise(F.lit(int(0.2 * _MIX_BUCKETS)))
+    bucket = spark_hash64(F.col("doc_id").cast("string")) % _MIX_BUCKETS
+    return docs.select("doc_id", "lang", "n_chars", bucket.alias("bucket"), rate.alias("cutoff"))
+
+
+def _duck_mixture_sql() -> str:
+    from ..functions.hashing import duck_hash64
+
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {int(r * _MIX_BUCKETS)}"
+        for lang, r in sorted(MIXTURE_RATES.items())
+    )
+    return f"""
+WITH tagged AS (
+  SELECT doc_id, lang, n_chars,
+         {duck_hash64("CAST(doc_id AS VARCHAR)")} % {_MIX_BUCKETS} AS bucket,
+         CASE {cases} ELSE {int(0.2 * _MIX_BUCKETS)} END AS cutoff
+  FROM documents
+)
+SELECT lang, COUNT(*) AS total_docs,
+       CAST(SUM(CASE WHEN bucket < cutoff THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       CAST(SUM(CASE WHEN bucket < cutoff THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM tagged GROUP BY lang
+"""
+
+
+@query("mixture_resample", _duck_mixture_sql())
+def mixture_resample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tagged = mixture_resample(load_tables(spark, sf_dir)["documents"])
+    kept = F.col("bucket") < F.col("cutoff")
+    return tagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("kept_docs"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).cast("bigint").alias("kept_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group quantile stats
+# ---------------------------------------------------------------------------
+
+@query(
+    "quantile_stats",
+    """
+SELECT source, COUNT(*) AS n_docs,
+       SUM(n_chars) / COUNT(*) AS avg_chars,
+       ROUND(quantile_cont(n_chars, 0.5), 6) AS med_chars,
+       ROUND(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY source
+""",
+)
+def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length distribution.  Exact ``percentile`` so the
+    DuckDB ``quantile_cont`` oracle can verify it (both interpolate
+    linearly; results rounded to absorb formula-order ulps).  At 100 TB
+    swap in ``approx_percentile`` — same plan shape, bounded state;
+    avg_chars is an exact int-sum/int-count division, unrounded."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars") / F.count(F.lit(1))).alias("avg_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("med_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

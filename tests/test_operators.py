@@ -327,3 +327,78 @@ class TestShortDocShingles:
             ).fetchall()
         )
         assert got == duck
+
+
+class TestCuration:
+    def test_repetition_scores_semantics(self, spark):
+        from duckdb_extension_kafquack_spark.operators.curation import repetition_scores
+
+        df = spark.createDataFrame(
+            [
+                (1, "en", "a a a a"),          # all dup words; top bigram "a a" ×3 of 3
+                (2, "en", "w x y z"),          # no repetition
+                (3, "en", "p q p q p q"),      # dup words; "p q" run of 3 over 5 bigrams
+            ],
+            "doc_id long, lang string, text string",
+        )
+        got = {r.doc_id: r for r in repetition_scores(df).collect()}
+        assert got[1].dup_word_frac == pytest.approx(3 / 4)
+        assert got[1].top_bigram_frac == pytest.approx(1.0)
+        assert got[2].dup_word_frac == 0.0
+        assert got[2].top_bigram_frac == pytest.approx(1 / 3)  # all distinct bigrams
+        assert got[3].top_bigram_frac == pytest.approx(3 / 5)
+
+    def test_contamination_broadcast_no_corpus_shuffle(self, spark):
+        """Benchmark docs (id%97==0) contaminate only docs sharing a
+        4-gram; the corpus side of the plan must not shuffle (broadcast
+        join + map-side intersect + one rollup exchange)."""
+        from duckdb_extension_kafquack_spark.operators.curation import (
+            contamination_counts,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (0, "s1", "one two three four five"),      # benchmark (0 % 97 == 0)
+                (1, "s1", "one two three four nine"),      # shares 4-gram "one two three four"
+                (2, "s1", "six seven eight nine ten"),     # clean
+                (97 * 2, "s2", "zz yy xx ww vv"),          # benchmark
+                (3, "s2", "aa bb cc dd ee"),               # clean
+            ],
+            "doc_id long, source string, text string",
+        )
+        got = {r.source: r for r in contamination_counts(df).collect()}
+        assert got["s1"].contaminated_docs == 1 and got["s1"].docs_checked == 2
+        assert got["s2"].contaminated_docs == 0
+
+        plan = contamination_counts(df)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    def test_mixture_resample_deterministic_and_rate_shaped(self, spark):
+        from duckdb_extension_kafquack_spark.operators.curation import (
+            MIXTURE_RATES,
+            mixture_resample_report,
+        )
+
+        r1 = {r.lang: r for r in mixture_resample_report(spark, SF_DIR).collect()}
+        r2 = {r.lang: r for r in mixture_resample_report(spark, SF_DIR).collect()}
+        assert {k: (v.kept_docs, v.kept_chars) for k, v in r1.items()} == {
+            k: (v.kept_docs, v.kept_chars) for k, v in r2.items()
+        }  # hash sampling: bit-stable across runs
+        assert r1["en"].kept_docs == r1["en"].total_docs  # rate 1.0 keeps all
+        zh = r1["zh"]
+        assert 0 < zh.kept_docs < zh.total_docs  # rate 0.1 strictly thins
+
+    def test_pii_scrub_counts_and_shrinkage(self, spark):
+        from duckdb_extension_kafquack_spark.operators.curation import scrub_report
+
+        df = spark.createDataFrame(
+            [
+                (1, "s", "contact bob@example.com or 12345678 at 10.0.0.1"),
+                (2, "s", "key hash key plain words"),
+            ],
+            "doc_id long, source string, text string",
+        )
+        row = scrub_report(df).collect()[0]
+        assert row.emails == 1 and row.phones == 1 and row.ipv4s == 1
+        assert row.blocklist_hits == 3
+        assert row.scrubbed_chars > row.raw_chars  # [REDACTED] is longer
