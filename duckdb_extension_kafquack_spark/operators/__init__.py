@@ -3,7 +3,7 @@
 Importing this package registers their suite entries (see ..suite.REGISTRY).
 """
 
-from . import curation, dedup, joins, multimodal, pipeline, similarity, sketch, skew, text  # noqa: F401
+from . import curation, dedup, events, joins, multimodal, pipeline, similarity, sketch, skew, text  # noqa: F401
 
 from .dedup import (
     connected_components,

@@ -1,0 +1,155 @@
+"""Event-sequence analytics over the ``events`` table: funnel
+progression and cohort retention — the queries an event-stream user of
+the reference (Kafka topic → SQL) runs constantly.
+
+Scale design:
+
+* ``funnel_analysis`` — the textbook formulation is one aggregation
+  PER STEP with a join between steps (k shuffles of the full event
+  relation for a k-step funnel).  Ours shuffles the events ONCE
+  (groupBy user), sorts each user's events in-row, and walks the funnel
+  with a higher-order fold — per-user state is one struct, and adding
+  funnel steps costs zero extra shuffles.
+* ``retention_cohorts`` — two aggregations over the same user-keyed
+  shuffle (cohort assignment reuses the per-user partial); the output
+  is |cohorts|·|weeks| rows — tiny — so the last rollup broadcasts.
+
+Cross-engine exactness: everything is timestamp/int arithmetic (both
+engines truncate weeks to ISO Monday); the funnel fold advances only on
+strictly-later timestamps, identical to the oracle's ``ts > prev``
+sequential-min formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+from ..suite import query
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+# walk the user's time-sorted events once: state = (stage reached,
+# timestamp of the event that reached it); a step counts only if
+# STRICTLY later than the previous step's event (ties excluded, same
+# as the SQL sequential-min oracle)
+_FUNNEL_FOLD = (
+    "aggregate(array_sort(evs), "
+    "named_struct('stage', 0L, 'last', CAST(NULL AS TIMESTAMP)), "
+    "(acc, e) -> CASE "
+    + " ".join(
+        f"WHEN acc.stage = {i} AND e.event_type = '{step}'"
+        + (" AND e.ts > acc.last" if i > 0 else "")
+        + f" THEN named_struct('stage', {i + 1}L, 'last', e.ts)"
+        for i, step in enumerate(FUNNEL_STEPS)
+    )
+    + " ELSE acc END, acc -> acc.stage)"
+)
+
+
+def funnel_stages(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+    """(user_id, funnel_stage): how many ordered steps of
+    view→click→purchase each user completed, via ONE shuffle + a
+    per-row sorted fold."""
+    assert steps == FUNNEL_STEPS, "fold expression is generated for FUNNEL_STEPS"
+    return (
+        events.filter(F.col("event_type").isin(*steps))
+        .groupBy("user_id")
+        .agg(F.collect_list(F.struct("ts", "event_type")).alias("evs"))
+        .selectExpr("user_id", f"{_FUNNEL_FOLD} AS funnel_stage")
+    )
+
+
+# a bounded observation window keeps the funnel discriminating (the
+# fixture's 30 days give every user all steps; one day yields a real
+# 0/1/2/3 stage distribution)
+FUNNEL_WINDOW = ("2024-01-01", "2024-01-02")
+
+_DUCK_FUNNEL_SQL = f"""
+WITH fwin AS (
+  SELECT * FROM events
+  WHERE ts >= TIMESTAMP '{FUNNEL_WINDOW[0]}' AND ts < TIMESTAMP '{FUNNEL_WINDOW[1]}'
+), v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM fwin WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM fwin e JOIN v USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM fwin e JOIN c USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > c.t2
+  GROUP BY e.user_id
+), staged AS (
+  SELECT u.user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN 3
+              WHEN c.user_id IS NOT NULL THEN 2
+              WHEN v.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS funnel_stage
+  FROM (SELECT DISTINCT user_id FROM fwin
+        WHERE event_type IN ({", ".join(f"'{s}'" for s in FUNNEL_STEPS)})) u
+  LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+)
+SELECT CAST(funnel_stage AS BIGINT) AS funnel_stage, COUNT(*) AS n_users
+FROM staged GROUP BY funnel_stage
+"""
+
+
+@query("funnel_analysis", _DUCK_FUNNEL_SQL)
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users per funnel stage reached.  The oracle is the k-aggregation
+    sequential-min formulation; the Spark plan is the single-shuffle
+    fold — same answer, k× fewer shuffles."""
+    events = load_tables(spark, sf_dir)["events"].filter(
+        (F.col("ts") >= F.lit(FUNNEL_WINDOW[0]).cast("timestamp"))
+        & (F.col("ts") < F.lit(FUNNEL_WINDOW[1]).cast("timestamp"))
+    )
+    return (
+        funnel_stages(events)
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "retention_cohorts",
+    """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.activity_week) / 7 AS INTEGER) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS active_users
+FROM activity a JOIN firsts f USING (user_id)
+GROUP BY f.cohort_week, week_offset
+""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-seen
+    week, counted in each later week they were active.  Both
+    aggregations key on user_id — one exchange feeds both (Spark reuses
+    it); week truncation is ISO-Monday in both engines and the offset
+    is exact integer day math."""
+    events = load_tables(spark, sf_dir)["events"]
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("activity_week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("activity_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

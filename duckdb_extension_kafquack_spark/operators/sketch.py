@@ -100,6 +100,74 @@ FROM est e JOIN exact x USING (tok)
 """
 
 
+HH_PHI_PCT = 1  # heavy hitter ⇔ frequency ≥ 1% of the stream
+
+
+def _duck_heavy_hitters_sql() -> str:
+    hash_rows = "\nUNION ALL\n".join(
+        f"SELECT tok, {d} AS row, CAST({duck_hash64('tok', 1000 + d)} % {CMS_WIDTH} AS INTEGER) AS bucket FROM toks"
+        for d in range(CMS_DEPTH)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+), total AS (
+  SELECT COUNT(*) AS n FROM toks
+), hashed AS (
+{hash_rows}
+), sketch AS (
+  SELECT row, bucket, COUNT(*) AS counter FROM hashed GROUP BY row, bucket
+), est AS (
+  SELECT kb.tok, MIN(s.counter) AS cms_estimate
+  FROM (SELECT DISTINCT tok, row, bucket FROM hashed) kb
+  JOIN sketch s USING (row, bucket)
+  GROUP BY kb.tok
+), candidates AS (
+  -- integer-only threshold: 100·est ≥ n  ⇔  est ≥ 1% of stream
+  SELECT e.tok, e.cms_estimate, t.n FROM est e, total t
+  WHERE 100 * e.cms_estimate >= {HH_PHI_PCT} * t.n
+), verified AS (
+  SELECT c.tok, x.exact_count, c.cms_estimate, c.n
+  FROM candidates c
+  JOIN (SELECT tok, COUNT(*) AS exact_count FROM toks GROUP BY tok) x USING (tok)
+)
+SELECT tok, exact_count, CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       (100 * exact_count >= {HH_PHI_PCT} * n) AS is_true_hh
+FROM verified
+"""
+
+
+@query("heavy_hitters", _duck_heavy_hitters_sql())
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ-heavy hitters (≥1% of the token stream) by sketch-prune →
+    exact-verify.  At 100 TB the exact global top-k over billions of
+    distinct keys is a full-stream shuffle; here the CMS (d·w counters,
+    overestimate-only → NO false negatives) prunes the verify set to the
+    few candidate keys first, so the exact pass counts only candidates.
+    The threshold compares 100·count ≥ φ·N in pure integers — no float
+    frontier cross-engine."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    stream = _token_stream(docs)
+    sketch = cms_build(stream)
+    total = stream.agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(sketch, stream.distinct())
+    candidates = est.join(F.broadcast(total)).filter(
+        100 * F.col("cms_estimate") >= HH_PHI_PCT * F.col("n")
+    )
+    exact = (
+        stream.join(F.broadcast(candidates.select("tok")), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return candidates.join(exact, "tok").select(
+        "tok",
+        "exact_count",
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (100 * F.col("exact_count") >= HH_PHI_PCT * F.col("n")).alias("is_true_hh"),
+    )
+
+
 @query("cms_frequency_estimates", _duck_cms_sql())
 def cms_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch every token's frequency and compare to the exact count —

@@ -402,3 +402,27 @@ class TestCuration:
         assert row.emails == 1 and row.phones == 1 and row.ipv4s == 1
         assert row.blocklist_hits == 3
         assert row.scrubbed_chars > row.raw_chars  # [REDACTED] is longer
+
+
+class TestEvents:
+    def test_funnel_fold_order_and_strictness(self, spark):
+        """The fold must respect event-time order (not input order) and
+        only advance on STRICTLY later timestamps."""
+        import datetime as dt
+
+        from duckdb_extension_kafquack_spark.operators.events import funnel_stages
+
+        t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+        rows = [
+            # u1: purchase arrives FIRST in input but LAST in event time → stage 3
+            (1, t(30), "purchase"), (1, t(10), "view"), (1, t(20), "click"),
+            # u2: click before view → stuck at stage 1
+            (2, t(5), "click"), (2, t(10), "view"),
+            # u3: click at the SAME instant as view → tie excluded, stage 1
+            (3, t(10), "view"), (3, t(10), "click"),
+            # u4: full funnel plus noise events
+            (4, t(1), "view"), (4, t(2), "error"), (4, t(3), "click"), (4, t(4), "purchase"),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+        got = {r.user_id: r.funnel_stage for r in funnel_stages(df).collect()}
+        assert got == {1: 3, 2: 1, 3: 1, 4: 3}
