@@ -83,23 +83,51 @@ _DUCK_COS = (
 )
 
 
+def _dot_sql(a: str, b: str, dim: int = DIM) -> str:
+    """Unrolled left-associated dot product as ONE SQL string.
+
+    Bit-identical to the HOF fold and to DuckDB ``list_dot_product``
+    (same element-wise double casts, same left-to-right accumulation),
+    but it stays inside whole-stage codegen — the HOF ``aggregate`` is
+    interpreted per element, which dominates all-pairs scoring loops.
+    String-built: one JVM parse instead of ~300 Py4J column calls."""
+    return " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))" for i in range(dim)
+    )
+
+
+def _norm_col(vec: str, dim: int = DIM) -> F.Column:
+    return F.expr(f"sqrt({_dot_sql(vec, vec, dim)})")
+
+
+def _fast_cos(a: str, b: str, na: str, nb: str, dim: int = DIM) -> F.Column:
+    """cos = unrolled_dot / (norm_a · norm_b) with the norms PRECOMPUTED
+    once per row on each side — the naive form recomputes both norms for
+    every pair, tripling the hot-loop work."""
+    return F.expr(f"({_dot_sql(a, b, dim)}) / ({na} * {nb})")
+
+
 def cosine_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = TOPK
 ) -> DataFrame:
     """Brute-force exact top-k: broadcast the query set, scan the corpus
     once, per-group top-k via row_number (partial top-k before shuffle)."""
     q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm_col("embedding").alias("qn"),
     )
     c = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm_col("embedding").alias("cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+            _fast_cos("q_emb", "c_emb", "qn", "cn").alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -124,9 +152,14 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
 """,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _repartition_if_narrow
+
     emb = load_tables(spark, sf_dir)["embeddings"]
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-    return cosine_topk(emb, queries)
+    # the corpus-side scan is map-only up to the top-k exchange: a
+    # single-split local fixture would run the whole all-pairs loop in
+    # ONE task (no-op at real scale, where the table has many splits)
+    return cosine_topk(_repartition_if_narrow(emb), queries)
 
 
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = TOPK) -> DataFrame:
@@ -195,13 +228,17 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame, n_probe: int = 1) ->
     touches only its cells' files — here it's the join key.
     """
     c = centroids.select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+        _norm_col("embedding").alias("cent_n"),
     )
-    scored = embeddings.join(F.broadcast(c)).select(
+    scored = embeddings.select(
+        "vec_id", "embedding", _norm_col("embedding").alias("vn")
+    ).join(F.broadcast(c)).select(
         "vec_id",
         "embedding",
         "cent_id",
-        cosine_similarity(F.col("embedding"), F.col("cent_emb")).alias("cos"),
+        _fast_cos("embedding", "cent_emb", "vn", "cent_n").alias("cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id"))
     return (
@@ -211,6 +248,52 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame, n_probe: int = 1) ->
     )
 
 
+def _cents_row(centroids: DataFrame) -> DataFrame:
+    """The trained centroids collected into ONE row as a cent_id-sorted
+    struct array (executor-side collect_list → broadcast): tiny by
+    definition (IVF codebooks are KBs), so cell assignment can fold over
+    it map-side instead of shuffling corpus×centroids through a window."""
+    return centroids.select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cemb"),
+        _norm_col("embedding").alias("cn"),
+    ).agg(F.array_sort(F.collect_list(F.struct("cent_id", "cemb", "cn"))).alias("cents"))
+
+
+def _assign_cells_mapside(df: DataFrame, cents_row: DataFrame, n_probe: int) -> DataFrame:
+    """(vec_id, embedding, cell[, cell2]): nearest (and second-nearest
+    when n_probe=2) centroid per vector, computed with a per-row fold —
+    NO shuffle, unlike the explode→window formulation whose exchange of
+    corpus×centroids rows dominates at scale.  Tie-breaks match the
+    window's (cos DESC, cent_id ASC): the fold walks cent_id ascending
+    and replaces only on strictly-greater cosine."""
+    assert n_probe in (1, 2)
+    scored_arr = (
+        "transform(cents, c -> named_struct("
+        f"'cos', ({_dot_sql('embedding', 'c.cemb')}) / (vn * c.cn), "
+        "'cid', c.cent_id))"
+    )
+    top2 = (
+        f"aggregate({scored_arr}, "
+        "named_struct('b1', CAST(-2.0 AS DOUBLE), 'c1', -1L, "
+        "'b2', CAST(-2.0 AS DOUBLE), 'c2', -1L), "
+        "(acc, s) -> CASE "
+        "WHEN s.cos > acc.b1 THEN named_struct('b1', s.cos, 'c1', s.cid, 'b2', acc.b1, 'c2', acc.c1) "
+        "WHEN s.cos > acc.b2 THEN named_struct('b1', acc.b1, 'c1', acc.c1, 'b2', s.cos, 'c2', s.cid) "
+        "ELSE acc END)"
+    )
+    base = df.select(
+        "vec_id", "embedding", _norm_col("embedding").alias("vn")
+    ).join(F.broadcast(cents_row))
+    if n_probe == 1:
+        return base.selectExpr("vec_id", "embedding", "vn", f"{top2}.c1 AS cell")
+    return base.selectExpr(
+        "vec_id", "embedding", "vn", f"{top2} AS t2"
+    ).selectExpr(
+        "vec_id", "embedding", "vn", "explode(array(t2.c1, t2.c2)) AS cell"
+    ).filter(F.col("cell") >= 0)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -218,13 +301,27 @@ def ivf_topk(
     n_probe: int = IVF_PROBES,
 ) -> DataFrame:
     """IVF approximate top-k: corpus assigned to 1 cell each, queries
-    probe ``n_probe`` cells; candidates = same-cell rows only."""
+    probe ``n_probe`` cells; candidates = same-cell rows only.
+
+    Physical shape: centroid codebook → one broadcast row; corpus
+    assignment is a map-side fold (zero shuffle — the corpus flows
+    scan→assign→bucket-join→score→partial-top-k with ONE exchange, the
+    final per-query top-k).  With corpus n_probe=1 a (query, neighbor)
+    pair can only arise in the neighbor's single cell, so no distinct
+    is needed."""
     cents = embeddings.filter(F.col("vec_id") < IVF_CENTROIDS)
-    corpus = ivf_assign(embeddings, cents, n_probe=1).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "cell"
+    crow = _cents_row(cents)
+    corpus = _assign_cells_mapside(embeddings, crow, n_probe=1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("vn").alias("cn"),
+        "cell",
     )
-    probes = ivf_assign(queries, cents, n_probe=n_probe).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cell"
+    probes = _assign_cells_mapside(queries, crow, n_probe=n_probe).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("vn").alias("qn"),
+        "cell",
     )
     scored = (
         corpus.join(F.broadcast(probes), "cell")
@@ -232,9 +329,8 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+            _fast_cos("q_emb", "c_emb", "qn", "cn").alias("cos"),
         )
-        .distinct()  # a candidate may appear via multiple probed cells
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -286,9 +382,11 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
 
 @query("ann_ivf_topk", _DUCK_IVF)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _repartition_if_narrow
+
     emb = load_tables(spark, sf_dir)["embeddings"]
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-    return ivf_topk(emb, queries)
+    return ivf_topk(_repartition_if_narrow(emb), queries)
 
 
 NEAR_DUP_BLOCKS = 8  # block-pair tiling factor for the exact all-pairs scan
