@@ -22,7 +22,7 @@ sequential-min formulation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import load_tables
@@ -110,6 +110,109 @@ def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         funnel_stages(events)
         .groupBy("funnel_stage")
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+GAP_FILL_USERS = 20  # bound the spine on the fixture (plan shape is user-count-free)
+
+
+@query(
+    "gap_fill_locf",
+    f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, ROUND(SUM(value), 6) AS hourly_value
+  FROM events WHERE user_id < {GAP_FILL_USERS} GROUP BY user_id, hour
+), span AS (
+  SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY user_id
+), spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span
+), joined AS (
+  SELECT s.user_id, s.hour, h.hourly_value
+  FROM spine s LEFT JOIN hourly h USING (user_id, hour)
+)
+SELECT user_id, hour,
+       last_value(hourly_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       hourly_value IS NULL AS was_gap
+FROM joined
+""",
+)
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: hourly rollup → per-user dense hour spine
+    (``sequence`` + explode, no driver loop) → last-observation-carried-
+    forward via an ignore-nulls running window.  All three steps key on
+    user_id, so one exchange feeds rollup, spine join, and fill; spine
+    length is bounded by the series span, never the corpus size."""
+    events = load_tables(spark, sf_dir)["events"].filter(
+        F.col("user_id") < GAP_FILL_USERS
+    )
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.round(F.sum("value"), 6).alias("hourly_value"))
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        F.last("hourly_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("hourly_value").isNull().alias("was_gap"),
+    )
+
+
+@query(
+    "rolling_time_window",
+    f"""
+WITH e AS (
+  SELECT event_id, user_id, date_trunc('second', ts) AS ts_sec, value
+  FROM events WHERE user_id < {GAP_FILL_USERS}
+)
+SELECT event_id, user_id, ts_sec,
+       COUNT(*) OVER w AS rolling_cnt,
+       ROUND(SUM(value) OVER w, 6) AS rolling_sum
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+)
+def rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour aggregate per event (event-time RANGE frame, not a
+    row frame): Spark expresses the interval bound as a seconds-typed
+    range window.  Timestamps are truncated to seconds on BOTH sides so
+    the frame boundary is identical cross-engine (Spark's range key is
+    integral seconds).  One exchange on user_id."""
+    events = load_tables(spark, sf_dir)["events"].filter(
+        F.col("user_id") < GAP_FILL_USERS
+    )
+    e = events.select(
+        "event_id",
+        "user_id",
+        F.date_trunc("second", "ts").alias("ts_sec"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_sec").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.count(F.lit(1)).over(w).alias("rolling_cnt"),
+        F.round(F.sum("value").over(w), 6).alias("rolling_sum"),
     )
 
 
