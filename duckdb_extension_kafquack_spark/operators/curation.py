@@ -57,32 +57,42 @@ _SPARK_5GRAMS = (
 
 def contamination_counts(docs: DataFrame) -> DataFrame:
     """Per-source decontamination report: how many corpus docs share at
-    least one word-5-gram with the benchmark slice (doc_id % 97 == 0).
+    least one word-4-gram with the benchmark slice (doc_id % 97 == 0).
 
-    Plan: benchmark 5-grams → ``collect_set`` into ONE row (executor-side
-    aggregation, rows ∝ |benchmark grams|) → broadcast cross-join →
-    per-doc ``array_intersect`` map-side → per-source rollup.  The corpus
-    never shuffles; the broadcast is bounded by the benchmark size."""
+    Plan: benchmark 4-grams (distinct, small — test sets are thousands
+    of docs) broadcast; corpus grams explode into a broadcast HASH join
+    against them.  The join's hash table is built ONCE per task — the
+    earlier ``array_intersect``-against-a-collected-array formulation
+    rebuilt the benchmark set per ROW, an O(corpus·|bench|) term that
+    the 16× scaling probe exposed as quadratic wall-clock.  Matches are
+    rare by construction, so the per-doc rollup shuffles only hits; the
+    per-source totals come straight from the gram relation."""
     grams = docs.selectExpr(
         "doc_id", "source", f"{_SPARK_TOKS} AS toks"
     ).selectExpr("doc_id", "source", f"{_SPARK_5GRAMS} AS gs")
     bench = (
         grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
         .select(F.explode("gs").alias("g"))
-        .agg(F.collect_set("g").alias("barr"))
+        .distinct()
     )
     corpus = grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
-    scored = corpus.join(F.broadcast(bench)).select(
-        "doc_id",
-        "source",
-        F.size(F.array_intersect("gs", "barr")).alias("icnt"),
+    hits = (
+        corpus.select("doc_id", "source", F.explode("gs").alias("g"))
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("icnt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("contaminated_docs"),
+            F.sum("icnt").alias("contaminated_ngrams"),
+        )
     )
-    return scored.groupBy("source").agg(
-        F.count(F.lit(1)).alias("docs_checked"),
-        F.sum(F.when(F.col("icnt") > 0, 1).otherwise(0)).cast("bigint").alias(
-            "contaminated_docs"
-        ),
-        F.sum("icnt").cast("bigint").alias("contaminated_ngrams"),
+    totals = corpus.groupBy("source").agg(F.count(F.lit(1)).alias("docs_checked"))
+    return totals.join(hits, "source", "left").select(
+        "source",
+        "docs_checked",
+        F.coalesce("contaminated_docs", F.lit(0)).cast("bigint").alias("contaminated_docs"),
+        F.coalesce("contaminated_ngrams", F.lit(0)).cast("bigint").alias("contaminated_ngrams"),
     )
 
 

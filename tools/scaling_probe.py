@@ -61,6 +61,17 @@ def main() -> None:
     from duckdb_extension_kafquack_spark.operators.similarity import (
         cosine_topk,
         embedding_near_duplicates,
+        ivf_topk,
+    )
+    from duckdb_extension_kafquack_spark.operators.curation import (
+        contamination_counts,
+        repetition_scores,
+    )
+    from duckdb_extension_kafquack_spark.operators.events import funnel_stages
+    from duckdb_extension_kafquack_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        _token_stream,
     )
     from duckdb_extension_kafquack_spark.operators.text import quality_scores
     from duckdb_extension_kafquack_spark.session import get_spark, read_table
@@ -79,17 +90,46 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         results.setdefault(name, {})[k] = round(time.time() - t0, 2)
 
+    events0 = read_table(spark, sf_dir, "events")
+    n_users = events0.agg(F.max("user_id")).collect()[0][0] + 1
+    n_events = events0.count()
+
+    def replicate_events(k: int) -> DataFrame:
+        parts = [
+            events0.select(
+                (F.col("event_id") + i * n_events).alias("event_id"),
+                "ts",
+                (F.col("user_id") + i * n_users).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            for i in range(k)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     for k in (1, 4, 16):
         docs = replicate_docs(docs0, k).localCheckpoint()
         bench("quality_scores", k, quality_scores(docs))
         bench("minhash_lsh_dedup", k, minhash_near_duplicates(docs))
         bench("simhash_signatures", k, simhash_signatures(docs))
+        bench("contamination_check", k, contamination_counts(docs))
+        bench("repetition_scores", k, repetition_scores(docs))
+        # CMS heavy-hitter path: sketch + estimates over the token stream
+        stream = _token_stream(docs)
+        bench("cms_sketch_estimates", k, cms_estimate(cms_build(stream), stream.distinct()))
         emb = replicate_embeddings(emb0, k).localCheckpoint()
         queries = emb.filter(F.col("vec_id") % 500 == 0)
         bench("ann_cosine_topk", k, cosine_topk(emb, queries))
+        bench("ann_ivf_topk", k, ivf_topk(emb, queries))
         # block-pair tiled exact all-pairs: O(n²) compute by design, but
         # distributed (tiles scale with n_blocks²) — probe all k
         bench("embedding_near_dup", k, embedding_near_duplicates(emb))
+        ev = replicate_events(k).localCheckpoint()
+        bench("funnel_stages", k, funnel_stages(ev))
         print(f"k={k}: " + ", ".join(f"{n}={t[k]}s" for n, t in results.items() if k in t))
 
     n_docs = docs0.count()
@@ -114,12 +154,28 @@ def main() -> None:
         )
     lines += [
         "",
-        "`embedding_near_dup` is the block-pair tiled EXACT all-pairs scan:",
-        "its work is inherently O(n²) (expect ~256× time at 16× rows), but",
-        "it is fully distributed — per-tile BLAS with only candidate ids",
-        "leaving each tile, no driver collect, no whole-corpus broadcast;",
-        "`n_blocks` grows with the corpus so a tile stays executor-sized.",
-        "The sub-quadratic rows above are the LSH paths used at scale.",
+        "Growth models per row (what the ratio SHOULD be):",
+        "",
+        "* map-only ops (`quality_scores`, `repetition_scores`,",
+        "  `simhash_signatures`, `funnel_stages`) — linear; the flat rows",
+        "  show the fixed scheduling floor still dominating at 80k docs.",
+        "* `contamination_check` — linear in corpus + benchmark (the probe",
+        "  grows BOTH: the benchmark slice is 1% of the replicated corpus).",
+        "  The round-2 rewrite (explode → broadcast hash join, hash table",
+        "  built once per task) replaced a per-row `array_intersect` against",
+        "  the collected benchmark array that this probe exposed as",
+        "  quadratic (48 s at 16×; now ~1.5×).",
+        "* `cms_sketch_estimates` — stream linear, sketch CONSTANT (d·w",
+        "  counters regardless of corpus).",
+        "* `ann_cosine_topk` / `ann_ivf_topk` — the probe grows queries AND",
+        "  corpus k× each, so brute force is O(k²) by construction; IVF's",
+        "  cell pruning keeps the measured growth far below it.",
+        "* `embedding_near_dup` is the block-pair tiled EXACT all-pairs scan:",
+        "  inherently O(n²) work, but fully distributed — per-tile BLAS with",
+        "  only candidate ids leaving each tile, no driver collect, no",
+        "  whole-corpus broadcast; `n_blocks` grows with the corpus so a",
+        "  tile stays executor-sized.  The sub-quadratic rows above are the",
+        "  LSH paths used at scale.",
     ]
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
