@@ -10,6 +10,7 @@ import pytest
 import duckdb_extension_kafquack_spark.operators  # noqa: F401
 import duckdb_extension_kafquack_spark.streaming  # noqa: F401
 import duckdb_extension_kafquack_spark.functions.udf  # noqa: F401
+import duckdb_extension_kafquack_spark.tpch  # noqa: F401
 from duckdb_extension_kafquack_spark.session import TABLES
 from duckdb_extension_kafquack_spark.suite import REGISTRY
 from tests.conftest import SF_DIR

@@ -217,3 +217,40 @@ def test_operators_handle_empty_input(spark):
     for op in (exact_duplicates, minhash_near_duplicates, simhash_signatures,
                quality_scores, fingerprints, vocabulary):
         assert op(empty).count() == 0, op.__name__
+
+
+def test_curation_handles_empty_and_short_docs(spark):
+    """Short docs (< n-gram length) must yield empty gram sets, never the
+    descending-sequence bogus shingles (ADVICE r01); empty inputs flow
+    through every curation op."""
+    from duckdb_extension_kafquack_spark.operators.curation import (
+        contamination_counts,
+        mixture_resample,
+        repetition_scores,
+        scrub_report,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert contamination_counts(empty).count() == 0
+    assert repetition_scores(empty).count() == 0
+    assert scrub_report(empty).count() == 0
+    assert mixture_resample(empty).count() == 0
+
+    short = spark.createDataFrame(
+        [(0, "one two", "en", "s", 7), (1, "a", "en", "s", 1), (97, "x y z", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # doc 0 and 97 are benchmark rows (id % 97 == 0); none has a 4-gram
+    row = contamination_counts(short).collect()[0]
+    assert row.docs_checked == 1 and row.contaminated_docs == 0
+    reps = {r.doc_id: r for r in repetition_scores(short).collect()}
+    assert reps[1].dup_word_frac == 0.0 and reps[1].top_bigram_frac == 0.0
+
+
+def test_events_ops_handle_empty_input(spark):
+    from duckdb_extension_kafquack_spark.operators.events import funnel_stages
+
+    empty = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
+    assert funnel_stages(empty).count() == 0
