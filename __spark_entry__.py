@@ -75,11 +75,30 @@ _R1_DRIVER_VERIFIED = frozenset(
 )
 
 
+# registered new in round 2 — never seen by ANY driver gate yet, so they
+# outrank even the round-1 replica-verified-only queries under a cap
+_R2_NEW = frozenset(
+    {
+        "q4_priority_exists", "q6_forecast_revenue", "q7_volume_shipping",
+        "q8_market_share", "q10_returned_items", "q12_priority_class",
+        "q13_customer_distribution", "q14_promo_revenue", "q17_small_qty_revenue",
+        "q18_large_volume", "q19_disjunctive_revenue", "q21_sole_blame_supplier",
+        "q22_sales_opportunity", "contamination_check", "text_repetition",
+        "pii_scrub", "mixture_resample", "quantile_stats", "heavy_hitters",
+        "funnel_analysis", "retention_cohorts", "gap_fill_locf",
+        "rolling_time_window",
+    }
+)
+
+
 def _driver_order() -> list[str]:
+    """Three tiers: round-2 additions (no driver verdict ever), then
+    round-1 queries the truncated r1 gate missed, then the 50 already
+    driver-verified — every query gets a verdict across rounds even if
+    the gate caps at 50 entries."""
     names = list(suite.REGISTRY)
-    return [n for n in names if n not in _R1_DRIVER_VERIFIED] + [
-        n for n in names if n in _R1_DRIVER_VERIFIED
-    ]
+    tier = lambda n: 0 if n in _R2_NEW else (1 if n not in _R1_DRIVER_VERIFIED else 2)
+    return sorted(names, key=lambda n: (tier(n), names.index(n)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
