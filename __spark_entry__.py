@@ -86,7 +86,7 @@ _R2_NEW = frozenset(
         "q22_sales_opportunity", "contamination_check", "text_repetition",
         "pii_scrub", "mixture_resample", "quantile_stats", "heavy_hitters",
         "funnel_analysis", "retention_cohorts", "gap_fill_locf",
-        "rolling_time_window",
+        "rolling_time_window", "streaming_funnel",
     }
 )
 

@@ -169,6 +169,92 @@ def streaming_kafka_topic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("kafka_topic_stats")
 
 
+FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("funnel_stage", LongType(), False),
+    ]
+)
+
+_FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("stage", LongType(), False),
+        StructField("last_ts", TimestampType(), True),
+    ]
+)
+
+
+def _update_funnel(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    from ..operators.events import FUNNEL_STEPS
+
+    (user_id,) = key
+    stage, last_ts = state.get if state.exists else (0, None)
+    pdf = pd.concat(list(batches), ignore_index=True)
+    # (ts, event_type) order matches the batch fold's sorted struct array,
+    # so tie handling is identical; the strictly-greater guard makes the
+    # walk insensitive to events replayed across micro-batches
+    pdf = pdf.sort_values(["ts", "event_type"], ignore_index=True)
+    for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+        if stage < len(FUNNEL_STEPS) and etype == FUNNEL_STEPS[stage] and (
+            stage == 0 or ts > last_ts
+        ):
+            stage += 1
+            last_ts = ts
+    state.update((stage, last_ts))
+    yield pd.DataFrame({"user_id": [user_id], "funnel_stage": [stage]})
+
+
+def streaming_funnel_stages(events_stream: DataFrame) -> DataFrame:
+    """Incremental funnel tracking: per-user GroupState carries (stage
+    reached, its event time) across micro-batches — the streaming twin
+    of :func:`..operators.events.funnel_stages`.  State is 2 fields per
+    user regardless of event volume; keys partition across executors."""
+    from ..operators.events import FUNNEL_STEPS
+
+    return (
+        events_stream.filter(F.col("event_type").isin(*FUNNEL_STEPS))
+        .select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_funnel,
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _streaming_funnel_oracle() -> str:
+    from ..operators.events import _DUCK_FUNNEL_SQL
+
+    return _DUCK_FUNNEL_SQL
+
+
+@query("streaming_funnel", _streaming_funnel_oracle())
+def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel stages computed by the stateful stream, then rolled up —
+    hash-checked against the same sequential-min SQL oracle as the batch
+    funnel (identical semantics, incremental execution)."""
+    from ..operators.events import FUNNEL_WINDOW
+
+    ev = _events_stream(spark, sf_dir).filter(
+        (F.col("ts") >= F.lit(FUNNEL_WINDOW[0]).cast("timestamp"))
+        & (F.col("ts") < F.lit(FUNNEL_WINDOW[1]).cast("timestamp"))
+    )
+    out = streaming_funnel_stages(ev)
+    run_stream_to_table(out, "streaming_funnel_stages", "update")
+    return (
+        spark.table("streaming_funnel_stages")
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def dedup_within_watermark(kafka_stream: DataFrame, delay: str = "1 hour") -> DataFrame:
     """Effectively-once within the watermark horizon: drop replays of the
     same (topic, partition, offset) — bounded state, unlike a global
