@@ -82,6 +82,15 @@ def ensure_session_conf(spark: SparkSession) -> None:
     PARQUET_TYPE_ILLEGAL; both confs are runtime-settable SQLConfs)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # a bare session defaults to 200 shuffle partitions — on the local
+    # gate that means 200 tasks per stateful-stream micro-batch; size to
+    # the machine (runtime-settable; real clusters keep their own value
+    # via SPARK_GRAFT_CPUS or AQE coalescing)
+    import os as _os
+
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
     # streaming-state confs are read at query START, so setting them on a
     # live session covers the driver's bare SparkSession too
     spark.conf.set(

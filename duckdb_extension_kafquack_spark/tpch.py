@@ -635,3 +635,342 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 (adapted): min-cost supplier per part.  The fixture has no partsupp,
+# so the part↔supplier catalog is DERIVED from lineitem (distinct
+# (l_partkey, l_suppkey), cost = MIN unit price) — same shape as Q2's
+# correlated-min: multi-dim join + per-part min + top-N.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q2_min_cost_supplier",
+    """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT ps.l_partkey, ps.cost, s_acctbal, s_name, n_name
+  FROM ps
+  JOIN supplier ON s_suppkey = ps.l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+), ranked AS (
+  SELECT *, MIN(cost) OVER (PARTITION BY l_partkey) AS min_cost FROM eu
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, cost
+FROM ranked JOIN part ON p_partkey = l_partkey
+WHERE p_size = 15 AND p_type = 'LARGE' AND cost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """Q2's correlated MIN subquery as a window-min over the derived
+    catalog.  MIN is order-independent and each unit price is one IEEE
+    division, so cost = min_cost is bit-identical cross-engine (no
+    rounding needed).  supplier/nation/region and the filtered part are
+    all broadcast; the only shuffle is the catalog groupBy."""
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    ps = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    eu_supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eu = ps.join(F.broadcast(eu_supp), F.col("s_suppkey") == F.col("l_suppkey"))
+    ranked = eu.withColumn(
+        "min_cost", F.min("cost").over(Window.partitionBy("l_partkey"))
+    )
+    parts = t["part"].filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+    return (
+        ranked.filter(F.col("cost") == F.col("min_cost"))
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 (adapted): product-type profit by nation and year.  No ps_supplycost,
+# so cost is proxied by 10% of p_retailprice per unit — identical 6-table
+# join + expression + two-key rollup shape.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q9_product_profit",
+    """
+SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         l_extendedprice * (1 - l_discount) - p_retailprice * 0.1 * l_quantity AS amount
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+""",
+)
+def q9_product_profit(spark, sf_dir):
+    """part is filtered FIRST (LIKE '%red%' prunes ~80%) then broadcast,
+    so lineitem rows for other parts never reach the orders shuffle —
+    the selective dim drives the probe order, as Q9's plan should."""
+    t = _t(spark, sf_dir)
+    parts = t["part"].filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+    )
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.col("p_retailprice") * 0.1 * F.col("l_quantity")
+            ).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 (adapted): important inventory — per-part value vs a global-fraction
+# threshold (scalar subquery).  Value sums run on exact cent integers so
+# the HAVING frontier cannot straddle engines.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q11_important_inventory",
+    """
+WITH val AS (
+  SELECT l_partkey,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS cents
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_7')
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, ROUND(cents / 100.0, 2) AS part_value
+FROM val
+WHERE cents > (SELECT SUM(cents) * 0.001 FROM val)
+ORDER BY part_value DESC, p_partkey
+""",
+)
+def q11_important_inventory(spark, sf_dir):
+    """Q11's HAVING-vs-scalar-subquery: the per-part rollup is computed
+    ONCE and reused for both the threshold and the output (Spark reuses
+    the exchange; the cents sums are exact BIGINTs so > is exact)."""
+    t = _t(spark, sf_dir)
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+        .select("s_suppkey")
+    )
+    val = (
+        t["lineitem"]
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("bigint")
+            ).alias("cents")
+        )
+    )
+    thr = val.agg((F.sum("cents") * 0.001).alias("thr"))
+    return (
+        val.join(F.broadcast(thr))
+        .filter(F.col("cents") > F.col("thr"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("cents") / 100.0, 2).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15: top supplier — revenue view + MAX scalar subquery, exact-cents sums
+# ---------------------------------------------------------------------------
+
+@query(
+    "q15_top_supplier",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, ROUND(cents / 100.0, 2) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE cents = (SELECT MAX(cents) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def q15_top_supplier(spark, sf_dir):
+    """The revenue rollup feeds both the MAX threshold and the output
+    (classic Q15 view reuse); equality on exact cent integers, never on
+    an order-dependent float sum."""
+    t = _t(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("bigint")
+            ).alias("cents")
+        )
+    )
+    mx = rev.agg(F.max("cents").alias("mx"))
+    return (
+        t["supplier"]
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx))
+        .filter(F.col("cents") == F.col("mx"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("cents") / 100.0, 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 (adapted): supplier-part relationship counts — distinct catalog pairs,
+# NOT IN supplier exclusion (negative balance replaces the complaint LIKE),
+# COUNT(DISTINCT) rollup.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q16_supplier_part_counts",
+    """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) psl
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """The distinct catalog is one shuffle on (partkey, suppkey); the
+    NOT IN becomes a broadcast anti-join (supplier is tiny); the
+    COUNT(DISTINCT suppkey) reuses the same key prefix."""
+    t = _t(spark, sf_dir)
+    bad_supp = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25)
+    )
+    psl = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    return (
+        psl.join(
+            F.broadcast(bad_supp), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti"
+        )
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 (adapted): promotion-candidate suppliers — nested IN subqueries:
+# suppliers in two nations who shipped >50% of some red part's 1996 volume.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q20_promotion_suppliers",
+    """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  GROUP BY l_partkey, l_suppkey
+), dominant AS (
+  SELECT l_suppkey FROM (
+    SELECT l_suppkey, qty, SUM(qty) OVER (PARTITION BY l_partkey) AS total_qty
+    FROM shipped
+  ) x WHERE qty > 0.5 * total_qty
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name IN ('NATION_2', 'NATION_11')
+  AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+ORDER BY s_name
+""",
+)
+def q20_promotion_suppliers(spark, sf_dir):
+    """Q20's nested-IN chain: part filter pushed into the fact scan via
+    broadcast semi-join BEFORE the rollup; the >half-of-total test is a
+    window sum over the (small) per-part rollup; quantities are integral
+    doubles so both sums and 0.5× are exact."""
+    from pyspark.sql import Window
+
+    t = _t(spark, sf_dir)
+    red_parts = t["part"].filter(F.col("p_name").like("red%")).select("p_partkey")
+    shipped = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(red_parts), F.col("p_partkey") == F.col("l_partkey"), "left_semi"
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    dominant = (
+        shipped.withColumn(
+            "total_qty", F.sum("qty").over(Window.partitionBy("l_partkey"))
+        )
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .filter(F.col("n_name").isin("NATION_2", "NATION_11"))
+        .join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
