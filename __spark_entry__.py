@@ -86,7 +86,10 @@ _R2_NEW = frozenset(
         "q22_sales_opportunity", "contamination_check", "text_repetition",
         "pii_scrub", "mixture_resample", "quantile_stats", "heavy_hitters",
         "funnel_analysis", "retention_cohorts", "gap_fill_locf",
-        "rolling_time_window", "streaming_funnel",
+        "rolling_time_window", "streaming_funnel", "q2_min_cost_supplier",
+        "q9_product_profit", "q11_important_inventory", "q15_top_supplier",
+        "q16_supplier_part_counts", "q20_promotion_suppliers",
+        "sessionize_events", "anomaly_zscore", "doc_chunking", "sequence_packing",
     }
 )
 

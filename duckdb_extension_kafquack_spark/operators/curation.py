@@ -30,7 +30,7 @@ no boundary row can flip; only order-dependent float AVGs are rounded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import load_tables
@@ -395,4 +395,141 @@ def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: overlapping token windows (context-window prep)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 16  # fixture docs are 8-80 tokens; real pipelines use 512-8192
+CHUNK_STRIDE = 12
+
+
+def _chunk_fp_sql(engine: str) -> str:
+    """Per-doc chunk inventory expressed for either engine: explode the
+    stride-spaced starts, slice the token window, hash its text."""
+    if engine == "spark":
+        return (
+            f"transform(sequence(0, n - 1, {CHUNK_STRIDE}), "
+            f"s -> concat_ws(' ', slice(toks, s + 1, {CHUNK_TOKENS})))"
+        )
+    return (
+        f"list_transform(generate_series(0, n - 1, {CHUNK_STRIDE}), "
+        f"s -> array_to_string(toks[s + 1 : s + {CHUNK_TOKENS}], ' '))"
+    )
+
+
+@query(
+    "doc_chunking",
+    f"""
+WITH sized AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n
+  FROM documents
+), chunked AS (
+  SELECT doc_id, n, unnest({_chunk_fp_sql("duck")}) AS chunk_text
+  FROM sized WHERE n > 0
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       bit_xor(('0x' || substr(md5(chunk_text), 1, 15))::BIGINT) AS chunks_fp,
+       CAST(SUM(len(list_filter(string_split(chunk_text, ' '), t -> t <> ''))) AS BIGINT)
+         AS chunk_tokens
+FROM chunked GROUP BY doc_id
+""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 16, stride 12) — the prep
+    step that turns documents into model-context-sized training rows.
+
+    MAP-ONLY: chunk starts, slices, and hashes all fold per row with
+    higher-order functions (no explode→groupBy round trip shuffling the
+    chunk relation just to regroup it by doc); the per-doc summary
+    (count + order-independent bit_xor fingerprint + token total) pins
+    every chunk's exact text via the md5-60bit hash while keeping output
+    one row per doc.  At 100 TB this runs at scan speed."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    chunks = "chks"
+    per_chunk_hash = (
+        f"transform({chunks}, c -> CAST(conv(substring(md5(c), 1, 15), 16, 10) AS BIGINT))"
+    )
+    per_chunk_tokens = f"transform({chunks}, c -> size(filter(split(c, ' '), t -> t != '')))"
+    return (
+        docs.selectExpr(
+            "doc_id",
+            "filter(split(text, ' '), t -> t != '') AS toks",
+            "size(filter(split(text, ' '), t -> t != '')) AS n",
+        )
+        .filter(F.col("n") > 0)
+        .selectExpr("doc_id", f"{_chunk_fp_sql('spark')} AS {chunks}")
+        .selectExpr(
+            "doc_id",
+            f"CAST(size({chunks}) AS BIGINT) AS n_chunks",
+            f"aggregate({per_chunk_hash}, 0L, (a, h) -> a ^ h) AS chunks_fp",
+            f"CAST(aggregate({per_chunk_tokens}, 0L, (a, c) -> a + c) AS BIGINT) AS chunk_tokens",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concatenate-and-cut context assembly, sharded
+# ---------------------------------------------------------------------------
+
+PACK_CONTEXT = 512  # tokens per packed training sequence
+PACK_SHARDS = 8
+
+
+@query(
+    "sequence_packing",
+    f"""
+WITH sized AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n
+  FROM documents
+), packed AS (
+  SELECT shard, doc_id, n,
+         COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM sized
+)
+SELECT shard, cum_before // {PACK_CONTEXT} AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc,
+       CAST(SUM(n) AS BIGINT) AS n_tokens
+FROM packed GROUP BY shard, cum_before // {PACK_CONTEXT}
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-cut sequence packing: docs stream in doc_id order
+    within a shard, the running token count is cut every PACK_CONTEXT
+    tokens, and each doc is assigned the sequence its first token lands
+    in — how GPT-style training data is actually packed.
+
+    SHARDED on doc_id % 8 so the running-sum window is partitioned
+    (each worker packs its own shard independently; contrast a global
+    ORDER BY window that funnels the corpus through one reducer — the
+    text_vocabulary lesson from round 1).  All-integer arithmetic; the
+    summary is one row per packed sequence."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    sized = docs.selectExpr(
+        "doc_id",
+        f"doc_id % {PACK_SHARDS} AS shard",
+        "CAST(size(filter(split(text, ' '), t -> t != '')) AS BIGINT) AS n",
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sized.withColumn("cum_before", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    return (
+        packed.withColumn("seq_id", F.expr(f"cum_before DIV {PACK_CONTEXT}"))
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum("n").alias("n_tokens"),
+        )
     )

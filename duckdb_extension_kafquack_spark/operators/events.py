@@ -256,3 +256,139 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap-based session assignment (the classic event-stream
+# op the reference's Kafka→SQL users run constantly)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 4 * 3600 * 1_000_000  # 4 h idle gap closes a session
+
+
+@query(
+    "sessionize_events",
+    f"""
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN prev IS NULL OR us - prev > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+), sess AS (
+  SELECT user_id, us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), spans AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         MAX(us) - MIN(us) AS span_us
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(span_us) AS BIGINT) / (COUNT(*) * 1000000.0) AS avg_session_secs
+FROM spans GROUP BY user_id
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a >4h idle gap starts a new session.
+
+    ONE shuffle (partitionBy user) serves both windows — the lag and the
+    running session counter share the same (user_id, ts) sort, so Spark
+    plans a single Exchange + Sort + two Window ops.  Per-user summary
+    keeps the output bounded.  avg_session_secs is ONE division of an
+    exact integer micro sum — bit-identical cross-engine (never an
+    order-dependent float AVG)."""
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    ).withColumn(
+        "new_sess",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).alias("span_us"),
+    )
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        (F.sum("span_us") / (F.count(F.lit(1)) * 1000000.0)).alias("avg_session_secs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anomaly detection: per-type daily z-scores on exact milli-unit sums
+# ---------------------------------------------------------------------------
+
+ZSCORE_THRESHOLD = 1.5
+
+
+@query(
+    "anomaly_zscore",
+    f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS milli
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), stats AS (
+  SELECT event_type, CAST(SUM(milli) AS BIGINT) AS s,
+         CAST(SUM(milli * milli) AS BIGINT) AS s2, COUNT(*) AS n
+  FROM daily GROUP BY event_type
+), scored AS (
+  SELECT event_type, day, milli / 1000.0 AS daily_value,
+         (CAST(milli AS DOUBLE) - CAST(s AS DOUBLE) / n)
+           / sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)) AS z
+  FROM daily JOIN stats USING (event_type)
+)
+SELECT event_type, day, daily_value, z FROM scored WHERE ABS(z) > {ZSCORE_THRESHOLD}
+""",
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-total outliers per event type (|z| > 1.5).
+
+    The daily totals are EXACT milli-unit BIGINTs (float SUM order never
+    matters), the per-type mean/stddev derive from exact integer
+    (sum, sum-of-squares, n) — so z itself is a fixed sequence of IEEE
+    ops on identical inputs and the |z| frontier cannot straddle
+    engines.  Plan: two partial+final aggs + a broadcast join of the
+    tiny per-type stats back onto the daily relation; at 100 TB the
+    daily rollup is the only fact-sized shuffle."""
+    events = load_tables(spark, sf_dir)["events"]
+    daily = (
+        events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("milli")
+        )
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.sum("milli").alias("s"),
+        F.sum(F.col("milli") * F.col("milli")).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    s_d = F.col("s").cast("double")
+    z = (F.col("milli").cast("double") - s_d / F.col("n")) / F.sqrt(
+        (F.col("s2").cast("double") - s_d * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            (F.col("milli") / 1000.0).alias("daily_value"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > ZSCORE_THRESHOLD)
+    )
