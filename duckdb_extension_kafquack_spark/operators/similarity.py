@@ -219,79 +219,87 @@ IVF_CENTROIDS = 16  # deterministic "trained" centroids: vec_id < 16
 IVF_PROBES = 2
 
 
-def ivf_assign(embeddings: DataFrame, centroids: DataFrame, n_probe: int = 1) -> DataFrame:
-    """Assign each vector to its ``n_probe`` nearest centroid cells.
+def _collect_codebook(embeddings: DataFrame) -> list[tuple[int, list[float], float]]:
+    """Collect the trained centroid codebook to the driver ONCE at query
+    construction.  This is NOT the driver-collect anti-pattern: an IVF
+    codebook is a query-time CONSTANT (trained offline, KBs — here the
+    deterministic vec_id < 16 slice), exactly like the SRP hyperplanes
+    above.  Inlining it as literals deletes two centroid-subplan
+    executions and two broadcast exchanges from every run of the query.
 
-    IVF = coarse quantization: the corpus is partitioned into cells by
-    nearest centroid; queries probe the few nearest cells.  At 100 TB
-    the cell id becomes the table's partition/bucket key so a query
-    touches only its cells' files — here it's the join key.
-    """
-    c = centroids.select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cent_emb"),
-        _norm_col("embedding").alias("cent_n"),
+    The norm is computed with the same left-associated IEEE double fold
+    as the unrolled SQL dot product, so literal norms are bit-identical
+    to ``_norm_col`` of the same vector."""
+    import math
+
+    rows = (
+        embeddings.filter(F.col("vec_id") < IVF_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    scored = embeddings.select(
+    book = []
+    for r in sorted(rows, key=lambda r: r.vec_id):
+        vec = [float(x) for x in r.embedding]
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        book.append((int(r.vec_id), vec, math.sqrt(acc)))
+    return book
+
+
+def _lit(v: float) -> str:
+    """Exact double literal: repr() is shortest-roundtrip, and Spark's
+    string→double cast (Double.parseDouble) recovers the identical bits;
+    Catalyst constant-folds the cast so runtime cost is zero."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _lit_dot(vec_col: str, vec: list[float]) -> str:
+    """Unrolled left-associated dot of a column against literal weights —
+    same accumulation order as :func:`_dot_sql`, fully codegen'd."""
+    return " + ".join(
+        f"(CAST({vec_col}[{i}] AS DOUBLE) * {_lit(v)})" for i, v in enumerate(vec)
+    )
+
+
+def _assign_cells_literal(
+    df: DataFrame, codebook: list[tuple[int, list[float], float]]
+) -> DataFrame:
+    """(vec_id, embedding, vn, cell1, cell2): nearest and second-nearest
+    centroid per vector against the LITERAL codebook — scan-speed
+    whole-stage codegen, zero shuffle, zero extra jobs (contrast the
+    fold-over-broadcast-row formulation: HOF folds are interpreted
+    per-element and the codebook subplan re-executes per action).
+
+    Tie-breaks match the oracle's ROW_NUMBER(ORDER BY cos DESC, cent_id):
+    ``greatest`` + first-match CASE keeps the smallest cent_id among
+    equal cosines for both slots."""
+    ids = [cid for cid, _, _ in codebook]
+    d = [f"d{j}" for j in range(len(codebook))]
+    scored = df.select(
         "vec_id", "embedding", _norm_col("embedding").alias("vn")
-    ).join(F.broadcast(c)).select(
+    ).selectExpr(
         "vec_id",
         "embedding",
-        "cent_id",
-        _fast_cos("embedding", "cent_emb", "vn", "cent_n").alias("cos"),
+        "vn",
+        *[
+            f"(({_lit_dot('embedding', vec)}) / (vn * {_lit(cn)})) AS {d[j]}"
+            for j, (_, vec, cn) in enumerate(codebook)
+        ],
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id"))
-    return (
-        scored.withColumn("cell_rank", F.row_number().over(w))
-        .filter(F.col("cell_rank") <= n_probe)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+    best1 = scored.selectExpr("*", f"greatest({', '.join(d)}) AS b1")
+    cell1 = " ".join(f"WHEN {dj} = b1 THEN {cid}L" for dj, cid in zip(d, ids))
+    masked = ", ".join(
+        f"IF({cid}L = cell1, CAST('-2.0' AS DOUBLE), {dj})" for dj, cid in zip(d, ids)
     )
-
-
-def _cents_row(centroids: DataFrame) -> DataFrame:
-    """The trained centroids collected into ONE row as a cent_id-sorted
-    struct array (executor-side collect_list → broadcast): tiny by
-    definition (IVF codebooks are KBs), so cell assignment can fold over
-    it map-side instead of shuffling corpus×centroids through a window."""
-    return centroids.select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cemb"),
-        _norm_col("embedding").alias("cn"),
-    ).agg(F.array_sort(F.collect_list(F.struct("cent_id", "cemb", "cn"))).alias("cents"))
-
-
-def _assign_cells_mapside(df: DataFrame, cents_row: DataFrame, n_probe: int) -> DataFrame:
-    """(vec_id, embedding, cell[, cell2]): nearest (and second-nearest
-    when n_probe=2) centroid per vector, computed with a per-row fold —
-    NO shuffle, unlike the explode→window formulation whose exchange of
-    corpus×centroids rows dominates at scale.  Tie-breaks match the
-    window's (cos DESC, cent_id ASC): the fold walks cent_id ascending
-    and replaces only on strictly-greater cosine."""
-    assert n_probe in (1, 2)
-    scored_arr = (
-        "transform(cents, c -> named_struct("
-        f"'cos', ({_dot_sql('embedding', 'c.cemb')}) / (vn * c.cn), "
-        "'cid', c.cent_id))"
+    with1 = best1.selectExpr("*", f"(CASE {cell1} END) AS cell1")
+    with2 = with1.selectExpr("*", f"greatest({masked}) AS b2")
+    cell2 = " ".join(
+        f"WHEN {cid}L != cell1 AND {dj} = b2 THEN {cid}L" for dj, cid in zip(d, ids)
     )
-    top2 = (
-        f"aggregate({scored_arr}, "
-        "named_struct('b1', CAST(-2.0 AS DOUBLE), 'c1', -1L, "
-        "'b2', CAST(-2.0 AS DOUBLE), 'c2', -1L), "
-        "(acc, s) -> CASE "
-        "WHEN s.cos > acc.b1 THEN named_struct('b1', s.cos, 'c1', s.cid, 'b2', acc.b1, 'c2', acc.c1) "
-        "WHEN s.cos > acc.b2 THEN named_struct('b1', acc.b1, 'c1', acc.c1, 'b2', s.cos, 'c2', s.cid) "
-        "ELSE acc END)"
+    return with2.selectExpr(
+        "vec_id", "embedding", "vn", "cell1", f"(CASE {cell2} END) AS cell2"
     )
-    base = df.select(
-        "vec_id", "embedding", _norm_col("embedding").alias("vn")
-    ).join(F.broadcast(cents_row))
-    if n_probe == 1:
-        return base.selectExpr("vec_id", "embedding", "vn", f"{top2}.c1 AS cell")
-    return base.selectExpr(
-        "vec_id", "embedding", "vn", f"{top2} AS t2"
-    ).selectExpr(
-        "vec_id", "embedding", "vn", "explode(array(t2.c1, t2.c2)) AS cell"
-    ).filter(F.col("cell") >= 0)
 
 
 def ivf_topk(
