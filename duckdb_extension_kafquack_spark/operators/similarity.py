@@ -272,33 +272,30 @@ def _assign_cells_literal(
     per-element and the codebook subplan re-executes per action).
 
     Tie-breaks match the oracle's ROW_NUMBER(ORDER BY cos DESC, cent_id):
-    ``greatest`` + first-match CASE keeps the smallest cent_id among
-    equal cosines for both slots."""
-    ids = [cid for cid, _, _ in codebook]
-    d = [f"d{j}" for j in range(len(codebook))]
-    scored = df.select(
-        "vec_id", "embedding", _norm_col("embedding").alias("vn")
-    ).selectExpr(
-        "vec_id",
-        "embedding",
-        "vn",
-        *[
-            f"(({_lit_dot('embedding', vec)}) / (vn * {_lit(cn)})) AS {d[j]}"
-            for j, (_, vec, cn) in enumerate(codebook)
-        ],
+    ``array_sort`` over ``struct(-cos, cent_id)`` sorts cos descending,
+    cent_id ascending on exact-double ties, for both slots.
+
+    Each per-centroid distance expression is referenced exactly ONCE
+    (inside the sorted array).  Do NOT reformulate as chained
+    greatest/CASE selectExprs that re-reference earlier aliases —
+    CollapseProject inlines aliases at every use site, and nested
+    re-references blow the expression tree up multiplicatively (the
+    round-2 formulation hung Catalyst for >10 min on dim=64 x 16
+    centroids)."""
+    entries = ", ".join(
+        f"struct(-(({_lit_dot('embedding', vec)}) / (vn * {_lit(cn)})) AS negcos,"
+        f" {cid}L AS cid)"
+        for cid, vec, cn in codebook
     )
-    best1 = scored.selectExpr("*", f"greatest({', '.join(d)}) AS b1")
-    cell1 = " ".join(f"WHEN {dj} = b1 THEN {cid}L" for dj, cid in zip(d, ids))
-    masked = ", ".join(
-        f"IF({cid}L = cell1, CAST('-2.0' AS DOUBLE), {dj})" for dj, cid in zip(d, ids)
-    )
-    with1 = best1.selectExpr("*", f"(CASE {cell1} END) AS cell1")
-    with2 = with1.selectExpr("*", f"greatest({masked}) AS b2")
-    cell2 = " ".join(
-        f"WHEN {cid}L != cell1 AND {dj} = b2 THEN {cid}L" for dj, cid in zip(d, ids)
-    )
-    return with2.selectExpr(
-        "vec_id", "embedding", "vn", "cell1", f"(CASE {cell2} END) AS cell2"
+    return (
+        df.select("vec_id", "embedding", _norm_col("embedding").alias("vn"))
+        .selectExpr(
+            "vec_id", "embedding", "vn", f"array_sort(array({entries})) AS cells"
+        )
+        .selectExpr(
+            "vec_id", "embedding", "vn",
+            "cells[0].cid AS cell1", "cells[1].cid AS cell2",
+        )
     )
 
 
@@ -317,19 +314,24 @@ def ivf_topk(
     final per-query top-k).  With corpus n_probe=1 a (query, neighbor)
     pair can only arise in the neighbor's single cell, so no distinct
     is needed."""
-    cents = embeddings.filter(F.col("vec_id") < IVF_CENTROIDS)
-    crow = _cents_row(cents)
-    corpus = _assign_cells_mapside(embeddings, crow, n_probe=1).select(
+    if n_probe > IVF_PROBES:
+        raise ValueError(f"n_probe must be <= {IVF_PROBES}")
+    book = _collect_codebook(embeddings)
+    corpus = _assign_cells_literal(embeddings, book).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         F.col("vn").alias("cn"),
-        "cell",
+        F.col("cell1").alias("cell"),
     )
-    probes = _assign_cells_mapside(queries, crow, n_probe=n_probe).select(
+    probed = _assign_cells_literal(queries, book)
+    probe_cell = (
+        F.explode(F.array("cell1", "cell2")) if n_probe == 2 else F.col("cell1")
+    )
+    probes = probed.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("vn").alias("qn"),
-        "cell",
+        probe_cell.alias("cell"),
     )
     scored = (
         corpus.join(F.broadcast(probes), "cell")
@@ -462,7 +464,11 @@ def embedding_near_duplicates(
         import pandas as pd
 
         i, j = key
+        empty = pd.DataFrame({"id1": pd.array([], dtype="int64"),
+                              "id2": pd.array([], dtype="int64")})
         a = pdf[pdf["side"] == 0]
+        if len(a) == 0:  # a vec_id % n_blocks block can be empty
+            return empty
         a_ids = a["vec_id"].to_numpy()
         a_mat = np.vstack(a["embedding"].to_numpy()).astype(np.float64)
         a_sims = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
@@ -472,6 +478,8 @@ def embedding_near_duplicates(
             id1, id2 = a_ids[r], a_ids[c]
         else:
             c_rows = pdf[pdf["side"] == 1]
+            if len(c_rows) == 0:
+                return empty
             c_ids = c_rows["vec_id"].to_numpy()
             c_mat = np.vstack(c_rows["embedding"].to_numpy()).astype(np.float64)
             sims = a_sims @ (c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)).T
