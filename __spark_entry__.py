@@ -49,58 +49,45 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Queries the round-1 driver gate verified (CORRECTNESS_r01.json held exactly
-# the FIRST 50 registry entries — the gate truncated there).  We order the
-# driver-facing dicts so not-yet-verified queries come first: under a count
-# cap every query gets a driver verdict across rounds, and under a time
-# budget the unverified ones are checked before any budget runs out.
-_R1_DRIVER_VERIFIED = frozenset(
-    {
-        "kafka_messages_batch", "kafka_value_counts", "kafka_error_invariant",
-        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-        "filter_project", "semi_join", "anti_join", "range_join", "asof_join",
-        "deterministic_sample", "stratified_sample", "outer_joins",
-        "unpivot_melt", "window_ranking_extras", "window_funcs",
-        "topk_per_group", "rollup_agg", "cube_agg", "grouping_sets",
-        "distinct_agg", "approx_distinct", "set_ops", "set_ops_all",
-        "sort_merge_join", "map_funcs", "json_scalar", "stats_agg",
-        "minmax_by", "regexp_funcs", "null_funcs", "scalar_subquery",
-        "math_funcs", "array_funcs", "pivot_agg", "sort_limit_offset",
-        "string_date_funcs", "dedup_exact", "dedup_minhash_lsh",
-        "dedup_clusters", "dedup_simhash", "dedup_simhash_hamming",
-        "dedup_ngram_jaccard", "interval_join_bucketed", "asof_join_forward",
-        "multimodal_frame_sample", "multimodal_meta", "text_langid",
-        "text_quality",
-    }
-)
+def _latest_driver_verdicts() -> dict[str, dict]:
+    """Latest per-query verdict across every committed CORRECTNESS_r*.json.
 
+    The driver gate caps at 50 queries/round; ordering the driver-facing
+    dicts by verdict freshness means every registered query gets a
+    verdict across rounds instead of the same 50 being re-checked."""
+    import glob
+    import json
 
-# registered new in round 2 — never seen by ANY driver gate yet, so they
-# outrank even the round-1 replica-verified-only queries under a cap
-_R2_NEW = frozenset(
-    {
-        "q4_priority_exists", "q6_forecast_revenue", "q7_volume_shipping",
-        "q8_market_share", "q10_returned_items", "q12_priority_class",
-        "q13_customer_distribution", "q14_promo_revenue", "q17_small_qty_revenue",
-        "q18_large_volume", "q19_disjunctive_revenue", "q21_sole_blame_supplier",
-        "q22_sales_opportunity", "contamination_check", "text_repetition",
-        "pii_scrub", "mixture_resample", "quantile_stats", "heavy_hitters",
-        "funnel_analysis", "retention_cohorts", "gap_fill_locf",
-        "rolling_time_window", "streaming_funnel", "q2_min_cost_supplier",
-        "q9_product_profit", "q11_important_inventory", "q15_top_supplier",
-        "q16_supplier_part_counts", "q20_promotion_suppliers",
-        "sessionize_events", "anomaly_zscore", "doc_chunking", "sequence_packing",
-    }
-)
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                latest.update(json.load(f))
+        except Exception:  # noqa: BLE001 — a malformed file must not break the gate
+            continue
+    return latest
 
 
 def _driver_order() -> list[str]:
-    """Three tiers: round-2 additions (no driver verdict ever), then
-    round-1 queries the truncated r1 gate missed, then the 50 already
-    driver-verified — every query gets a verdict across rounds even if
-    the gate caps at 50 entries."""
+    """Three tiers from the committed driver verdicts:
+
+    0. never driver-sampled (no verdict in any CORRECTNESS file);
+    1. latest verdict red (err, or any *_match false) — re-check fixes;
+    2. latest verdict green — re-verify last, only if budget remains.
+    """
+    verdicts = _latest_driver_verdicts()
     names = list(suite.REGISTRY)
-    tier = lambda n: 0 if n in _R2_NEW else (1 if n not in _R1_DRIVER_VERIFIED else 2)
+
+    def tier(n: str) -> int:
+        v = verdicts.get(n)
+        if v is None:
+            return 0
+        green = v.get("err") is None and all(
+            v.get(k) is not False for k in ("rows_match", "schema_match", "hash_match")
+        )
+        return 2 if green else 1
+
     return sorted(names, key=lambda n: (tier(n), names.index(n)))
 
 

@@ -494,11 +494,11 @@ WITH sized AS (
            AS cum_before
   FROM sized
 )
-SELECT shard, cum_before // {PACK_CONTEXT} AS seq_id,
+SELECT shard, CAST(cum_before // {PACK_CONTEXT} AS BIGINT) AS seq_id,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        MIN(doc_id) AS first_doc,
        CAST(SUM(n) AS BIGINT) AS n_tokens
-FROM packed GROUP BY shard, cum_before // {PACK_CONTEXT}
+FROM packed GROUP BY shard, CAST(cum_before // {PACK_CONTEXT} AS BIGINT)
 """,
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,19 +103,38 @@ def ensure_session_conf(spark: SparkSession) -> None:
     )
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table, normalizing types to the logical schema.
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to Spark TIMESTAMP regardless of the
+    fixture's physical parquet layout.  Two layouts have shipped:
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) → arrives as long ns under
-    ``nanosAsLong``; convert with integer division (ns values ~1.7e18
-    overflow double precision) to µs, exactly what DuckDB does on read.
+    * TIMESTAMP(NANOS) → long ns under ``nanosAsLong`` → integer-divide
+      to µs (ns values ~1.7e18 overflow double precision), exactly what
+      DuckDB does on read;
+    * timestamp[us] with isAdjustedToUTC=false → Spark TIMESTAMP_NTZ →
+      cast to TIMESTAMP (session TZ is UTC, so the cast is
+      wall-clock-preserving and matches DuckDB's naive read).
+
+    Every reader of events — batch ``read_table`` AND the streaming
+    ``readStream`` paths — must route through this, since ``unix_micros``
+    and ``withWatermark`` both reject TIMESTAMP_NTZ.
     """
-    ensure_session_conf(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
         ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, normalizing types to the logical schema
+    (see :func:`normalize_event_ts` for the ``events.ts`` rules)."""
+    ensure_session_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

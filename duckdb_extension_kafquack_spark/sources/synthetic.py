@@ -18,17 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import read_table
+from ..session import normalize_event_ts, read_table
 from .kafka import KAFKA_MESSAGE_SCHEMA
 
 
 def _normalize_ts(events: DataFrame) -> DataFrame:
-    """ns-long → µs timestamp (see session.read_table)."""
-    if dict(events.dtypes).get("ts") == "bigint":
-        events = events.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
-        )
-    return events
+    """ns-long or TIMESTAMP_NTZ → TIMESTAMP (see session.normalize_event_ts)."""
+    return normalize_event_ts(events)
 
 
 def _project(events: DataFrame, topic: str) -> DataFrame:

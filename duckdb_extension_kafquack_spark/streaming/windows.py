@@ -143,7 +143,7 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..session import ensure_session_conf
+    from ..session import ensure_session_conf, normalize_event_ts
 
     ensure_session_conf(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -153,9 +153,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long")))
-    return ev
+    # withWatermark rejects both bigint and TIMESTAMP_NTZ event time —
+    # normalize exactly like the batch reader (session.normalize_event_ts)
+    return normalize_event_ts(ev)
 
 
 def run_stream_to_table(df: DataFrame, name: str, mode: str = "complete") -> None:

@@ -311,8 +311,10 @@ def test_checkpoint_resume_with_rocksdb_state(spark, tmp_path):
     schema = spark.read.parquet(str(src / "events_a.parquet")).schema
 
     def run_once(qname):
+        from duckdb_extension_kafquack_spark.session import normalize_event_ts
+
         ev = spark.readStream.schema(schema).parquet(str(src))
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long")))
+        ev = normalize_event_ts(ev)
         agg = (
             ev.withWatermark("ts", "30 days")
             .groupBy("event_type")

@@ -43,6 +43,18 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     a, b = _canon(spark_pdf), _canon(duck_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # the driver stringifies before hashing, so int64 1 vs float64 1.0
+        # ("1" vs "1.0") is a driver FAIL even when numerically equal —
+        # an int-vs-float dtype split (usually an uncast DuckDB HUGEINT
+        # sum) must fail locally too, not slip through the float path
+        if pd.api.types.is_float_dtype(av) != pd.api.types.is_float_dtype(bv) and (
+            pd.api.types.is_integer_dtype(av) or pd.api.types.is_integer_dtype(bv)
+        ):
+            problems.append(
+                f"col {c}: dtype mismatch spark={av.dtype} duck={bv.dtype} "
+                "(driver hash stringifies: int 1 != float 1.0 — cast the oracle)"
+            )
+            continue
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             aa = pd.to_numeric(av, errors="coerce")
             bb = pd.to_numeric(bv, errors="coerce")
