@@ -219,82 +219,62 @@ IVF_CENTROIDS = 16  # deterministic "trained" centroids: vec_id < 16
 IVF_PROBES = 2
 
 
-def _collect_codebook(embeddings: DataFrame) -> list[tuple[int, list[float], float]]:
-    """Collect the trained centroid codebook to the driver ONCE at query
-    construction.  This is NOT the driver-collect anti-pattern: an IVF
-    codebook is a query-time CONSTANT (trained offline, KBs — here the
-    deterministic vec_id < 16 slice), exactly like the SRP hyperplanes
-    above.  Inlining it as literals deletes two centroid-subplan
-    executions and two broadcast exchanges from every run of the query.
-
-    The norm is computed with the same left-associated IEEE double fold
-    as the unrolled SQL dot product, so literal norms are bit-identical
-    to ``_norm_col`` of the same vector."""
-    import math
-
-    rows = (
-        embeddings.filter(F.col("vec_id") < IVF_CENTROIDS)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    book = []
-    for r in sorted(rows, key=lambda r: r.vec_id):
-        vec = [float(x) for x in r.embedding]
-        acc = 0.0
-        for x in vec:
-            acc += x * x
-        book.append((int(r.vec_id), vec, math.sqrt(acc)))
-    return book
-
-
-def _lit(v: float) -> str:
-    """Exact double literal: repr() is shortest-roundtrip, and Spark's
-    string→double cast (Double.parseDouble) recovers the identical bits;
-    Catalyst constant-folds the cast so runtime cost is zero."""
-    return f"CAST('{v!r}' AS DOUBLE)"
-
-
-def _lit_dot(vec_col: str, vec: list[float]) -> str:
-    """Unrolled left-associated dot of a column against literal weights —
-    same accumulation order as :func:`_dot_sql`, fully codegen'd."""
-    return " + ".join(
-        f"(CAST({vec_col}[{i}] AS DOUBLE) * {_lit(v)})" for i, v in enumerate(vec)
+def _centroids(embeddings: DataFrame) -> DataFrame:
+    """The trained codebook as a 16-row DataFrame (deterministic
+    ``vec_id < IVF_CENTROIDS`` slice stands in for an offline-trained
+    codebook), with centroid norms precomputed once."""
+    return embeddings.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+        _norm_col("embedding").alias("cn"),
     )
 
 
-def _assign_cells_literal(
-    df: DataFrame, codebook: list[tuple[int, list[float], float]]
-) -> DataFrame:
+def _assign_cells(df: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, embedding, vn, cell1, cell2): nearest and second-nearest
-    centroid per vector against the LITERAL codebook — scan-speed
-    whole-stage codegen, zero shuffle, zero extra jobs (contrast the
-    fold-over-broadcast-row formulation: HOF folds are interpreted
-    per-element and the codebook subplan re-executes per action).
+    centroid per vector via broadcast NLJ against the 16-row codebook +
+    a vec_id aggregate.
+
+    Why this shape (vs literal-inlined codebook dots, round 3): the
+    per-pair cosine is the O(dim) column-vs-column unrolled dot — the
+    same codegen'd kernel the brute-force scorer uses — instead of
+    dim x centroids literal terms.  The literal formulation produced
+    ~1k-node expression trees that Catalyst re-traversed at every AQE
+    stage and serialized into 8 MiB task binaries; it benchmarked 5x
+    slower end-to-end despite being "zero shuffle".
+
+    The groupBy is cheap at any scale: partial aggregation collapses the
+    16x NLJ expansion back to ONE row per vector map-side (each vector's
+    16 candidate rows are produced consecutively in the same partition),
+    so the exchange carries one row per vector — the same volume as the
+    scan itself.
 
     Tie-breaks match the oracle's ROW_NUMBER(ORDER BY cos DESC, cent_id):
-    ``array_sort`` over ``struct(-cos, cent_id)`` sorts cos descending,
-    cent_id ascending on exact-double ties, for both slots.
-
-    Each per-centroid distance expression is referenced exactly ONCE
-    (inside the sorted array).  Do NOT reformulate as chained
-    greatest/CASE selectExprs that re-reference earlier aliases —
-    CollapseProject inlines aliases at every use site, and nested
-    re-references blow the expression tree up multiplicatively (the
-    round-2 formulation hung Catalyst for >10 min on dim=64 x 16
-    centroids)."""
-    entries = ", ".join(
-        f"struct(-(({_lit_dot('embedding', vec)}) / (vn * {_lit(cn)})) AS negcos,"
-        f" {cid}L AS cid)"
-        for cid, vec, cn in codebook
+    ``sort_array`` over ``struct(-cos, cent_id)`` sorts cos descending,
+    cent_id ascending on exact-double ties."""
+    v = df.select("vec_id", "embedding", _norm_col("embedding").alias("vn"))
+    paired = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "vn",
+        F.struct(
+            (-_fast_cos("embedding", "cent_emb", "vn", "cn")).alias("negcos"),
+            F.col("cent_id").alias("cid"),
+        ).alias("s"),
     )
     return (
-        df.select("vec_id", "embedding", _norm_col("embedding").alias("vn"))
-        .selectExpr(
-            "vec_id", "embedding", "vn", f"array_sort(array({entries})) AS cells"
+        paired.groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.first("vn").alias("vn"),
+            F.sort_array(F.collect_list("s")).alias("cells"),
         )
-        .selectExpr(
-            "vec_id", "embedding", "vn",
-            "cells[0].cid AS cell1", "cells[1].cid AS cell2",
+        .select(
+            "vec_id",
+            "embedding",
+            "vn",
+            F.col("cells")[0]["cid"].alias("cell1"),
+            F.col("cells")[1]["cid"].alias("cell2"),
         )
     )
 
@@ -308,22 +288,22 @@ def ivf_topk(
     """IVF approximate top-k: corpus assigned to 1 cell each, queries
     probe ``n_probe`` cells; candidates = same-cell rows only.
 
-    Physical shape: centroid codebook → one broadcast row; corpus
-    assignment is a map-side fold (zero shuffle — the corpus flows
-    scan→assign→bucket-join→score→partial-top-k with ONE exchange, the
-    final per-query top-k).  With corpus n_probe=1 a (query, neighbor)
-    pair can only arise in the neighbor's single cell, so no distinct
-    is needed."""
-    if n_probe > IVF_PROBES:
-        raise ValueError(f"n_probe must be <= {IVF_PROBES}")
-    book = _collect_codebook(embeddings)
-    corpus = _assign_cells_literal(embeddings, book).select(
+    Physical shape: 16-row codebook broadcast to both sides; cell
+    assignment is broadcast-NLJ + map-side partial aggregate (exchange
+    volume = one row per vector); candidates come from a broadcast hash
+    join on cell.  With corpus n_probe=1 a (query, neighbor) pair can
+    only arise in the neighbor's single cell, so no distinct is
+    needed."""
+    if not 1 <= n_probe <= IVF_PROBES:
+        raise ValueError(f"n_probe must be between 1 and {IVF_PROBES}")
+    cents = _centroids(embeddings)
+    corpus = _assign_cells(embeddings, cents).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         F.col("vn").alias("cn"),
         F.col("cell1").alias("cell"),
     )
-    probed = _assign_cells_literal(queries, book)
+    probed = _assign_cells(queries, cents)
     probe_cell = (
         F.explode(F.array("cell1", "cell2")) if n_probe == 2 else F.col("cell1")
     )

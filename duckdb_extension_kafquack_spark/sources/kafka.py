@@ -150,6 +150,61 @@ def _offset_bound_options(
     return opts
 
 
+def _parse_broker_list(brokers: str) -> list[tuple[str, int]]:
+    """``"host1:9092,host2:9093"`` → ``[("host1", 9092), ("host2", 9093)]``.
+    Port defaults to 9092 (librdkafka's metadata.broker.list default)."""
+    out: list[tuple[str, int]] = []
+    for entry in brokers.split(","):
+        entry = entry.strip()
+        if not entry:
+            continue
+        host, sep, port = entry.rpartition(":")
+        if sep and port.isdigit():
+            out.append((host, int(port)))
+        else:
+            out.append((entry, 9092))
+    if not out:
+        raise ValueError("Failed to create Kafka consumer: no brokers specified")
+    return out
+
+
+def validate_broker_connection(
+    brokers: str, *, timeout: float = 5.0, connect=None
+) -> None:
+    """Bind-time broker reachability check — parity with the reference's
+    eager consumer construction (kafquack_extension.cpp:112-129): there,
+    an unreachable broker is a *plan-time* InvalidInputException
+    ("Failed to create Kafka consumer: %s", cpp:128), not a deferred
+    task failure.  Spark's Kafka source is lazy (nothing touches the
+    broker until ``.load()`` plans offsets), so ``kafka_consumer(...,
+    validate_connection=True)`` opts into the reference's fail-at-bind
+    behavior.
+
+    ``connect`` is injectable (defaults to ``socket.create_connection``)
+    so the error path tests without a broker.  One reachable broker is
+    enough — librdkafka also bootstraps from any live entry.
+    """
+    import socket
+
+    if connect is None:
+        connect = socket.create_connection
+    errors: list[str] = []
+    for host, port in _parse_broker_list(brokers):
+        try:
+            conn = connect((host, port), timeout)
+        except OSError as e:
+            errors.append(f"{host}:{port}: {e}")
+            continue
+        try:
+            conn.close()
+        except Exception:  # noqa: BLE001 — reachability already proven
+            pass
+        return
+    raise ConnectionError(
+        "Failed to create Kafka consumer: " + "; ".join(errors)
+    )
+
+
 def _subscribe_option(topic, is_pattern: bool) -> tuple[str, str]:
     """Superset of the reference's single-topic subscribe (cpp:126): a
     list subscribes to several topics, ``is_pattern`` to a regex."""
@@ -174,6 +229,7 @@ def kafka_consumer(
     max_offsets_per_trigger: int | None = None,
     min_partitions: int | None = None,
     keep_raw: bool = False,
+    validate_connection: bool = False,
     **named_params: Any,
 ) -> DataFrame:
     """The reference's table function as a DataFrame constructor.
@@ -201,6 +257,9 @@ def kafka_consumer(
     )
     if mode not in ("stream", "batch"):
         raise ValueError("mode must be either stream or batch")
+    if validate_connection:
+        # reference parity: fail at bind, not at first poll (cpp:112-129)
+        validate_broker_connection(brokers)
 
     subscribe_opt, subscribe_val = _subscribe_option(topic, topic_is_pattern)
 

@@ -59,6 +59,88 @@ class TestBindValidation:
         assert _validate_options(None, None, None, None, {}) == {}
 
 
+class TestValidateConnection:
+    """Bind-time broker ping parity (kafquack_extension.cpp:112-129):
+    the reference constructs + subscribes its consumer at bind, so an
+    unreachable broker is a plan-time error with the verbatim text
+    'Failed to create Kafka consumer: %s' (cpp:128).  The helper takes
+    an injectable connect so it tests without a broker."""
+
+    def test_parse_broker_list(self):
+        from duckdb_extension_kafquack_spark.sources.kafka import _parse_broker_list
+
+        assert _parse_broker_list("h1:9092, h2:19092") == [("h1", 9092), ("h2", 19092)]
+        assert _parse_broker_list("h1") == [("h1", 9092)]
+
+    def test_parse_broker_list_empty(self):
+        from duckdb_extension_kafquack_spark.sources.kafka import _parse_broker_list
+
+        with pytest.raises(ValueError, match="Failed to create Kafka consumer"):
+            _parse_broker_list(" , ")
+
+    def test_unreachable_raises_reference_text(self):
+        from duckdb_extension_kafquack_spark.sources.kafka import (
+            validate_broker_connection,
+        )
+
+        def refuse(addr, timeout):
+            raise OSError("Connection refused")
+
+        with pytest.raises(
+            ConnectionError, match="Failed to create Kafka consumer: .*Connection refused"
+        ) as ei:
+            validate_broker_connection("b1:9092,b2:9092", connect=refuse)
+        # every broker's failure is reported, librdkafka-style
+        assert "b1:9092" in str(ei.value) and "b2:9092" in str(ei.value)
+
+    def test_one_reachable_broker_suffices(self):
+        from duckdb_extension_kafquack_spark.sources.kafka import (
+            validate_broker_connection,
+        )
+
+        calls = []
+
+        class FakeConn:
+            def close(self):
+                pass
+
+        def connect(addr, timeout):
+            calls.append(addr)
+            if addr[0] == "dead":
+                raise OSError("Connection refused")
+            return FakeConn()
+
+        validate_broker_connection("dead:9092,live:9092", connect=connect)
+        assert calls == [("dead", 9092), ("live", 9092)]
+
+    def test_kafka_consumer_validates_at_bind(self, spark, monkeypatch):
+        import duckdb_extension_kafquack_spark.sources.kafka as K
+
+        def refuse(addr, timeout):
+            raise OSError("Connection refused")
+
+        monkeypatch.setattr(
+            "socket.create_connection", refuse
+        )
+        with pytest.raises(ConnectionError, match="Failed to create Kafka consumer"):
+            K.kafka_consumer(
+                spark, "nowhere:9092", "t", "g", validate_connection=True
+            )
+
+    def test_lazy_by_default(self, spark, monkeypatch):
+        """Without the flag, bind never touches the network (the Spark
+        default the reference diverges from)."""
+
+        def boom(addr, timeout):  # pragma: no cover — must not be called
+            raise AssertionError("network touched at bind without validate_connection")
+
+        monkeypatch.setattr("socket.create_connection", boom)
+        # .load() would need the kafka jar; option-building alone must not ping
+        from duckdb_extension_kafquack_spark.sources.kafka import _validate_options
+
+        assert _validate_options(None, None, None, None, {}) == {}
+
+
 class TestSchema:
     def test_seven_column_schema(self, spark):
         """Bind-time schema parity (kafquack_extension.cpp:101-110)."""
