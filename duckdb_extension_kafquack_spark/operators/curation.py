@@ -533,3 +533,160 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source capping (domain balancing)
+# ---------------------------------------------------------------------------
+
+SOURCE_CAP = 15  # max docs kept per source (fixture: 20 sources x 25 docs)
+
+
+@query(
+    "source_cap",
+    f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+              AS INTEGER) AS rn
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE rn <= {SOURCE_CAP}) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE rn > {SOURCE_CAP}) AS BIGINT) AS n_dropped,
+       CAST(SUM(n_chars) FILTER (WHERE rn <= {SOURCE_CAP}) AS BIGINT) AS kept_chars
+FROM ranked GROUP BY source
+""",
+)
+def source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: cap each source (domain) at SOURCE_CAP docs,
+    keeping the longest first — the Common-Crawl-style guard against one
+    domain dominating the mixture.
+
+    One source-keyed window (rank within source by n_chars DESC, doc_id
+    tie-break) + the per-source rollup reuses the same partitioning, so
+    the whole operator is a single shuffle.  A pathologically hot domain
+    is exactly the AQE skew-join/partition-split case; the cap itself is
+    what REMOVES the skew from every downstream stage — this runs first
+    in a real pipeline for that reason."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    ranked = docs.select("source", "doc_id", "n_chars").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    kept = F.col("rn") <= SOURCE_CAP
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.count(F.when(~kept, 1)).alias("n_dropped"),
+        F.sum(F.when(kept, F.col("n_chars"))).alias("kept_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum binning (quality-ordered quartiles per language)
+# ---------------------------------------------------------------------------
+
+CURRICULUM_BINS = 4
+
+
+@query(
+    "curriculum_binning",
+    f"""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_toks
+  FROM documents
+), binned AS (
+  SELECT lang, doc_id, n_toks,
+         CAST(NTILE({CURRICULUM_BINS}) OVER (PARTITION BY lang ORDER BY n_toks, doc_id)
+              AS INTEGER) AS bin
+  FROM scored
+)
+SELECT lang, bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(n_toks) AS min_toks,
+       MAX(n_toks) AS max_toks,
+       CAST(SUM(n_toks) AS BIGINT) AS sum_toks
+FROM binned GROUP BY lang, bin
+""",
+)
+def curriculum_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction: per-language quality quartiles (proxy
+    score = token count) so training can schedule easy→hard within each
+    language.  NTILE is made deterministic by the (score, doc_id)
+    tie-break — required for a cross-engine value match.
+
+    Scale note: NTILE over a language partition funnels that language
+    through one reducer; at 100 TB swap the window for approx_percentile
+    bin THRESHOLDS (same output schema, map-side binning) — the exact
+    window stays here because it is oracle-checkable bit-for-bit."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    scored = docs.selectExpr(
+        "doc_id",
+        "lang",
+        "CAST(size(filter(split(text, ' '), t -> t != '')) AS BIGINT) AS n_toks",
+    )
+    w = Window.partitionBy("lang").orderBy("n_toks", "doc_id")
+    binned = scored.withColumn("bin", F.ntile(CURRICULUM_BINS).over(w))
+    return binned.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_toks").alias("min_toks"),
+        F.max("n_toks").alias("max_toks"),
+        F.sum("n_toks").alias("sum_toks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization (outlier clamping) of a metric column
+# ---------------------------------------------------------------------------
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.99
+
+
+@query(
+    "winsorize_values",
+    f"""
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, {WINSOR_LO}) AS lo,
+         quantile_cont(value, {WINSOR_HI}) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE e.value < b.lo) AS BIGINT) AS n_clipped_low,
+       CAST(COUNT(*) FILTER (WHERE e.value > b.hi) AS BIGINT) AS n_clipped_high,
+       ROUND(SUM(LEAST(GREATEST(e.value, b.lo), b.hi)), 2) AS winsorized_sum
+FROM events e JOIN bounds b ON e.event_type = b.event_type
+GROUP BY e.event_type
+""",
+)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier clamping for a metric column: exact per-type p05/p99
+    bounds, values clamped into [lo, hi], clip counts reported — the
+    robust-statistics step before any mean-based normalization.
+
+    Plan: the bounds aggregate produces one row per event_type (tiny) →
+    broadcast hash join back onto the events scan; clamping is map-side.
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    linear-interpolation definition (parity proven by quantile_stats);
+    clip-count comparisons are exact double comparisons of identical
+    values, so no boundary row can flip.  Only the order-dependent SUM
+    of clamped doubles is rounded.  At 100 TB: approx_percentile
+    swap-in, same shape."""
+    ev = load_tables(spark, sf_dir)["events"]
+    bounds = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(value, {WINSOR_HI})").alias("hi"),
+    )
+    joined = ev.join(F.broadcast(bounds), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("value") < F.col("lo"), 1)).alias("n_clipped_low"),
+        F.count(F.when(F.col("value") > F.col("hi"), 1)).alias("n_clipped_high"),
+        F.round(
+            F.sum(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))), 2
+        ).alias("winsorized_sum"),
+    )

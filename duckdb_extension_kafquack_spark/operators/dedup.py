@@ -774,3 +774,97 @@ WHERE icnt::DOUBLE / (s1.n + s2.n - icnt) >= {threshold}
 @query("dedup_ngram_jaccard", _duck_ngram_sql())
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_tables(spark, sf_dir)["documents"])
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a new batch against an existing corpus
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup_report(docs: DataFrame) -> DataFrame:
+    """Classify an incoming batch (odd doc_ids stand in for "today's
+    crawl") against the existing corpus (even doc_ids): ``exact_dup``
+    (byte-identical text already in the corpus), ``near_dup`` (verified
+    MinHash-LSH match ≥ threshold with a corpus doc), else ``unique`` —
+    the nightly-ingest shape of dedup, where the corpus is NOT re-deduped
+    against itself.
+
+    Plan at scale: the batch is ~1/1000 of the corpus, so both
+    classification joins stream the corpus past small build sides —
+    exact via a semi join on md5 digests (shuffle key is the 32-char
+    digest, never the text), near via the banded LSH bucket join
+    (corpus band signatures are precomputable and reusable across
+    nightly runs; only candidate pairs are exact-verified).  Precedence
+    exact > near matches what a real pipeline stores."""
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus_hashes = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("text_hash"))
+        .distinct()
+    )
+    exact_ids = (
+        batch.select("doc_id", F.md5("text").alias("text_hash"))
+        .join(corpus_hashes, "text_hash", "left_semi")
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(1))
+    )
+    pairs = minhash_near_duplicates(docs).select("doc1", "doc2")
+    near_ids = (
+        pairs.filter((F.col("doc1") % 2) != (F.col("doc2") % 2))
+        .select(
+            F.when(F.col("doc1") % 2 == 1, F.col("doc1"))
+            .otherwise(F.col("doc2"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+    cls = (
+        batch.select("doc_id", "source")
+        .join(exact_ids, "doc_id", "left")
+        .join(near_ids, "doc_id", "left")
+        .select(
+            "source",
+            F.when(F.col("is_exact") == 1, F.lit("exact_dup"))
+            .when(F.col("is_near") == 1, F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("cls"),
+        )
+    )
+    return cls.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.count(F.when(F.col("cls") == "exact_dup", 1)).alias("n_exact_dup"),
+        F.count(F.when(F.col("cls") == "near_dup", 1)).alias("n_near_dup"),
+        F.count(F.when(F.col("cls") == "unique", 1)).alias("n_unique"),
+    )
+
+
+def _duck_incremental_sql() -> str:
+    return f"""
+WITH near_pairs AS ({_duck_minhash_sql()}
+), near_ids AS (
+  SELECT DISTINCT CASE WHEN doc1 % 2 = 1 THEN doc1 ELSE doc2 END AS doc_id
+  FROM near_pairs WHERE doc1 % 2 <> doc2 % 2
+), corpus_h AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+), batch AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+), cls AS (
+  SELECT b.source,
+         CASE WHEN b.h IN (SELECT h FROM corpus_h) THEN 'exact_dup'
+              WHEN b.doc_id IN (SELECT doc_id FROM near_ids) THEN 'near_dup'
+              ELSE 'unique' END AS cls
+  FROM batch b
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_batch,
+       CAST(COUNT(*) FILTER (WHERE cls = 'exact_dup') AS BIGINT) AS n_exact_dup,
+       CAST(COUNT(*) FILTER (WHERE cls = 'near_dup') AS BIGINT) AS n_near_dup,
+       CAST(COUNT(*) FILTER (WHERE cls = 'unique') AS BIGINT) AS n_unique
+FROM cls GROUP BY source
+"""
+
+
+@query("dedup_incremental", _duck_incremental_sql())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return incremental_dedup_report(load_tables(spark, sf_dir)["documents"])

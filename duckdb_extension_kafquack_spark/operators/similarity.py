@@ -502,3 +502,177 @@ WHERE {_DUCK_COS_AC} >= {NEAR_DUP_COSINE}
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(load_tables(spark, sf_dir)["embeddings"])
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized (int8-style) ANN
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 255  # quantization levels per dimension (8-bit codes)
+
+
+def _sq_minmax(embeddings: DataFrame) -> DataFrame:
+    """One-row DataFrame of per-dimension (mn_i, mx_i) over the corpus —
+    the quantizer's training statistics.  A single partial+final
+    aggregate pass (128 min/max columns); at 100 TB this is the only
+    full-corpus pass and it reduces map-side to one row per partition."""
+    aggs = []
+    for i in range(DIM):
+        aggs.append(F.min(F.expr(f"CAST(embedding[{i}] AS DOUBLE)")).alias(f"mn{i}"))
+        aggs.append(F.max(F.expr(f"CAST(embedding[{i}] AS DOUBLE)")).alias(f"mx{i}"))
+    return embeddings.agg(*aggs)
+
+
+def _sq_quantize(df: DataFrame, minmax: DataFrame) -> DataFrame:
+    """(vec_id, qv): per-dimension affine quantization to integer-valued
+    DOUBLEs in [0, 255].
+
+    ``floor`` (not ``round``) so no half-way tie can diverge between
+    engines; LEAST/GREATEST clamp FP edges; a zero-spread dimension maps
+    to 0 on both sides (guarded division).  Every step is deterministic
+    IEEE double arithmetic on identical inputs, so Spark's and DuckDB's
+    codes are bit-identical, and all downstream dot products are EXACT
+    (integer values ≤255, 64-dim dot ≤ 4.2e6 ≪ 2^53 — summation order
+    cannot matter).  This is the correctness-checkable stand-in for a
+    real int8 store, which cuts vector memory 4x at scale with the same
+    plan shape."""
+    elems = ", ".join(
+        f"IF(mx{i} = mn{i}, 0D, "
+        f"LEAST(255D, GREATEST(0D, FLOOR((CAST(embedding[{i}] AS DOUBLE) - mn{i})"
+        f" * {SQ_LEVELS}D / (mx{i} - mn{i})))))"
+        for i in range(DIM)
+    )
+    return (
+        df.crossJoin(F.broadcast(minmax))
+        .selectExpr("vec_id", f"array({elems}) AS qv")
+    )
+
+
+def int8_topk(embeddings: DataFrame, queries: DataFrame, k: int = TOPK) -> DataFrame:
+    """Top-k by cosine over scalar-quantized codes: the memory-bound ANN
+    path (8-bit codes instead of float32 — 4x smaller scans, integer
+    SIMD at scale) with exactly reproducible arithmetic.
+
+    Plan: quantizer stats = one aggregate → 1-row broadcast; both sides
+    quantize map-side; the query side (tiny by construction) broadcasts
+    into a scan of quantized corpus; per-query top-k via the usual
+    row_number partial top-k.  Zero-norm codes are excluded on both
+    engines (cosine undefined)."""
+    minmax = _sq_minmax(embeddings)
+    c = _sq_quantize(embeddings, minmax).selectExpr(
+        "vec_id AS neighbor_id", "qv AS c_qv", f"{_dot_sql('qv', 'qv')} AS nc"
+    ).filter("nc > 0")
+    q = _sq_quantize(queries, minmax).selectExpr(
+        "vec_id AS query_id", "qv AS q_qv", f"{_dot_sql('qv', 'qv')} AS nq"
+    ).filter("nq > 0")
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"({_dot_sql('q_qv', 'c_qv')}) / (SQRT(nq) * SQRT(nc)) AS cos_q",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_q").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_q")
+    )
+
+
+def _duck_sq_sql() -> str:
+    """DuckDB mirror of the quantization: same guarded affine map per
+    dimension (1-based list indexing), list_dot_product over
+    integer-valued doubles is exact, so no rounding anywhere."""
+    mm_cols = ", ".join(
+        f"MIN(CAST(embedding[{i + 1}] AS DOUBLE)) AS mn{i}, "
+        f"MAX(CAST(embedding[{i + 1}] AS DOUBLE)) AS mx{i}"
+        for i in range(DIM)
+    )
+    elems = ", ".join(
+        f"CASE WHEN mx{i} = mn{i} THEN 0 "
+        f"ELSE LEAST(255.0, GREATEST(0.0, FLOOR((CAST(embedding[{i + 1}] AS DOUBLE) - mn{i})"
+        f" * {SQ_LEVELS}.0 / (mx{i} - mn{i})))) END"
+        for i in range(DIM)
+    )
+    return f"""
+WITH mm AS (
+  SELECT {mm_cols} FROM embeddings
+), qz AS (
+  SELECT vec_id, [{elems}]::DOUBLE[] AS qv FROM embeddings, mm
+), sized AS (
+  SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM qz
+  WHERE list_dot_product(qv, qv) > 0
+)
+SELECT query_id, neighbor_id, rank, cos_q FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           list_dot_product(q.qv, c.qv) / (SQRT(q.nrm) * SQRT(c.nrm)) DESC,
+           c.vec_id) AS INTEGER) AS rank,
+         list_dot_product(q.qv, c.qv) / (SQRT(q.nrm) * SQRT(c.nrm)) AS cos_q
+  FROM sized q JOIN sized c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+) WHERE rank <= {TOPK}
+"""
+
+
+@query("ann_int8_topk", _duck_sq_sql())
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _repartition_if_narrow
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return int8_topk(_repartition_if_narrow(emb), queries)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup clustering (embedding-space connected components)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_semantic_clusters",
+    f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id1, c.vec_id AS id2
+  FROM embeddings a JOIN embeddings c ON a.vec_id < c.vec_id
+  WHERE {_DUCK_COS_AC} >= {NEAR_DUP_COSINE}
+), sym AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2 AS a, id1 AS b FROM pairs
+), verts AS (
+  SELECT DISTINCT a AS v FROM sym
+), reach(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT re.v, s.b FROM reach re JOIN sym s ON re.r = s.a
+), comp AS (
+  SELECT v AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY v
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       MIN(vec_id) AS min_vec,
+       MAX(vec_id) AS max_vec
+FROM comp GROUP BY cluster_id
+""",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic duplicate clustering: embedding-cosine
+    near-dup pairs → connected components → one row per semantic
+    cluster (cluster_id = canonical keeper).  Composes the tiled-BLAS
+    pair generator (ids-only shuffle) with the same iterative min-label
+    propagation used for lexical clusters — no driver state, converges
+    in O(component diameter) rounds.  The oracle replays the closure
+    with a recursive CTE."""
+    from .dedup import connected_components
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    pairs = embedding_near_duplicates(emb).select("id1", "id2")
+    comp = connected_components(pairs, src="id1", dst="id2")
+    return comp.groupBy(F.col("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("doc_id").alias("min_vec"),
+        F.max("doc_id").alias("max_vec"),
+    )

@@ -359,3 +359,65 @@ FROM scored GROUP BY doc_id
 query("text_surprisal", _DUCK_SURPRISAL)(
     lambda spark, sf_dir: surprisal_scores(load_tables(spark, sf_dir)["documents"])
 )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit over the vocabulary head
+# ---------------------------------------------------------------------------
+
+
+def zipf_fit_stats(docs: DataFrame, top_k: int = VOCAB_TOP_K) -> DataFrame:
+    """Least-squares fit of ln(tf) ~ ln(rank) over the top-k vocabulary —
+    the classic corpus-health diagnostic (natural text slopes ≈ −1;
+    boilerplate/spam corpora bend it).
+
+    The fit reduces the k-row vocabulary head (already produced by the
+    two-phase top-k, so nothing here touches the full token relation) to
+    ONE row of moment sums; the closed-form slope/intercept are computed
+    from those sums in both engines with the identical formula.  The
+    moment sums are order-dependent float adds over k values, so the two
+    outputs are rounded (the only rounding; everything upstream is
+    integer-exact)."""
+    head = vocabulary(docs, top_k).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("tf").cast("double")).alias("y"),
+    )
+    m = head.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+_DUCK_ZIPF = f"""
+WITH head AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(tf AS DOUBLE)) AS y
+  FROM ({_DUCK_VOCAB})
+), m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM head
+)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+         AS zipf_intercept
+FROM m
+"""
+
+
+query("zipf_fit", _DUCK_ZIPF)(
+    lambda spark, sf_dir: zipf_fit_stats(load_tables(spark, sf_dir)["documents"])
+)
