@@ -40,8 +40,11 @@ HEADLINE = [
     "text_fingerprint",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_int8_topk",
     "dedup_embedding_cosine",
+    "dedup_incremental",
     "corpus_curation",
+    "source_cap",
 ]
 
 

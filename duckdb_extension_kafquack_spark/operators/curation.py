@@ -690,3 +690,68 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))), 2
         ).alias("winsorized_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles — the stated 100 TB swap-in, bounded-error-checked
+# ---------------------------------------------------------------------------
+
+APPROX_PCT_ACC = 1000  # KLL/GK accuracy: rank error <= 1/1000
+
+
+@query(
+    "approx_quantiles",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS exact_p95,
+       TRUE AS p50_within, TRUE AS p95_within
+FROM events GROUP BY event_type
+""",
+)
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate-percentile path every exact-quantile op in this
+    repo names as its 100 TB swap-in, verified the honest way: sketch
+    estimates differ between engines, so (like ``approx_distinct``) the
+    oracle checks a BOUNDED-RANK invariant instead of the estimate.
+    ``approx_percentile(p, acc)`` returns an actual element whose RANK
+    is within n/acc of n·p, so the check counts elements ≤/< the
+    estimate and bounds those counts (±1 element of slack for the
+    discrete boundary — an interpolated-quantile bound is WRONG at
+    small n, where the exact quantile falls between elements).  The
+    booleans ride the driver's value hash (oracle side literal TRUE);
+    exact p50/p95 are emitted alongside and hash-matched for real
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``).
+
+    Plan: sketch + exact quantiles in one grouped pass → 1-row-per-type
+    broadcast back onto the scan for the rank counts — the same
+    verify-against-the-data shape as the CMS heavy-hitter check."""
+    ev = load_tables(spark, sf_dir)["events"]
+    est = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"approx_percentile(value, 0.5, {APPROX_PCT_ACC})").alias("a50"),
+        F.expr(f"approx_percentile(value, 0.95, {APPROX_PCT_ACC})").alias("a95"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("exact_p95"),
+    )
+    joined = ev.select("event_type", "value").join(F.broadcast(est), "event_type")
+
+    def within(p: float, a: str) -> F.Column:
+        nn = F.first("n")  # group-constant (one est row per event_type)
+        slack = nn / APPROX_PCT_ACC + 1
+        le = F.count(F.when(F.col("value") <= F.col(a), 1))
+        lt = F.count(F.when(F.col("value") < F.col(a), 1))
+        return (le >= nn * p - slack) & (lt <= nn * p + slack)
+
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("exact_p50").alias("exact_p50"),
+            F.first("exact_p95").alias("exact_p95"),
+            within(0.5, "a50").alias("p50_within"),
+            within(0.95, "a95").alias("p95_within"),
+        )
+        .select("event_type", "n", "exact_p50", "exact_p95", "p50_within", "p95_within")
+    )

@@ -31,22 +31,32 @@ def asof_join(
     right_cols: list[str],
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the temporally closest right row at
     or before (``backward``) / at or after (``forward``) its ``on`` time,
-    within the same ``by`` key."""
+    within the same ``by`` key.  ``tolerance`` (interval spec like
+    ``"30 minutes"``) rejects matches farther than that from the left
+    row's time — the match columns become NULL, exactly like
+    ``pandas.merge_asof(tolerance=...)``."""
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be either backward or forward")
     by = [by] if isinstance(by, str) else list(by)
 
+    carry_cols = list(right_cols)
+
     l_tagged = left.withColumn("__side", F.lit(1))
     r_proj = right.select(
-        *by, F.col(on), *[F.col(c).alias(f"__r_{c}") for c in right_cols]
+        *by, F.col(on), *[F.col(c).alias(f"__r_{c}") for c in carry_cols]
     ).withColumn("__side", F.lit(0))
+    if tolerance is not None:
+        # the match's own time rides under a reserved name (suffix-proof)
+        r_proj = r_proj.withColumn("__r___match_on", F.col(on))
+        carry_cols = [*carry_cols, "__match_on"]
     for c in left.columns:
         if c not in r_proj.columns:
             r_proj = r_proj.withColumn(c, F.lit(None))
-    for c in [f"__r_{rc}" for rc in right_cols]:
+    for c in [f"__r_{rc}" for rc in carry_cols]:
         l_tagged = l_tagged.withColumn(c, F.lit(None))
     unioned = l_tagged.unionByName(r_proj.select(l_tagged.columns))
 
@@ -68,13 +78,29 @@ def asof_join(
 
     carried = [
         pick(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-        for c in right_cols
+        for c in carry_cols
     ]
-    return (
+    out = (
         unioned.select("*", *carried)
         .filter(F.col("__side") == 1)
-        .drop("__side", *[f"__r_{c}" for c in right_cols])
+        .drop("__side", *[f"__r_{c}" for c in carry_cols])
     )
+    if tolerance is not None:
+        match_on = F.col(f"__match_on{suffix}")
+        if direction == "backward":
+            in_tol = match_on >= F.col(on) - F.expr(f"INTERVAL {tolerance}")
+        else:
+            in_tol = match_on <= F.col(on) + F.expr(f"INTERVAL {tolerance}")
+        out = out.select(
+            *[c for c in out.columns if c != f"__match_on{suffix}"],
+            in_tol.alias("__in_tol"),
+        )
+        for c in right_cols:
+            out = out.withColumn(
+                f"{c}{suffix}", F.when(F.col("__in_tol"), F.col(f"{c}{suffix}"))
+            )
+        out = out.drop("__in_tol")
+    return out
 
 
 def interval_join(
@@ -247,3 +273,44 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_id", "user_id", "ts", F.col("purchase_ts").alias("next_purchase_ts")
     )
+
+
+@query(
+    "asof_join_tolerance",
+    """
+SELECT event_id, user_id, ts,
+       CASE WHEN last_view_ts >= ts - INTERVAL '30 minutes' THEN last_view_ts END
+         AS recent_view_ts
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+  FROM events
+) WHERE event_type = 'purchase'
+""",
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a tolerance window: each purchase's most
+    recent view, but only if it happened within the last 30 minutes
+    (staler matches → NULL, ``pandas.merge_asof(tolerance=...)``
+    semantics).  Exercises the generic helper's tolerance path — same
+    single user-keyed window shuffle as the plain as-of; the cutoff is a
+    map-side post-filter, so tolerance adds zero exchanges."""
+    ev = load_tables(spark, sf_dir)["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("view_ts")
+    )
+    return asof_join(
+        purchases,
+        views,
+        on="ts",
+        by="user_id",
+        right_cols=["view_ts"],
+        direction="backward",
+        suffix="",
+        tolerance="30 minutes",
+    ).select("event_id", "user_id", "ts", F.col("view_ts").alias("recent_view_ts"))

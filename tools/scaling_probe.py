@@ -61,7 +61,11 @@ def main() -> None:
     from duckdb_extension_kafquack_spark.operators.similarity import (
         cosine_topk,
         embedding_near_duplicates,
+        int8_topk,
         ivf_topk,
+    )
+    from duckdb_extension_kafquack_spark.operators.dedup import (
+        incremental_dedup_report,
     )
     from duckdb_extension_kafquack_spark.operators.curation import (
         contamination_counts,
@@ -125,6 +129,8 @@ def main() -> None:
         queries = emb.filter(F.col("vec_id") % 500 == 0)
         bench("ann_cosine_topk", k, cosine_topk(emb, queries))
         bench("ann_ivf_topk", k, ivf_topk(emb, queries))
+        bench("ann_int8_topk", k, int8_topk(emb, queries))
+        bench("incremental_dedup", k, incremental_dedup_report(docs))
         # block-pair tiled exact all-pairs: O(n²) compute by design, but
         # distributed (tiles scale with n_blocks²) — probe all k
         bench("embedding_near_dup", k, embedding_near_duplicates(emb))
