@@ -426,3 +426,148 @@ class TestEvents:
         df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
         got = {r.user_id: r.funnel_stage for r in funnel_stages(df).collect()}
         assert got == {1: 3, 2: 1, 3: 1, 4: 3}
+
+
+class TestAsofTolerance:
+    def _frames(self, spark):
+        from pyspark.sql import functions as F
+
+        purchases = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00"),
+             (2, "2024-01-01 09:00:00")],
+            "user long, t string",
+        ).select("user", F.col("t").cast("timestamp").alias("t"))
+        views = spark.createDataFrame(
+            [(1, "2024-01-01 09:50:00", "v1"), (1, "2024-01-01 10:30:00", "v2"),
+             (2, "2024-01-01 07:00:00", "v3")],
+            "user long, t string, page string",
+        ).select("user", F.col("t").cast("timestamp").alias("t"), "page")
+        return purchases, views
+
+    def test_stale_matches_nulled(self, spark):
+        from duckdb_extension_kafquack_spark.operators.joins import asof_join
+
+        p, v = self._frames(spark)
+        out = {
+            (r.user, str(r.t)): r.page_right
+            for r in asof_join(
+                p, v, on="t", by="user", right_cols=["page"],
+                tolerance="30 minutes",
+            ).collect()
+        }
+        # 09:50 view is 10 min before the 10:00 purchase → kept
+        assert out[(1, "2024-01-01 10:00:00")] == "v1"
+        # latest view before 12:00 is 10:30 — 90 min stale → NULL
+        assert out[(1, "2024-01-01 12:00:00")] is None
+        # user 2's only view is 2h earlier → NULL
+        assert out[(2, "2024-01-01 09:00:00")] is None
+
+    def test_tolerance_none_keeps_all(self, spark):
+        from duckdb_extension_kafquack_spark.operators.joins import asof_join
+
+        p, v = self._frames(spark)
+        out = {
+            (r.user, str(r.t)): r.page_right
+            for r in asof_join(p, v, on="t", by="user", right_cols=["page"]).collect()
+        }
+        assert out[(1, "2024-01-01 12:00:00")] == "v2"
+        assert out[(2, "2024-01-01 09:00:00")] == "v3"
+
+    def test_agrees_with_pandas_merge_asof(self, spark):
+        from duckdb_extension_kafquack_spark.operators.joins import (
+            asof_join,
+            asof_join_pandas,
+        )
+        import pandas as pd
+
+        p, v = self._frames(spark)
+        a = {
+            (r.user, str(r.t)): r.page_right
+            for r in asof_join(
+                p, v, on="t", by="user", right_cols=["page"], tolerance="30 minutes"
+            ).collect()
+        }
+        b = {
+            (r.user, str(r.t)): r.page_right
+            for r in asof_join_pandas(
+                p, v, on="t", by="user", right_cols=["page"],
+                tolerance=pd.Timedelta(minutes=30),
+            ).collect()
+        }
+        assert a == b
+
+
+class TestInt8Quantization:
+    def test_codes_bounded_and_integer_valued(self, spark, tables):
+        from duckdb_extension_kafquack_spark.operators.similarity import (
+            _sq_minmax,
+            _sq_quantize,
+        )
+        from pyspark.sql import functions as F
+
+        emb = tables["embeddings"]
+        qz = _sq_quantize(emb, _sq_minmax(emb))
+        bad = qz.filter(
+            F.exists("qv", lambda x: (x < 0) | (x > 255) | (x != F.floor(x)))
+        ).count()
+        assert bad == 0
+
+    def test_extremes_map_to_0_and_255(self, spark, tables):
+        """The corpus min of a dimension must code to 0 and the max to
+        255 (affine map hits its endpoints)."""
+        from duckdb_extension_kafquack_spark.operators.similarity import (
+            _sq_minmax,
+            _sq_quantize,
+        )
+        from pyspark.sql import functions as F
+
+        emb = tables["embeddings"]
+        qz = _sq_quantize(emb, _sq_minmax(emb))
+        lo, hi = qz.agg(
+            F.min(F.expr("qv[0]")), F.max(F.expr("qv[0]"))
+        ).first()
+        assert lo == 0.0 and hi == 255.0
+
+    def test_int8_ranking_close_to_exact(self, spark, tables):
+        """8-bit codes must preserve the similarity structure: the
+        quantized top-1's EXACT cosine must be within 0.1 of the true
+        best, and its exact rank in the head.  (Exact-agreement is the
+        wrong bar here — the fixture's random embeddings concentrate all
+        cosines in a narrow band, so quantization legitimately reshuffles
+        near-ties; this guards against real breakage like an inverted
+        scale, not tie noise.)"""
+        from duckdb_extension_kafquack_spark.operators.similarity import (
+            cosine_topk,
+            int8_topk,
+        )
+        from pyspark.sql import functions as F
+
+        emb = tables["embeddings"]
+        queries = emb.filter(F.col("vec_id") % 100 == 0)
+        exact = cosine_topk(emb, queries, k=20).toPandas()
+        quant = {r.query_id: r.neighbor_id
+                 for r in int8_topk(emb, queries).filter("rank = 1").collect()}
+        for q, nb in quant.items():
+            best = float(exact[(exact.query_id == q) & (exact["rank"] == 1)].cos_sim.iloc[0])
+            pick = exact[(exact.query_id == q) & (exact.neighbor_id == nb)]
+            assert len(pick) == 1, f"query {q}: int8 pick {nb} not in exact top-20"
+            assert best - float(pick.cos_sim.iloc[0]) <= 0.1
+
+
+class TestIncrementalDedup:
+    def test_classes_partition_the_batch(self, spark, tables):
+        """exact + near + unique must sum to the batch count per source,
+        and batch+corpus must cover all docs."""
+        from duckdb_extension_kafquack_spark.operators.dedup import (
+            incremental_dedup_report,
+        )
+        from pyspark.sql import functions as F
+
+        docs = tables["documents"]
+        rep = incremental_dedup_report(docs)
+        bad = rep.filter(
+            F.col("n_batch") != F.col("n_exact_dup") + F.col("n_near_dup") + F.col("n_unique")
+        ).count()
+        assert bad == 0
+        total_batch = rep.agg(F.sum("n_batch")).first()[0]
+        assert total_batch == docs.filter(F.col("doc_id") % 2 == 1).count()
