@@ -205,6 +205,39 @@ def validate_broker_connection(
     )
 
 
+class KafkaPollError(RuntimeError):
+    """Reference-parity wrapper for a failure while fetching messages
+    ('Error polling Kafka: %s', kafquack_extension.cpp:155)."""
+
+
+class KafkaCommitError(RuntimeError):
+    """Reference-parity wrapper for a failure while recording progress
+    ('Error committing message: %s', kafquack_extension.cpp:202).  Under
+    Spark, 'commit' is the checkpoint offset-log write, not a broker
+    commit — same user-visible contract, different mechanism (the
+    documented SURVEY §3.4 divergence)."""
+
+
+def wrap_stream_error(exc: BaseException, *, phase: str) -> RuntimeError:
+    """Map a streaming failure onto the reference's verbatim error texts.
+
+    The reference surfaces exactly two runtime error shapes from its scan
+    loop: poll failures (cpp:148-156) and commit failures (cpp:199-204).
+    Spark raises ``StreamingQueryException`` for both; a caller that
+    wants reference-identical messages routes the exception through here
+    with ``phase='poll'`` (fetch/micro-batch planning) or
+    ``phase='commit'`` (offset-log/checkpoint write).  Pure function —
+    unit-testable without a broker.
+    """
+    cause = getattr(exc, "cause", None) or exc
+    detail = str(cause)
+    if phase == "poll":
+        return KafkaPollError(f"Error polling Kafka: {detail}")
+    if phase == "commit":
+        return KafkaCommitError(f"Error committing message: {detail}")
+    raise ValueError("phase must be either poll or commit")
+
+
 def _subscribe_option(topic, is_pattern: bool) -> tuple[str, str]:
     """Superset of the reference's single-topic subscribe (cpp:126): a
     list subscribes to several topics, ``is_pattern`` to a regex."""

@@ -127,6 +127,24 @@ class TestValidateConnection:
                 spark, "nowhere:9092", "t", "g", validate_connection=True
             )
 
+    def test_wrap_stream_error_texts(self):
+        """The reference's two runtime error shapes (cpp:155, cpp:202)
+        are reproduced verbatim by the phase-aware wrapper."""
+        from duckdb_extension_kafquack_spark.sources.kafka import (
+            KafkaCommitError,
+            KafkaPollError,
+            wrap_stream_error,
+        )
+
+        e = wrap_stream_error(RuntimeError("Broker transport failure"), phase="poll")
+        assert isinstance(e, KafkaPollError)
+        assert str(e) == "Error polling Kafka: Broker transport failure"
+        e = wrap_stream_error(RuntimeError("Offset out of range"), phase="commit")
+        assert isinstance(e, KafkaCommitError)
+        assert str(e) == "Error committing message: Offset out of range"
+        with pytest.raises(ValueError, match="phase must be either poll or commit"):
+            wrap_stream_error(RuntimeError("x"), phase="teardown")
+
     def test_lazy_by_default(self, spark, monkeypatch):
         """Without the flag, bind never touches the network (the Spark
         default the reference diverges from)."""
