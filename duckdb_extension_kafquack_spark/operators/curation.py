@@ -755,3 +755,132 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "exact_p50", "exact_p95", "p50_within", "p95_within")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+SPLIT_BUCKETS = 100
+SPLIT_TRAIN, SPLIT_VAL = 90, 95  # bucket < 90 train, < 95 val, else test
+
+
+def dataset_split(docs: DataFrame) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment: split =
+    f(md5(doc_id)) — stable across engines, runs, cluster sizes, and
+    data order, so a doc NEVER migrates between splits when the corpus
+    is re-processed (the leakage guarantee a rand()-based split cannot
+    give).  Map-only + one tiny rollup."""
+    from ..functions.hashing import spark_hash64
+
+    bucket = spark_hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % SPLIT_BUCKETS
+    split = (
+        F.when(bucket < SPLIT_TRAIN, F.lit("train"))
+        .when(bucket < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+def _duck_split_sql() -> str:
+    from ..functions.hashing import duck_hash64
+
+    h = duck_hash64("'split:' || CAST(doc_id AS VARCHAR)")
+    b = f"{h} % {SPLIT_BUCKETS}"
+    return f"""
+WITH tagged AS (
+  SELECT lang, n_chars,
+         CASE WHEN {b} < {SPLIT_TRAIN} THEN 'train'
+              WHEN {b} < {SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM tagged GROUP BY lang, split
+"""
+
+
+query("dataset_split", _duck_split_sql())(
+    lambda spark, sf_dir: dataset_split(load_tables(spark, sf_dir)["documents"])
+)
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sampling (data mixing under a budget)
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 4000  # per-language token budget
+
+
+def token_budget_sample(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFrame:
+    """Budget-constrained sampling: per language, docs are taken in a
+    deterministic hash order until the token budget fills (the data-
+    mixing primitive — 'give me ~N tokens of each language, stably').
+    A doc is kept iff the running token total BEFORE it is under budget,
+    so the sample overshoots by at most one doc — the same
+    cut-on-running-sum semantics as sequence packing.
+
+    One language-keyed window shuffle; everything else is map-side.  At
+    100 TB the window is per-language (bounded groups); a hot language
+    can additionally shard on a hash prefix with per-shard sub-budgets
+    (the sequence_packing pattern)."""
+    from ..functions.hashing import spark_hash64
+
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CAST(size(filter(split(text, ' '), t -> t != '')) AS BIGINT)"
+        ).alias("n_toks"),
+        spark_hash64(F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = sized.withColumn("cum_before", F.coalesce(F.sum("n_toks").over(w), F.lit(0)))
+    kept = F.col("cum_before") < budget
+    return cum.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.count(F.when(kept, 1)).alias("kept_docs"),
+        F.sum(F.when(kept, F.col("n_toks"))).cast("bigint").alias("kept_tokens"),
+    )
+
+
+def _duck_budget_sql() -> str:
+    from ..functions.hashing import duck_hash64
+
+    h = duck_hash64("'budget:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH sized AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_toks,
+         {h} AS h
+  FROM documents
+), cum AS (
+  SELECT lang, n_toks,
+         COALESCE(SUM(n_toks) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM sized
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS total_docs,
+       CAST(COUNT(*) FILTER (WHERE cum_before < {TOKEN_BUDGET}) AS BIGINT) AS kept_docs,
+       CAST(SUM(n_toks) FILTER (WHERE cum_before < {TOKEN_BUDGET}) AS BIGINT) AS kept_tokens
+FROM cum GROUP BY lang
+"""
+
+
+query("token_budget_sample", _duck_budget_sql())(
+    lambda spark, sf_dir: token_budget_sample(load_tables(spark, sf_dir)["documents"])
+)
