@@ -571,3 +571,53 @@ class TestIncrementalDedup:
         assert bad == 0
         total_batch = rep.agg(F.sum("n_batch")).first()[0]
         assert total_batch == docs.filter(F.col("doc_id") % 2 == 1).count()
+
+
+class TestDatasetSplit:
+    def test_partition_and_stability(self, spark, tables):
+        """Splits partition the corpus; a doc's split is a pure function
+        of doc_id (two independent evaluations agree — the leakage
+        guarantee)."""
+        from duckdb_extension_kafquack_spark.operators.curation import dataset_split
+        from pyspark.sql import functions as F
+
+        docs = tables["documents"]
+        rep = dataset_split(docs)
+        total = rep.agg(F.sum("n_docs")).first()[0]
+        assert total == docs.count()
+        a = {(r.lang, r.split): r.n_docs for r in rep.collect()}
+        b = {(r.lang, r.split): r.n_docs for r in dataset_split(docs).collect()}
+        assert a == b
+        assert {s for (_, s) in a} <= {"train", "val", "test"}
+
+    def test_train_dominates(self, spark, tables):
+        from duckdb_extension_kafquack_spark.operators.curation import dataset_split
+        from pyspark.sql import functions as F
+
+        rep = dataset_split(tables["documents"])
+        by_split = {
+            r.split: r.n for r in rep.groupBy("split").agg(F.sum("n_docs").alias("n")).collect()
+        }
+        assert by_split.get("train", 0) > by_split.get("val", 0)
+        assert by_split.get("train", 0) > by_split.get("test", 0)
+
+
+class TestTokenBudget:
+    def test_budget_respected_within_one_doc(self, spark, tables):
+        """kept_tokens < budget + the largest kept doc (cut-on-running-sum
+        overshoots by at most one doc), and kept <= total per language."""
+        from duckdb_extension_kafquack_spark.operators.curation import (
+            TOKEN_BUDGET,
+            token_budget_sample,
+        )
+        from pyspark.sql import functions as F
+
+        docs = tables["documents"]
+        rep = token_budget_sample(docs)
+        max_doc_toks = docs.selectExpr(
+            "CAST(size(filter(split(text, ' '), t -> t != '')) AS BIGINT) AS n"
+        ).agg(F.max("n")).first()[0]
+        for r in rep.collect():
+            assert r.kept_docs <= r.total_docs
+            assert r.kept_tokens < TOKEN_BUDGET + max_doc_toks
+            assert r.kept_docs > 0  # budget is non-trivial on the fixture
