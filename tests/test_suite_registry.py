@@ -48,3 +48,28 @@ def test_query_runs_and_matches_oracle_rowcount(spark, name):
         d[0].lower() for d in con.execute(f"SELECT * FROM ({q.oracle}) LIMIT 0").description
     )
     assert spark_cols == duck_cols, f"{name}: {spark_cols} != {duck_cols}"
+
+
+def test_driver_order_tiers_unverified_first():
+    """The driver gate caps at 50 queries/round; _driver_order must put
+    never-sampled queries first, red verdicts second, green last — and
+    cover the whole registry exactly once."""
+    order = entry_mod._driver_order()
+    assert sorted(order) == sorted(REGISTRY)
+    verdicts = entry_mod._latest_driver_verdicts()
+
+    def tier(n):
+        v = verdicts.get(n)
+        if v is None:
+            return 0
+        green = v.get("err") is None and all(
+            v.get(k) is not False for k in ("rows_match", "schema_match", "hash_match")
+        )
+        return 2 if green else 1
+
+    tiers = [tier(n) for n in order]
+    assert tiers == sorted(tiers), "driver order must be non-decreasing by tier"
+    # every query new this round (no verdict yet) must sit inside the
+    # 50-query cap so CORRECTNESS_r{N+1} gives it a verdict
+    unverified = [n for n in order if tier(n) == 0]
+    assert all(order.index(n) < 50 for n in unverified)
