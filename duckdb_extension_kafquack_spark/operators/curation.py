@@ -884,3 +884,68 @@ FROM cum GROUP BY lang
 query("token_budget_sample", _duck_budget_sql())(
     lambda spark, sf_dir: token_budget_sample(load_tables(spark, sf_dir)["documents"])
 )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: median absolute deviation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "robust_stats_mad",
+    """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(ANY_VALUE(m.med), 6) AS median_value,
+       ROUND(quantile_cont(ABS(e.value - m.med), 0.5), 6) AS mad,
+       CAST(COUNT(*) FILTER (WHERE ABS(e.value - m.med)
+            > 3 * 1.4826 * (SELECT quantile_cont(ABS(e2.value - m2.med), 0.5)
+                            FROM events e2 JOIN med m2 ON e2.event_type = m2.event_type
+                            WHERE e2.event_type = e.event_type)) AS BIGINT) AS n_outliers
+FROM events e JOIN med m ON e.event_type = m.event_type
+GROUP BY e.event_type
+""",
+)
+def robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event_type + the classic
+    3·1.4826·MAD outlier count (the robust z-score) — the outlier
+    detector that, unlike mean/stddev, is not dragged by the outliers it
+    is hunting.
+
+    Plan: median per type (tiny) → broadcast back onto the scan →
+    second grouped pass computes MAD and the outlier count in ONE
+    aggregation (the outlier threshold re-derives MAD inline via the
+    same exact percentile, so no third pass over the data).  Exact
+    ``percentile`` both passes; at 100 TB swap approx_percentile, same
+    two-pass shape."""
+    ev = load_tables(spark, sf_dir)["events"]
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    stats = dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.first("med"), 6).alias("median_value"),
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad"),
+        F.expr("percentile(adev, 0.5)").alias("__mad_exact"),
+    )
+    out = (
+        dev.join(F.broadcast(stats.select("event_type", "__mad_exact")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("__mad_exact"), 1)
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        stats.drop("__mad_exact")
+        .join(out, "event_type")
+        .select("event_type", "n", "median_value", "mad", "n_outliers")
+    )

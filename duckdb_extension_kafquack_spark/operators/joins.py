@@ -35,12 +35,13 @@ def asof_join(
 ) -> DataFrame:
     """As-of join: for each left row, the temporally closest right row at
     or before (``backward``) / at or after (``forward``) its ``on`` time,
-    within the same ``by`` key.  ``tolerance`` (interval spec like
-    ``"30 minutes"``) rejects matches farther than that from the left
-    row's time — the match columns become NULL, exactly like
+    within the same ``by`` key; ``nearest`` picks whichever side is
+    closer (ties → backward, like pandas).  ``tolerance`` (interval spec
+    like ``"30 minutes"``) rejects matches farther than that from the
+    left row's time — the match columns become NULL, exactly like
     ``pandas.merge_asof(tolerance=...)``."""
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be either backward or forward")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be backward, forward or nearest")
     by = [by] if isinstance(by, str) else list(by)
 
     carry_cols = list(right_cols)
@@ -49,7 +50,7 @@ def asof_join(
     r_proj = right.select(
         *by, F.col(on), *[F.col(c).alias(f"__r_{c}") for c in carry_cols]
     ).withColumn("__side", F.lit(0))
-    if tolerance is not None:
+    if tolerance is not None or direction == "nearest":
         # the match's own time rides under a reserved name (suffix-proof)
         r_proj = r_proj.withColumn("__r___match_on", F.col(on))
         carry_cols = [*carry_cols, "__match_on"]
@@ -59,6 +60,65 @@ def asof_join(
     for c in [f"__r_{rc}" for rc in carry_cols]:
         l_tagged = l_tagged.withColumn(c, F.lit(None))
     unioned = l_tagged.unionByName(r_proj.select(l_tagged.columns))
+
+    if direction == "nearest":
+        # ONE sort order, TWO frames over it — still a single shuffle.
+        # Right rows sort before left rows at equal time, so a distance-0
+        # match is captured by the backward frame (and backward wins the
+        # tie anyway, matching pandas).
+        wb = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__side").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        both = [
+            c
+            for cc in carry_cols
+            for c in (
+                F.last(F.col(f"__r_{cc}"), ignorenulls=True).over(wb).alias(f"__b_{cc}"),
+                F.first(F.col(f"__r_{cc}"), ignorenulls=True).over(wf).alias(f"__f_{cc}"),
+            )
+        ]
+        bt, ft = F.col("__b___match_on"), F.col("__f___match_on")
+        use_back = ft.isNull() | (
+            bt.isNotNull() & ((F.col(on) - bt) <= (ft - F.col(on)))
+        )
+        chosen = [
+            F.when(use_back, F.col(f"__b_{cc}")).otherwise(F.col(f"__f_{cc}")).alias(
+                f"{cc}{suffix}"
+            )
+            for cc in carry_cols
+        ]
+        out = (
+            unioned.select("*", *both)
+            .filter(F.col("__side") == 1)
+            .select(
+                *[c for c in left.columns],
+                *chosen,
+            )
+        )
+        if tolerance is not None:
+            m = F.col(f"__match_on{suffix}")
+            in_tol = (m >= F.col(on) - F.expr(f"INTERVAL {tolerance}")) & (
+                m <= F.col(on) + F.expr(f"INTERVAL {tolerance}")
+            )
+            out = out.select(
+                *[c for c in out.columns if c != f"__match_on{suffix}"],
+                in_tol.alias("__in_tol"),
+            )
+            for c in right_cols:
+                out = out.withColumn(
+                    f"{c}{suffix}", F.when(F.col("__in_tol"), F.col(f"{c}{suffix}"))
+                )
+            out = out.drop("__in_tol")
+        else:
+            out = out.drop(f"__match_on{suffix}")
+        return out
 
     if direction == "backward":
         # right rows sort before left rows at equal time → visible to them
@@ -314,3 +374,46 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         suffix="",
         tolerance="30 minutes",
     ).select("event_id", "user_id", "ts", F.col("view_ts").alias("recent_view_ts"))
+
+
+@query(
+    "asof_join_nearest",
+    """
+SELECT event_id, user_id, ts,
+       CASE WHEN next_ts IS NULL THEN prev_ts
+            WHEN prev_ts IS NULL THEN next_ts
+            WHEN ts - prev_ts <= next_ts - ts THEN prev_ts
+            ELSE next_ts END AS nearest_view_ts
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+         first_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+  FROM events
+) WHERE event_type = 'purchase'
+""",
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of (merge_asof(direction='nearest')): each
+    purchase's temporally closest view, before OR after, ties →
+    backward.  One sort order, two window frames over it — the whole
+    operator is still a single user-keyed shuffle."""
+    ev = load_tables(spark, sf_dir)["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("view_ts")
+    )
+    return asof_join(
+        purchases,
+        views,
+        on="ts",
+        by="user_id",
+        right_cols=["view_ts"],
+        direction="nearest",
+        suffix="",
+    ).select("event_id", "user_id", "ts", F.col("view_ts").alias("nearest_view_ts"))

@@ -621,3 +621,67 @@ class TestTokenBudget:
             assert r.kept_docs <= r.total_docs
             assert r.kept_tokens < TOKEN_BUDGET + max_doc_toks
             assert r.kept_docs > 0  # budget is non-trivial on the fixture
+
+
+class TestAsofNearest:
+    def test_nearest_semantics(self, spark):
+        from duckdb_extension_kafquack_spark.operators.joins import asof_join
+        from pyspark.sql import functions as F
+
+        left = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 11:00:00"),
+             (2, "2024-01-01 09:00:00")],
+            "user long, t string",
+        ).select("user", F.col("t").cast("timestamp").alias("t"))
+        right = spark.createDataFrame(
+            [(1, "2024-01-01 09:00:00", "a"),      # 60 min before 10:00
+             (1, "2024-01-01 10:10:00", "b"),      # 10 min after 10:00, 50 before 11:00
+             (2, "2024-01-01 09:30:00", "c")],     # only match, after
+            "user long, t string, tag string",
+        ).select("user", F.col("t").cast("timestamp").alias("t"), "tag")
+        out = {
+            (r.user, str(r.t)): r.tag_right
+            for r in asof_join(
+                left, right, on="t", by="user", right_cols=["tag"],
+                direction="nearest",
+            ).collect()
+        }
+        assert out[(1, "2024-01-01 10:00:00")] == "b"  # 10 min beats 60
+        assert out[(1, "2024-01-01 11:00:00")] == "b"
+        assert out[(2, "2024-01-01 09:00:00")] == "c"  # forward-only match
+
+    def test_nearest_tie_prefers_backward(self, spark):
+        from duckdb_extension_kafquack_spark.operators.joins import asof_join
+        from pyspark.sql import functions as F
+
+        left = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00")], "user long, t string"
+        ).select("user", F.col("t").cast("timestamp").alias("t"))
+        right = spark.createDataFrame(
+            [(1, "2024-01-01 09:50:00", "before"), (1, "2024-01-01 10:10:00", "after")],
+            "user long, t string, tag string",
+        ).select("user", F.col("t").cast("timestamp").alias("t"), "tag")
+        out = asof_join(
+            left, right, on="t", by="user", right_cols=["tag"], direction="nearest"
+        ).first()
+        assert out.tag_right == "before"  # equal 10-min distance → backward
+
+    def test_agrees_with_pandas_nearest(self, spark, tables):
+        from duckdb_extension_kafquack_spark.operators.joins import (
+            asof_join,
+            asof_join_pandas,
+        )
+        from pyspark.sql import functions as F
+
+        ev = tables["events"]
+        p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+        v = ev.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("ts").alias("view_ts")
+        )
+        a = {r.event_id: r.view_ts for r in asof_join(
+            p, v, on="ts", by="user_id", right_cols=["view_ts"], direction="nearest",
+            suffix="").collect()}
+        b = {r.event_id: r.view_ts for r in asof_join_pandas(
+            p, v, on="ts", by="user_id", right_cols=["view_ts"], direction="nearest",
+            suffix="").collect()}
+        assert a == b
