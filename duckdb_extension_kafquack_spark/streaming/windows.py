@@ -383,3 +383,42 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("purchase_id", "signup_id", "user_id")
     run_stream_to_table(joined, "stream_stream_join", "append")
     return spark.table("stream_stream_join")
+
+
+@query(
+    "streaming_window_distinct",
+    """
+SELECT time_bucket(INTERVAL '1 day', ts) AS day_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_error
+FROM events GROUP BY 1
+""",
+)
+def streaming_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct users inside one real streaming job, both ways:
+    exact via the stateful ``dropDuplicates`` → count chain (streaming
+    COUNT DISTINCT is unsupported directly — dedup state IS the distinct
+    set) and sketched via ``approx_count_distinct`` over the deduped
+    stream (the mergeable-HLL path whose state is constant per window at
+    100 TB).  Like ``approx_distinct``, the sketch estimate can't
+    hash-match across engines, so the hashed surface is the exact count
+    plus a bounded-error boolean |approx − exact| ≤ 5·rsd·exact; the
+    oracle's boolean is literal TRUE."""
+    rsd = 0.05
+    ev = _events_stream(spark, sf_dir)
+    pairs = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day_start"), "user_id"
+    ).dropDuplicates(["day_start", "user_id"])
+    agg = pairs.groupBy("day_start").agg(
+        F.count(F.lit(1)).alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+    )
+    run_stream_to_table(agg, "stream_window_distinct", "complete")
+    return spark.table("stream_window_distinct").select(
+        "day_start",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 5 * rsd * F.col("exact_users")
+        ).alias("within_error"),
+    )
