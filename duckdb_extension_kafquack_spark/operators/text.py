@@ -421,3 +421,75 @@ FROM m
 query("zipf_fit", _DUCK_ZIPF)(
     lambda spark, sf_dir: zipf_fit_stats(load_tables(spark, sf_dir)["documents"])
 )
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier (pretrained-weights filtering)
+# ---------------------------------------------------------------------------
+
+# "trained offline" weights, inlined as literals in BOTH engines (the
+# SRP-hyperplane pattern): favor lexical diversity, penalize stopword
+# density, mildly reward longer tokens
+QC_W_TTR, QC_W_STOP, QC_W_LEN, QC_BIAS = 4.0, -3.0, 0.25, -1.5
+
+_SPARK_TOKS2 = "filter(split(text, ' '), t -> t != '')"
+_SPARK_TOK_COUNT = f"size({_SPARK_TOKS2})"
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+_QC_Z = (
+    f"({QC_W_TTR} * (CAST(nu AS DOUBLE) / nt)"
+    f" + {QC_W_STOP} * (CAST(ns AS DOUBLE) / nt)"
+    f" + {QC_W_LEN} * (CAST(nc AS DOUBLE) / (nt * 10))"
+    f" + {QC_BIAS})"
+)
+
+
+def quality_classifier(docs: DataFrame) -> DataFrame:
+    """FastText/FineWeb-style model-scored quality filtering with a
+    linear classifier over cheap lexical features — the 'apply a
+    pretrained quality model to every doc' stage, expressed so the
+    decision boundary is ENGINE-EXACT: every feature is one IEEE
+    division of exact integers, the weights are shared literals, and the
+    margin z is the same left-to-right fold in both engines, so
+    keep/drop (z > 0) can never flip on a boundary doc.  The sigmoid is
+    deliberately NOT computed (libm exp differs by ulps across engines);
+    rank/threshold decisions only need the margin.  Map-only + one tiny
+    per-language rollup."""
+    feats = docs.selectExpr(
+        "lang",
+        f"{_SPARK_TOK_COUNT} AS nt",
+        f"size(array_distinct({_SPARK_TOKS2})) AS nu",
+        f"size(filter({_SPARK_TOKS2}, t -> t IN ({_STOP_LIST}))) AS ns",
+        "length(text) AS nc",
+    ).filter("nt > 0")
+    scored = feats.selectExpr("lang", f"{_QC_Z} AS z")
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("z") > 0, 1)).alias("n_kept"),
+        F.round(F.avg("z"), 6).alias("avg_margin"),
+    )
+
+
+def _duck_qc_sql() -> str:
+    return f"""
+WITH feats AS (
+  SELECT lang,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS nt,
+         len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS nu,
+         len(list_filter(string_split(text, ' '), t -> t IN ({_STOP_LIST}))) AS ns,
+         length(text) AS nc
+  FROM documents
+), scored AS (
+  SELECT lang, {_QC_Z} AS z FROM feats WHERE nt > 0
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE z > 0) AS BIGINT) AS n_kept,
+       ROUND(AVG(z), 6) AS avg_margin
+FROM scored GROUP BY lang
+"""
+
+
+query("quality_classifier", _duck_qc_sql())(
+    lambda spark, sf_dir: quality_classifier(load_tables(spark, sf_dir)["documents"])
+)
