@@ -254,3 +254,35 @@ def test_events_ops_handle_empty_input(spark):
 
     empty = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
     assert funnel_stages(empty).count() == 0
+
+
+@SLOW
+@given(left=timed_rows, right=timed_rows)
+def test_asof_nearest_equals_pandas_strategy(spark, left, right):
+    """direction='nearest' (one sort order, two frames) ≡ pandas
+    merge_asof nearest for any input, including exact-distance ties
+    (both prefer backward)."""
+    from duckdb_extension_kafquack_spark.operators.joins import (
+        asof_join,
+        asof_join_pandas,
+    )
+
+    ldf = spark.createDataFrame(
+        [(k, t) for (k, t) in left], "k long, t long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, f"r{i}") for i, (k, t) in enumerate(right)], "k long, t long, plan string"
+    )
+    a = {
+        (r.k, r.t): r.plan_right
+        for r in asof_join(
+            ldf, rdf, on="t", by="k", right_cols=["plan"], direction="nearest"
+        ).collect()
+    }
+    b = {
+        (r.k, r.t): r.plan_right
+        for r in asof_join_pandas(
+            ldf, rdf, on="t", by="k", right_cols=["plan"], direction="nearest"
+        ).collect()
+    }
+    assert a == b
