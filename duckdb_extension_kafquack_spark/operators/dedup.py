@@ -868,3 +868,72 @@ FROM cls GROUP BY source
 @query("dedup_incremental", _duck_incremental_sql())
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup_report(load_tables(spark, sf_dir)["documents"])
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage detection (near-dups crossing train/val/test boundaries)
+# ---------------------------------------------------------------------------
+
+
+def _duck_split_leakage_sql() -> str:
+    from ..functions.hashing import duck_hash64
+
+    h = duck_hash64("'split:' || CAST(doc_id AS VARCHAR)")
+    split_case = (
+        f"CASE WHEN {h} % 100 < 90 THEN 'train' "
+        f"WHEN {h} % 100 < 95 THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+WITH near_pairs AS ({_duck_minhash_sql()}
+), tagged AS (
+  SELECT doc_id, {split_case} AS split FROM documents
+)
+SELECT LEAST(a.split, b.split) AS split_a,
+       GREATEST(a.split, b.split) AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(*) FILTER (WHERE a.split <> b.split) AS BIGINT) AS n_leaks
+FROM near_pairs p
+JOIN tagged a ON a.doc_id = p.doc1
+JOIN tagged b ON b.doc_id = p.doc2
+GROUP BY 1, 2
+"""
+
+
+@query("split_leakage", _duck_split_leakage_sql())
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: MinHash near-dup pairs that CROSS a
+    train/val/test boundary are exactly the contamination a held-out
+    split must not have (a test doc whose near-duplicate was trained on
+    is not held out).  Composes the banded LSH pair generator with the
+    deterministic hash split; the join back to split labels is two
+    broadcast-sized lookups of the (small) pair set — no corpus
+    shuffle beyond the LSH pipeline's own.
+
+    Output: unordered split-pair counts with the cross-split subset
+    counted as ``n_leaks`` (nonzero train↔test rows are the audit
+    failure a real pipeline gates on)."""
+    from ..functions.hashing import spark_hash64
+    from .curation import SPLIT_BUCKETS, SPLIT_TRAIN, SPLIT_VAL
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    bucket = (
+        spark_hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % SPLIT_BUCKETS
+    )
+    tagged = docs.select(
+        "doc_id",
+        F.when(bucket < SPLIT_TRAIN, F.lit("train"))
+        .when(bucket < SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    pairs = minhash_near_duplicates(docs).select("doc1", "doc2")
+    t1 = tagged.select(F.col("doc_id").alias("doc1"), F.col("split").alias("s1"))
+    t2 = tagged.select(F.col("doc_id").alias("doc2"), F.col("split").alias("s2"))
+    labeled = pairs.join(t1, "doc1").join(t2, "doc2")
+    return labeled.groupBy(
+        F.least("s1", "s2").alias("split_a"), F.greatest("s1", "s2").alias("split_b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(F.when(F.col("s1") != F.col("s2"), 1)).alias("n_leaks"),
+    )

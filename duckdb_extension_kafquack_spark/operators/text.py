@@ -493,3 +493,24 @@ FROM scored GROUP BY lang
 query("quality_classifier", _duck_qc_sql())(
     lambda spark, sf_dir: quality_classifier(load_tables(spark, sf_dir)["documents"])
 )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation (confusion matrix)
+# ---------------------------------------------------------------------------
+
+
+def _duck_lang_confusion_sql() -> str:
+    return f"""
+WITH pred AS ({_duck_langid_sql()})
+SELECT labeled_lang, predicted_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY labeled_lang, predicted_lang
+"""
+
+
+query("lang_confusion_matrix", _duck_lang_confusion_sql())(
+    lambda spark, sf_dir: language_id(load_tables(spark, sf_dir)["documents"])
+    .groupBy("labeled_lang", "predicted_lang")
+    .agg(F.count(F.lit(1)).alias("n_docs"))
+)
