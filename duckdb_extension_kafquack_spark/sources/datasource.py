@@ -1,0 +1,391 @@
+"""``spark.read.format("kafquack")`` — the reference's SQL entry point as a
+Spark Python Data Source.
+
+The reference's only usage idiom is ``SELECT * FROM kafka_consumer(...)``
+(/root/reference/src/kafquack_extension.cpp:223-229, README.md:12-14).
+Earlier rounds exposed that surface as :func:`..sources.kafka.register_topic_view`
+plus a fail-fast SQL shim, because a Python UDTF cannot launch a distributed
+scan.  Spark 4's Python Data Source API *can*: this module registers a real
+``kafquack`` format whose batch reader plans one task per input split and
+whose stream reader replays offsets through Structured Streaming — so
+
+    spark.dataSource.register(KafquackDataSource)
+    spark.read.format("kafquack").options(
+        brokers=..., topic=..., group_id=..., fixture_dir=...).load()
+
+is a live, distributed, Catalyst-planned scan with the reference's exact
+7-column schema (kafquack_extension.cpp:101-110) and bind-time validation
+(cpp:80-99: same required-argument arity as the reference's
+``kafka_consumer(VARCHAR, VARCHAR, VARCHAR)`` signature, same named-param
+whitelist, same error texts — the negative test mirrors
+test/sql/kafquack.test:14-18).
+
+Two backends:
+
+* ``fixture_dir`` option set → broker-free replay of the ``events``
+  fixture through the same deterministic projection as
+  :mod:`.synthetic` (null timestamps ~1%, null keys ~10%, error rows ~1%
+  — cpp:166-197 semantics).  This is the oracle-checked path: the
+  driver compares it row-for-row against DuckDB running the identical
+  SQL projection.  Partitioning is metadata-only on the driver (parquet
+  footer), one task per row-group span — with many row groups each task
+  reads exactly its groups; single-group local fixtures are index-sliced
+  so the scan still fans out.
+* no ``fixture_dir`` → a real broker is required.  Bind-time
+  reachability uses the reference's eager-connect contract
+  (cpp:112-129, "Failed to create Kafka consumer: %s").  Fetching then
+  needs a Python Kafka client, which this environment does not ship —
+  the reader raises with guidance to the production JVM path
+  (:func:`..sources.kafka.kafka_consumer`, Spark's native Kafka source).
+  The partition-planning logic (one task per topic-partition) is still
+  exercised: `partitions()` plans from a caller-injectable metadata
+  function so tests cover the split math without a broker.
+
+At 100 TB: the batch reader's splits are embarrassingly parallel (no
+shuffle, no driver materialization — the driver touches only the parquet
+footer / broker metadata); the stream reader is
+:class:`~pyspark.sql.datasource.SimpleDataSourceStreamReader`, which the
+API documents as the small-rate path (offsets planned driver-side) — the
+high-throughput path remains Spark's JVM Kafka source via
+:func:`..sources.kafka.kafka_consumer`, and the module docstring of each
+says so.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Any, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+from .kafka import KAFKA_MESSAGE_SCHEMA, _validate_options, validate_broker_connection
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow as pa
+
+#: Options understood by the format, beyond the reference's three
+#: positional arguments and four named parameters.
+_EXTRA_OPTIONS = frozenset(
+    {
+        "fixture_dir",
+        "topic_name",  # label stamped into the `topic` column for fixture replay
+        "num_partitions",  # minimum fan-out for single-row-group local fixtures
+        "max_offsets_per_trigger",  # stream: rows per micro-batch
+        "validate_connection",
+        "fail_on_data_loss",  # parity knob: accepted, recorded, no-op in replay
+    }
+)
+
+_REQUIRED = ("brokers", "topic", "group_id")
+
+
+def _bind_options(options: dict[str, str]) -> dict[str, str]:
+    """Reference-parity bind: arity check first (cpp's fixed 3-arg
+    signature; test/sql/kafquack.test:14-18 asserts the missing-argument
+    binder error), then the named-parameter whitelist + value validation
+    with verbatim error texts (cpp:80-99)."""
+    missing = [k for k in _REQUIRED if not options.get(k)]
+    if missing:
+        got = ", ".join(sorted(k for k in _REQUIRED if options.get(k))) or "none"
+        raise ValueError(
+            "No function matches the given name and argument types "
+            f"'kafka_consumer({got})': required options are brokers, topic, "
+            f"group_id (missing: {', '.join(missing)})"
+        )
+    named = {
+        k: options[k]
+        for k in ("security_protocol", "sasl_mechanism", "username", "password")
+        if options.get(k) is not None
+    }
+    unknown = {
+        k: v
+        for k, v in options.items()
+        if k not in _REQUIRED
+        and k not in ("security_protocol", "sasl_mechanism", "username", "password")
+        and k not in _EXTRA_OPTIONS
+    }
+    _validate_options(
+        named.get("security_protocol"),
+        named.get("sasl_mechanism"),
+        named.get("username"),
+        named.get("password"),
+        unknown,
+    )
+    return dict(options)
+
+
+# ---------------------------------------------------------------------------
+# Fixture replay — the deterministic, oracle-checked backend
+# ---------------------------------------------------------------------------
+
+
+def _events_path(fixture_dir: str) -> str:
+    return os.path.join(fixture_dir, "events.parquet")
+
+
+def _project_pandas(events: "pa.Table", topic: str) -> "pa.Table":
+    """The synthetic 7-column projection (same math as synthetic._project,
+    so the DataSource rows equal the `kafka_messages_batch` oracle).
+
+    Runs per-task on an Arrow slice; vectorized pandas/numpy only.
+    Handles both shipped ``ts`` layouts (see session.normalize_event_ts):
+    int64 nanoseconds → floor-divide to µs; timestamp[us]/[ns] → as-is
+    (µs truncation like DuckDB).
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    df = events.select(["event_id", "ts", "user_id", "props"]).to_pandas()
+    eid = df["event_id"].to_numpy()
+    is_err = eid % 101 == 0
+    no_key = eid % 10 == 0
+    no_ts = eid % 97 == 0
+
+    if pd.api.types.is_integer_dtype(df["ts"]):
+        ts = pd.to_datetime((df["ts"] // 1000) * 1000, unit="ns")
+    else:
+        ts = pd.to_datetime(df["ts"]).dt.floor("us")
+    out = pd.DataFrame(
+        {
+            "topic": topic,
+            "partition": (df["user_id"] % 4).astype("int32"),
+            "offset": eid.astype("int64"),
+            "timestamp": ts.mask(no_ts),
+            "key": df["user_id"].astype("int64").astype(str).mask(no_key),
+            "value": df["props"].mask(is_err),
+            "error": pd.Series(
+                "Local: Broker transport failure (event " + pd.Series(eid).astype(str) + ")",
+                index=df.index,
+            ).mask(~is_err),
+        }
+    )
+    schema = pa.schema(
+        [
+            ("topic", pa.string()),
+            ("partition", pa.int32()),
+            ("offset", pa.int64()),
+            ("timestamp", pa.timestamp("us")),
+            ("key", pa.string()),
+            ("value", pa.string()),
+            ("error", pa.string()),
+        ]
+    )
+    return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
+
+
+@dataclass
+class _ReplaySplit(InputPartition):
+    """Index range [start, end) over the fixture file, plus the row-group
+    span [rg_start, rg_end) that covers it — each task reads ONLY its
+    groups (column-pruned), then slices to its index range."""
+
+    path: str
+    topic: str
+    start: int
+    end: int
+    rg_start: int
+    rg_end: int
+    rg_offset: int  # global row index where rg_start begins
+
+
+def _plan_replay_splits(path: str, topic: str, min_splits: int) -> list[_ReplaySplit]:
+    """Metadata-only planning (parquet footer; no data read on driver).
+
+    Many row groups → one split per row group (the at-scale shape: a task
+    reads exactly one group's column chunks).  Fewer groups than
+    ``min_splits`` (the single-split local-fixture trap, CLAUDE.md) →
+    index-slice within groups so the scan still parallelizes.
+    """
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    rg_rows = [meta.row_group(i).num_rows for i in range(meta.num_row_groups)]
+    total = sum(rg_rows)
+    if total == 0:
+        return []
+    # cumulative start index of each row group
+    starts = [0]
+    for n in rg_rows:
+        starts.append(starts[-1] + n)
+
+    if meta.num_row_groups >= min_splits:
+        return [
+            _ReplaySplit(path, topic, starts[i], starts[i + 1], i, i + 1, starts[i])
+            for i in range(meta.num_row_groups)
+        ]
+    n_splits = min(min_splits, total)
+    bounds = [total * i // n_splits for i in range(n_splits + 1)]
+    splits = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        if lo == hi:
+            continue
+        rg_start = max(i for i in range(meta.num_row_groups) if starts[i] <= lo)
+        rg_end = min(
+            i for i in range(1, meta.num_row_groups + 1) if starts[i] >= hi
+        )
+        splits.append(_ReplaySplit(path, topic, lo, hi, rg_start, rg_end, starts[rg_start]))
+    return splits
+
+
+def _read_replay_split(split: _ReplaySplit) -> Iterator["pa.RecordBatch"]:
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(split.path)
+    tbl = f.read_row_groups(
+        list(range(split.rg_start, split.rg_end)),
+        columns=["event_id", "ts", "user_id", "props"],
+    )
+    lo = split.start - split.rg_offset
+    tbl = tbl.slice(lo, split.end - split.start)
+    yield from _project_pandas(tbl, split.topic).to_batches()
+
+
+class KafquackBatchReader(DataSourceReader):
+    """Bounded scan (the reference's "read what's there now" idiom)."""
+
+    def __init__(self, options: dict[str, str]):
+        self.options = options
+        self.fixture_dir = options.get("fixture_dir")
+        self.topic_label = options.get("topic_name") or options.get("topic", "events")
+        self.min_splits = int(options.get("num_partitions", "4"))
+        if self.fixture_dir is None:
+            # reference parity: bind fails eagerly when the broker is down
+            # (cpp:112-129) — and this container has no Python Kafka client
+            # for the fetch itself, so surface the supported JVM route.
+            if options.get("validate_connection", "true").lower() != "false":
+                validate_broker_connection(options["brokers"])
+            raise NotImplementedError(
+                "kafquack Python data source: no Python Kafka client is "
+                "available for broker fetch; use kafka_consumer(spark, ...) "
+                "(Spark's JVM Kafka source) for production topics, or set "
+                "fixture_dir=<dir> for deterministic file replay."
+            )
+
+    def partitions(self) -> list[InputPartition]:
+        return _plan_replay_splits(
+            _events_path(self.fixture_dir), self.topic_label, self.min_splits
+        )
+
+    def read(self, partition: _ReplaySplit) -> Iterator["pa.RecordBatch"]:
+        return _read_replay_split(partition)
+
+
+class KafquackSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Unbounded replay: offsets are row indices into the fixture in
+    ``offset`` (event_id) order — deterministic across restarts, so
+    ``readBetweenOffsets`` re-reads any micro-batch exactly (the
+    replayability the reference's synchronous per-message commit cannot
+    give; SURVEY §3.4 divergence).
+
+    Driver-side by design (SimpleDataSourceStreamReader contract — the
+    documented small-rate path).  High-rate production topics use the
+    JVM Kafka source via :func:`..sources.kafka.kafka_consumer`.
+    """
+
+    def __init__(self, options: dict[str, str]):
+        self.options = options
+        fixture_dir = options.get("fixture_dir")
+        if fixture_dir is None:
+            raise NotImplementedError(
+                "kafquack streaming requires fixture_dir replay in this "
+                "environment; use kafka_consumer(spark, ..., mode='stream') "
+                "for real brokers."
+            )
+        self.path = _events_path(fixture_dir)
+        self.topic_label = options.get("topic_name") or options.get("topic", "events")
+        self.batch_rows = int(options.get("max_offsets_per_trigger", "0")) or None
+        self._table = None  # lazy; loaded once per driver process
+
+    def _load(self) -> "pa.Table":
+        if self._table is None:
+            import pyarrow.parquet as pq
+
+            raw = pq.read_table(self.path, columns=["event_id", "ts", "user_id", "props"])
+            projected = _project_pandas(raw, self.topic_label)
+            self._table = projected.take(
+                projected["offset"].to_pandas().argsort().to_numpy()
+            )
+        return self._table
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict) -> tuple[list[tuple], dict]:
+        tbl = self._load()
+        lo = start["index"]
+        hi = len(tbl) if self.batch_rows is None else min(len(tbl), lo + self.batch_rows)
+        # a LIST, not a generator: Spark's prefetch cache copy.copy()s the
+        # returned iterable to serve replanning (datasource_internal.getCache)
+        return self._rows(lo, hi), {"index": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        return self._rows(start["index"], end["index"])
+
+    def _rows(self, lo: int, hi: int) -> list[tuple]:
+        tbl = self._load().slice(lo, hi - lo)
+        return list(zip(*(col.to_pylist() for col in tbl.columns)))
+
+    def commit(self, end: dict) -> None:  # progress is the checkpoint's job
+        pass
+
+
+class KafquackDataSource(DataSource):
+    """``format("kafquack")`` — registration mirror of extension load
+    (kafquack_extension.cpp:207-243; README.md:13 calls it kafquack)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kafquack"
+
+    def __init__(self, options: dict[str, str]):
+        super().__init__(options)
+        self.options = _bind_options(dict(options))
+
+    def schema(self) -> StructType:
+        return KAFKA_MESSAGE_SCHEMA
+
+    def reader(self, schema: StructType) -> KafquackBatchReader:
+        return KafquackBatchReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> KafquackSimpleStreamReader:
+        return KafquackSimpleStreamReader(self.options)
+
+
+def register_datasource(spark) -> None:
+    """Idempotent ``spark.dataSource.register`` (safe on the driver's bare
+    session; re-registration overwrites)."""
+    spark.dataSource.register(KafquackDataSource)
+
+
+def read_kafquack(
+    spark,
+    brokers: str,
+    topic: str,
+    group_id: str,
+    *,
+    stream: bool = False,
+    **options: Any,
+):
+    """Convenience wrapper: register + read with the reference's argument
+    order.  ``stream=True`` → ``readStream`` (unbounded replay)."""
+    register_datasource(spark)
+    reader = (spark.readStream if stream else spark.read).format("kafquack")
+    opts = {"brokers": brokers, "topic": topic, "group_id": group_id}
+    opts.update({k: str(v) for k, v in options.items() if v is not None})
+    return reader.options(**opts).load()
+
+
+__all__ = [
+    "KafquackDataSource",
+    "KafquackBatchReader",
+    "KafquackSimpleStreamReader",
+    "register_datasource",
+    "read_kafquack",
+]

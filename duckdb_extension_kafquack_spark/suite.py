@@ -77,6 +77,47 @@ def kafka_messages_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kafka_messages_from_events(spark, sf_dir)
 
 
+@query("kafka_datasource_batch", _KAFKA_ORACLE)
+def kafka_datasource_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SQL entry point as a LIVE scan:
+    ``spark.read.format("kafquack")`` via the Spark Python Data Source API
+    (kafquack_extension.cpp:223-229 registration; README.md:12-14 usage).
+    Same 7-column schema and row semantics as ``kafka_messages_batch`` but
+    planned as a DataSource-v2 relation — partitioned splits, Arrow-batch
+    transfer, no driver materialization (sources/datasource.py)."""
+    from .session import ensure_session_conf
+    from .sources.datasource import read_kafquack
+
+    ensure_session_conf(spark)
+    return read_kafquack(
+        spark, "localhost:9092", "events", "graft-group", fixture_dir=sf_dir
+    )
+
+
+@query(
+    "kafka_datasource_agg",
+    f"""
+SELECT "partition",
+       COUNT(*) AS messages,
+       MAX("offset") AS max_offset,
+       COUNT(*) FILTER (WHERE error IS NOT NULL) AS error_rows
+FROM ({_KAFKA_ORACLE}) km
+GROUP BY "partition"
+""",
+)
+def kafka_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational composition over the v2 scan — proves the format
+    participates in normal Catalyst planning (partial agg over the
+    Python source's Arrow batches), the reference's host-DuckDB idiom
+    ``SELECT ... FROM kafka_consumer(...) GROUP BY ...``."""
+    km = kafka_datasource_batch(spark, sf_dir)
+    return km.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("messages"),
+        F.max("offset").alias("max_offset"),
+        F.count(F.when(F.col("error").isNotNull(), 1)).alias("error_rows"),
+    )
+
+
 @query(
     "kafka_value_counts",
     f"""
