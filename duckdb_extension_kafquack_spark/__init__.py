@@ -23,6 +23,23 @@ express the semantics (and then as Arrow-batched pandas UDFs).
 from .session import get_spark, load_tables
 from .sources.kafka import kafka_consumer, register, register_topic_view
 
-__all__ = ["get_spark", "load_tables", "kafka_consumer", "register", "register_topic_view"]
+__all__ = [
+    "get_spark",
+    "load_tables",
+    "kafka_consumer",
+    "register",
+    "register_topic_view",
+    "kafquack_version",
+]
 
 __version__ = "0.1.0"
+
+
+def kafquack_version() -> str:
+    """Reference-parity extension version (kafquack_extension.cpp:236-242):
+    the KAFQUACK_VERSION build define wins, else the hard-coded "0.0.1".
+    We mirror the define as an environment variable — same override
+    semantics, no compile step."""
+    import os
+
+    return os.environ.get("KAFQUACK_VERSION", "0.0.1")

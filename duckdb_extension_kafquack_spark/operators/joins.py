@@ -23,6 +23,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _tol_expr(tolerance):
+    """Tolerance spec → Column: interval string ("30 minutes") for
+    timestamp ``on`` columns, a plain number for numeric ones — the same
+    duality ``pandas.merge_asof(tolerance=...)`` has (Timedelta vs int)."""
+    if isinstance(tolerance, str):
+        return F.expr(f"INTERVAL {tolerance}")
+    return F.lit(tolerance)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -31,136 +40,141 @@ def asof_join(
     right_cols: list[str],
     direction: str = "backward",
     suffix: str = "_right",
-    tolerance: str | None = None,
+    tolerance=None,
 ) -> DataFrame:
     """As-of join: for each left row, the temporally closest right row at
     or before (``backward``) / at or after (``forward``) its ``on`` time,
     within the same ``by`` key; ``nearest`` picks whichever side is
     closer (ties → backward, like pandas).  ``tolerance`` (interval spec
-    like ``"30 minutes"``) rejects matches farther than that from the
-    left row's time — the match columns become NULL, exactly like
-    ``pandas.merge_asof(tolerance=...)``."""
+    like ``"30 minutes"`` for timestamps, a number for numeric times)
+    rejects matches farther than that from the left row's time — the
+    match columns become NULL, exactly like
+    ``pandas.merge_asof(tolerance=...)``; under ``nearest`` the tolerance
+    is applied to EACH direction's candidate before choosing, so an
+    out-of-tolerance nearer match falls back to the other side's
+    in-tolerance match (merge_asof parity).
+
+    All carried columns ride in ONE struct per right row (match time
+    included), so every output field comes from the same matched row —
+    a NULL in one right column can never fall back to an older row.
+    Duplicate right rows at the same (by, on) time are broken
+    deterministically by input row order (backward → last duplicate,
+    forward → first, pandas' stable-searchsorted behavior)."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be backward, forward or nearest")
     by = [by] if isinstance(by, str) else list(by)
 
-    carry_cols = list(right_cols)
-
-    l_tagged = left.withColumn("__side", F.lit(1))
+    # one struct per right row: match time + every carried column — the
+    # window then moves whole rows, never per-column values
     r_proj = right.select(
-        *by, F.col(on), *[F.col(c).alias(f"__r_{c}") for c in carry_cols]
-    ).withColumn("__side", F.lit(0))
-    if tolerance is not None or direction == "nearest":
-        # the match's own time rides under a reserved name (suffix-proof)
-        r_proj = r_proj.withColumn("__r___match_on", F.col(on))
-        carry_cols = [*carry_cols, "__match_on"]
+        *by,
+        F.col(on),
+        F.struct(
+            F.col(on).alias("__match_on"),
+            *[F.col(c).alias(c) for c in right_cols],
+        ).alias("__r"),
+        F.lit(0).alias("__side"),
+        # deterministic duplicate-time tie-break: input row order (stable
+        # given a fixed source partitioning, e.g. a parquet read)
+        F.monotonically_increasing_id().alias("__rid"),
+    )
+    struct_type = r_proj.schema["__r"].dataType
+    l_tagged = left.select(
+        "*",
+        F.lit(None).cast(struct_type).alias("__r"),
+        F.lit(1).alias("__side"),
+        F.monotonically_increasing_id().alias("__rid"),
+    )
     for c in left.columns:
         if c not in r_proj.columns:
             r_proj = r_proj.withColumn(c, F.lit(None))
-    for c in [f"__r_{rc}" for rc in carry_cols]:
-        l_tagged = l_tagged.withColumn(c, F.lit(None))
     unioned = l_tagged.unionByName(r_proj.select(l_tagged.columns))
+
+    def unpack(struct_col, with_tol_dir: str | None):
+        """Struct → output columns; optionally null the WHOLE match when
+        its time is outside tolerance in the given direction."""
+        if tolerance is not None and with_tol_dir is not None:
+            struct_col = F.when(
+                _in_tol(struct_col, F.col(on), with_tol_dir, tolerance), struct_col
+            )
+        return [
+            struct_col.getField(c).alias(f"{c}{suffix}") for c in right_cols
+        ]
 
     if direction == "nearest":
         # ONE sort order, TWO frames over it — still a single shuffle.
         # Right rows sort before left rows at equal time, so a distance-0
         # match is captured by the backward frame (and backward wins the
         # tie anyway, matching pandas).
+        order = [F.col(on).asc(), F.col("__side").asc(), F.col("__rid").asc()]
         wb = (
             Window.partitionBy(*by)
-            .orderBy(F.col(on).asc(), F.col("__side").asc())
+            .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         wf = (
             Window.partitionBy(*by)
-            .orderBy(F.col(on).asc(), F.col("__side").asc())
+            .orderBy(*order)
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        both = [
-            c
-            for cc in carry_cols
-            for c in (
-                F.last(F.col(f"__r_{cc}"), ignorenulls=True).over(wb).alias(f"__b_{cc}"),
-                F.first(F.col(f"__r_{cc}"), ignorenulls=True).over(wf).alias(f"__f_{cc}"),
-            )
-        ]
-        bt, ft = F.col("__b___match_on"), F.col("__f___match_on")
+        b = F.last(F.col("__r"), ignorenulls=True).over(wb)
+        f_ = F.first(F.col("__r"), ignorenulls=True).over(wf)
+        if tolerance is not None:
+            # merge_asof parity: each direction's candidate is tolerance-
+            # filtered BEFORE the nearest choice, so the other side's
+            # in-tolerance match survives an out-of-tolerance nearer one
+            b = F.when(_in_tol(b, F.col(on), "backward", tolerance), b)
+            f_ = F.when(_in_tol(f_, F.col(on), "forward", tolerance), f_)
+        stage = unioned.select("*", b.alias("__b"), f_.alias("__f"))
+        bt = F.col("__b").getField("__match_on")
+        ft = F.col("__f").getField("__match_on")
         use_back = ft.isNull() | (
             bt.isNotNull() & ((F.col(on) - bt) <= (ft - F.col(on)))
         )
-        chosen = [
-            F.when(use_back, F.col(f"__b_{cc}")).otherwise(F.col(f"__f_{cc}")).alias(
-                f"{cc}{suffix}"
-            )
-            for cc in carry_cols
-        ]
-        out = (
-            unioned.select("*", *both)
-            .filter(F.col("__side") == 1)
+        chosen = F.when(use_back, F.col("__b")).otherwise(F.col("__f"))
+        return (
+            stage.filter(F.col("__side") == 1)
             .select(
-                *[c for c in left.columns],
-                *chosen,
+                *left.columns,
+                *[chosen.getField(c).alias(f"{c}{suffix}") for c in right_cols],
             )
         )
-        if tolerance is not None:
-            m = F.col(f"__match_on{suffix}")
-            in_tol = (m >= F.col(on) - F.expr(f"INTERVAL {tolerance}")) & (
-                m <= F.col(on) + F.expr(f"INTERVAL {tolerance}")
-            )
-            out = out.select(
-                *[c for c in out.columns if c != f"__match_on{suffix}"],
-                in_tol.alias("__in_tol"),
-            )
-            for c in right_cols:
-                out = out.withColumn(
-                    f"{c}{suffix}", F.when(F.col("__in_tol"), F.col(f"{c}{suffix}"))
-                )
-            out = out.drop("__in_tol")
-        else:
-            out = out.drop(f"__match_on{suffix}")
-        return out
 
     if direction == "backward":
-        # right rows sort before left rows at equal time → visible to them
+        # right rows sort before left rows at equal time → visible to
+        # them; among duplicates last() takes the highest __rid (pandas
+        # keeps the last duplicate)
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.col(on).asc(), F.col("__side").asc())
+            .orderBy(F.col(on).asc(), F.col("__side").asc(), F.col("__rid").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        pick = F.last
+        carried = F.last(F.col("__r"), ignorenulls=True).over(w)
     else:
+        # left rows sort before right rows at equal time → equal-time
+        # matches are in the forward frame; first() takes the lowest
+        # __rid (pandas' stable searchsorted keeps the first duplicate)
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.col(on).asc(), F.col("__side").desc())
+            .orderBy(F.col(on).asc(), F.col("__side").desc(), F.col("__rid").asc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        pick = F.first
+        carried = F.first(F.col("__r"), ignorenulls=True).over(w)
 
-    carried = [
-        pick(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-        for c in carry_cols
-    ]
-    out = (
-        unioned.select("*", *carried)
+    return (
+        unioned.select("*", carried.alias("__m"))
         .filter(F.col("__side") == 1)
-        .drop("__side", *[f"__r_{c}" for c in carry_cols])
+        .select(*left.columns, *unpack(F.col("__m"), direction))
     )
-    if tolerance is not None:
-        match_on = F.col(f"__match_on{suffix}")
-        if direction == "backward":
-            in_tol = match_on >= F.col(on) - F.expr(f"INTERVAL {tolerance}")
-        else:
-            in_tol = match_on <= F.col(on) + F.expr(f"INTERVAL {tolerance}")
-        out = out.select(
-            *[c for c in out.columns if c != f"__match_on{suffix}"],
-            in_tol.alias("__in_tol"),
-        )
-        for c in right_cols:
-            out = out.withColumn(
-                f"{c}{suffix}", F.when(F.col("__in_tol"), F.col(f"{c}{suffix}"))
-            )
-        out = out.drop("__in_tol")
-    return out
+
+
+def _in_tol(struct_col, on_col, direction: str, tolerance):
+    """Is the matched row's time within tolerance of the left time?"""
+    m = struct_col.getField("__match_on")
+    t = _tol_expr(tolerance)
+    if direction == "backward":
+        return m >= on_col - t
+    return m <= on_col + t
 
 
 def interval_join(

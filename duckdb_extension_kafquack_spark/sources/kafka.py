@@ -152,17 +152,32 @@ def _offset_bound_options(
 
 def _parse_broker_list(brokers: str) -> list[tuple[str, int]]:
     """``"host1:9092,host2:9093"`` → ``[("host1", 9092), ("host2", 9093)]``.
-    Port defaults to 9092 (librdkafka's metadata.broker.list default)."""
+    Port defaults to 9092 (librdkafka's metadata.broker.list default).
+
+    IPv6-safe (ADVICE r4): ``[::1]:9093`` → ("::1", 9093); a bare
+    ``::1`` is a host (the last colon is split off only when the suffix
+    is a valid port AND the host part has no unbracketed colon); a
+    trailing colon (``h1:``) is stripped instead of kept in the host.
+    """
     out: list[tuple[str, int]] = []
     for entry in brokers.split(","):
         entry = entry.strip()
         if not entry:
             continue
+        if entry.startswith("["):  # bracketed IPv6: [addr] or [addr]:port
+            addr, _, rest = entry[1:].partition("]")
+            if rest.startswith(":") and rest[1:].isdigit() and int(rest[1:]) <= 65535:
+                out.append((addr, int(rest[1:])))
+            else:
+                out.append((addr, 9092))
+            continue
         host, sep, port = entry.rpartition(":")
-        if sep and port.isdigit():
+        if sep and port.isdigit() and int(port) <= 65535 and ":" not in host:
             out.append((host, int(port)))
+        elif entry.endswith(":") and ":" not in entry[:-1]:
+            out.append((entry[:-1], 9092))  # "h1:" — dangling separator
         else:
-            out.append((entry, 9092))
+            out.append((entry, 9092))  # plain host or bare IPv6
     if not out:
         raise ValueError("Failed to create Kafka consumer: no brokers specified")
     return out
@@ -261,6 +276,7 @@ def kafka_consumer(
     ending_timestamp: int | None = None,
     max_offsets_per_trigger: int | None = None,
     min_partitions: int | None = None,
+    fail_on_data_loss: bool | None = None,
     keep_raw: bool = False,
     validate_connection: bool = False,
     **named_params: Any,
@@ -294,26 +310,71 @@ def kafka_consumer(
         # reference parity: fail at bind, not at first poll (cpp:112-129)
         validate_broker_connection(brokers)
 
-    subscribe_opt, subscribe_val = _subscribe_option(topic, topic_is_pattern)
-
-    reader = spark.readStream if mode == "stream" else spark.read
-    reader = (
-        reader.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option(subscribe_opt, subscribe_val)
-        .option("kafka.group.id", group_id)
+    opts = _reader_options(
+        brokers=brokers,
+        topic=topic,
+        group_id=group_id,
+        mode=mode,
+        starting_offsets=starting_offsets,
+        ending_offsets=ending_offsets,
+        starting_timestamp=starting_timestamp,
+        ending_timestamp=ending_timestamp,
+        max_offsets_per_trigger=max_offsets_per_trigger,
+        min_partitions=min_partitions,
+        fail_on_data_loss=fail_on_data_loss,
+        topic_is_pattern=topic_is_pattern,
+        sec_opts=sec_opts,
     )
-    for k, v in _offset_bound_options(
-        mode, starting_offsets, ending_offsets, starting_timestamp, ending_timestamp
-    ).items():
-        reader = reader.option(k, v)
-    if max_offsets_per_trigger is not None and mode == "stream":
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    if min_partitions is not None:
-        reader = reader.option("minPartitions", str(min_partitions))
-    for k, v in sec_opts.items():
+    reader = spark.readStream if mode == "stream" else spark.read
+    reader = reader.format("kafka")
+    for k, v in opts.items():
         reader = reader.option(k, v)
     return _project_reference_schema(reader.load(), keep_raw=keep_raw)
+
+
+def _reader_options(
+    *,
+    brokers: str,
+    topic,
+    group_id: str,
+    mode: str,
+    starting_offsets: str = "earliest",
+    ending_offsets: str = "latest",
+    starting_timestamp: int | None = None,
+    ending_timestamp: int | None = None,
+    max_offsets_per_trigger: int | None = None,
+    min_partitions: int | None = None,
+    fail_on_data_loss: bool | None = None,
+    topic_is_pattern: bool = False,
+    sec_opts: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The complete Kafka-source option dict — pure, broker-free,
+    unit-testable (CLAUDE.md rule: keep broker-dependent config logic
+    out of code paths that need a live ``.load()``)."""
+    subscribe_opt, subscribe_val = _subscribe_option(topic, topic_is_pattern)
+    opts: dict[str, str] = {
+        "kafka.bootstrap.servers": brokers,
+        subscribe_opt: subscribe_val,
+        "kafka.group.id": group_id,
+    }
+    opts.update(
+        _offset_bound_options(
+            mode, starting_offsets, ending_offsets, starting_timestamp, ending_timestamp
+        )
+    )
+    if max_offsets_per_trigger is not None and mode == "stream":
+        # production knob #1: bound micro-batch size so a backlogged topic
+        # can't produce an unboundedly large first batch
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if min_partitions is not None:
+        opts["minPartitions"] = str(min_partitions)
+    if fail_on_data_loss is not None:
+        # production knob #2: aged-out offsets (retention) — fail loudly
+        # (True, Spark's default) or log-and-continue (False); the
+        # reference inherits librdkafka's silent auto.offset.reset instead
+        opts["failOnDataLoss"] = "true" if fail_on_data_loss else "false"
+    opts.update(sec_opts or {})
+    return opts
 
 
 def with_decode_policy(raw: DataFrame, value_col: str = "value_raw") -> DataFrame:

@@ -12,6 +12,7 @@ API, so reference users can keep their habits:
 from duckdb_extension_kafquack_spark import (  # noqa: F401
     get_spark,
     kafka_consumer,
+    kafquack_version,
     load_tables,
     register,
 )
@@ -27,6 +28,7 @@ from duckdb_extension_kafquack_spark.sources.synthetic import (  # noqa: F401
 
 __all__ = [
     "get_spark",
+    "kafquack_version",
     "load_tables",
     "kafka_consumer",
     "register",

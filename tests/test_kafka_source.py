@@ -72,6 +72,57 @@ class TestValidateConnection:
         assert _parse_broker_list("h1:9092, h2:19092") == [("h1", 9092), ("h2", 19092)]
         assert _parse_broker_list("h1") == [("h1", 9092)]
 
+    def test_parse_broker_list_ipv6_and_edge_cases(self):
+        """ADVICE r4: IPv6 and dangling-separator entries must resolve to
+        usable connection targets."""
+        from duckdb_extension_kafquack_spark.sources.kafka import _parse_broker_list
+
+        assert _parse_broker_list("::1") == [("::1", 9092)]  # bare IPv6, not ("::",1)
+        assert _parse_broker_list("[::1]:9093") == [("::1", 9093)]
+        assert _parse_broker_list("[2001:db8::2]") == [("2001:db8::2", 9092)]
+        assert _parse_broker_list("h1:") == [("h1", 9092)]  # no trailing colon kept
+        assert _parse_broker_list("h1:70000") == [("h1:70000", 9092)]  # not a port
+        assert _parse_broker_list("[::1]:9093,h2:9092,::1") == [
+            ("::1", 9093), ("h2", 9092), ("::1", 9092),
+        ]
+
+    def test_reader_options_production_knobs(self):
+        """maxOffsetsPerTrigger / failOnDataLoss / minPartitions plumbing
+        — pure option-dict construction, no broker needed."""
+        from duckdb_extension_kafquack_spark.sources.kafka import _reader_options
+
+        opts = _reader_options(
+            brokers="b:9092", topic="t", group_id="g", mode="stream",
+            max_offsets_per_trigger=50_000, min_partitions=64,
+            fail_on_data_loss=False,
+        )
+        assert opts["maxOffsetsPerTrigger"] == "50000"
+        assert opts["minPartitions"] == "64"
+        assert opts["failOnDataLoss"] == "false"
+        assert opts["subscribe"] == "t"
+        assert opts["startingOffsets"] == "earliest"
+        # batch mode: trigger bound is a stream-only concept, must vanish
+        batch = _reader_options(
+            brokers="b:9092", topic="t", group_id="g", mode="batch",
+            max_offsets_per_trigger=50_000, fail_on_data_loss=True,
+        )
+        assert "maxOffsetsPerTrigger" not in batch
+        assert batch["failOnDataLoss"] == "true"
+        assert batch["endingOffsets"] == "latest"
+        # unset knobs leave no stray keys
+        bare = _reader_options(brokers="b:9092", topic="t", group_id="g", mode="stream")
+        assert "failOnDataLoss" not in bare and "minPartitions" not in bare
+
+    def test_kafquack_version_parity(self, monkeypatch):
+        """Version() → "0.0.1" unless the build define overrides
+        (kafquack_extension.cpp:236-242)."""
+        import kafquack
+
+        monkeypatch.delenv("KAFQUACK_VERSION", raising=False)
+        assert kafquack.kafquack_version() == "0.0.1"
+        monkeypatch.setenv("KAFQUACK_VERSION", "9.9.9")
+        assert kafquack.kafquack_version() == "9.9.9"
+
     def test_parse_broker_list_empty(self):
         from duckdb_extension_kafquack_spark.sources.kafka import _parse_broker_list
 

@@ -496,6 +496,47 @@ class TestAsofTolerance:
         }
         assert a == b
 
+    def test_null_right_column_stays_null(self, spark):
+        """ADVICE r4: carried columns ride in one struct per right row —
+        a NULL column in the matched row must surface as NULL, never fall
+        back to an older right row's value."""
+        from duckdb_extension_kafquack_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame([(1, 10)], "k long, t long")
+        right = spark.createDataFrame(
+            [(1, 3, "old", "o"), (1, 8, "new", None)],
+            "k long, t long, a string, b string",
+        )
+        row = asof_join(
+            left, right, on="t", by="k", right_cols=["a", "b"]
+        ).collect()[0]
+        assert row.a_right == "new"
+        assert row.b_right is None  # NOT "o" from the t=3 row
+
+    def test_nearest_with_tolerance_cases(self, spark):
+        """ADVICE r4 (medium): the nearest+tolerance combination —
+        candidates are tolerance-filtered per direction BEFORE the
+        nearest choice (merge_asof semantics).  Deterministic spot
+        checks; full parity is the hypothesis property test."""
+        from duckdb_extension_kafquack_spark.operators.joins import asof_join
+
+        right = spark.createDataFrame(
+            [(1, 99, "a"), (1, 104, "b")], "k long, t long, v string"
+        )
+
+        def nearest(t, tol):
+            left = spark.createDataFrame([(1, t)], "k long, t long")
+            return asof_join(
+                left, right, on="t", by="k", right_cols=["v"],
+                direction="nearest", tolerance=tol,
+            ).collect()[0].v_right
+
+        assert nearest(100, 10) == "a"  # both in tol → nearer (d=1 vs 4)
+        assert nearest(103, 2) == "b"  # fwd d=1 in tol; back d=4 out
+        assert nearest(100, 0) is None  # both out of tolerance
+        assert nearest(97, 2) == "a"  # no backward candidate; fwd 99 d=2 in
+        assert nearest(106, 1) is None  # back 104 d=2 out; no forward
+
 
 class TestInt8Quantization:
     def test_codes_bounded_and_integer_valued(self, spark, tables):

@@ -286,3 +286,101 @@ def test_asof_nearest_equals_pandas_strategy(spark, left, right):
         ).collect()
     }
     assert a == b
+
+
+timed_rows_dup = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=20),  # time — duplicates likely
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SLOW
+@given(left=timed_rows, right=timed_rows, tol=st.integers(min_value=0, max_value=30))
+def test_asof_nearest_with_tolerance_equals_pandas(spark, left, right, tol):
+    """ADVICE r4 (medium): nearest+tolerance must filter EACH direction's
+    candidate by tolerance BEFORE choosing the side — when the nearer
+    match is out of tolerance but the other direction has one in
+    tolerance, pandas (and now asof_join) returns that match."""
+    from duckdb_extension_kafquack_spark.operators.joins import (
+        asof_join,
+        asof_join_pandas,
+    )
+
+    ldf = spark.createDataFrame([(k, t) for (k, t) in left], "k long, t long")
+    rdf = spark.createDataFrame(
+        [(k, t, f"r{i}") for i, (k, t) in enumerate(right)], "k long, t long, plan string"
+    )
+    a = {
+        (r.k, r.t): r.plan_right
+        for r in asof_join(
+            ldf, rdf, on="t", by="k", right_cols=["plan"],
+            direction="nearest", tolerance=tol,
+        ).collect()
+    }
+    b = {
+        (r.k, r.t): r.plan_right
+        for r in asof_join_pandas(
+            ldf, rdf, on="t", by="k", right_cols=["plan"],
+            direction="nearest", tolerance=tol,
+        ).collect()
+    }
+    assert a == b
+
+
+@settings(
+    max_examples=2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(left=timed_rows_dup, right=timed_rows_dup)
+def test_asof_duplicate_times_deterministic(spark, left, right):
+    """ADVICE r4 (low): duplicate right rows at the same (key, time) must
+    resolve deterministically (tertiary __rid sort key).  Which duplicate
+    wins is arbitrary-but-fixed — "input order" is not canonical after a
+    shuffle (the pandas cogroup path is itself order-nondeterministic) —
+    so assert (a) repeated runs agree exactly, (b) the matched TIME
+    equals pandas merge_asof's (well-defined under duplicates), and
+    (c) the carried value really belongs to some right row at that
+    (key, time) — the struct carry can't mix rows."""
+    from duckdb_extension_kafquack_spark.operators.joins import (
+        asof_join,
+        asof_join_pandas,
+    )
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, t long, lid long"
+    ).coalesce(1)
+    rdf = spark.createDataFrame(
+        [(k, t, f"r{i}", t) for i, (k, t) in enumerate(right)],
+        "k long, t long, plan string, rt long",
+    ).coalesce(1)
+    right_at = {}
+    for i, (k, t) in enumerate(right):
+        right_at.setdefault((k, t), set()).add(f"r{i}")
+    for direction in ("backward", "forward"):
+        runs = [
+            {
+                (r.k, r.t, r.lid): (r.plan_right, r.rt_right)
+                for r in asof_join(
+                    ldf, rdf, on="t", by="k",
+                    right_cols=["plan", "rt"], direction=direction,
+                ).collect()
+            }
+            for _ in range(2)
+        ]
+        assert runs[0] == runs[1], direction
+        pd_times = {
+            (r.k, r.t, r.lid): r.rt_right
+            for r in asof_join_pandas(
+                ldf, rdf, on="t", by="k",
+                right_cols=["plan", "rt"], direction=direction,
+            ).collect()
+        }
+        for key, (plan, rt) in runs[0].items():
+            assert rt == pd_times[key], (direction, key)
+            if plan is not None:
+                assert plan in right_at[(key[0], rt)], (direction, key)
