@@ -41,10 +41,13 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_int8_topk",
+    "ann_int8_ivf_topk",
     "dedup_embedding_cosine",
     "dedup_incremental",
     "corpus_curation",
     "source_cap",
+    "skew_salted_agg",
+    "kafka_datasource_batch",
 ]
 
 

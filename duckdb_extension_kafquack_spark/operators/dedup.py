@@ -19,7 +19,7 @@ same-bucket pairs (LSH guarantee).  Hashes are md5-derived
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import duck_seeded_md5
@@ -43,6 +43,17 @@ NGRAM = 5
 NGRAM_HASHES = 8
 NGRAM_BANDS = 2
 NGRAM_THRESHOLD = 0.7
+
+# LSH hygiene: a band bucket with b members yields b(b-1)/2 candidate
+# pairs — one boilerplate-heavy bucket (identical headers/footers across
+# a web corpus) turns the bucket join quadratic and creates a straggler
+# task.  Buckets larger than this are deterministically SUB-SPLIT (rank
+# members by doc_id, group into runs of this size, pair only within a
+# run): per-bucket pair count drops from O(b²) to O(b·cap) — linear —
+# while a giant duplicate cluster still collapses to ≤ b/cap keepers
+# instead of 1 (acceptable dedup degradation, standard production
+# practice).  Mirrored verbatim in the DuckDB oracles.
+MAX_LSH_BUCKET = 64
 
 # 60 bits (the full width of the cross-engine md5 hash): 16/32-bit
 # signatures collide heavily on this shared-vocabulary corpus (25k/4.3k
@@ -185,19 +196,34 @@ def minhash_bands(sigs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
 
 
-def candidate_pairs(bands_df: DataFrame) -> DataFrame:
+def candidate_pairs(
+    bands_df: DataFrame, max_bucket_size: int | None = MAX_LSH_BUCKET
+) -> DataFrame:
     """Self-join on (band, band_sig) — the LSH bucket join.  Uniform md5
-    keys → no skew; `doc1 < doc2` halves the output; distinct collapses
-    multi-band collisions."""
+    keys → no skew from the hashing itself; `doc1 < doc2` halves the
+    output; distinct collapses multi-band collisions.
+
+    ``max_bucket_size`` (:data:`MAX_LSH_BUCKET`) bounds the within-bucket
+    pair count: members of an oversized bucket are ranked by doc_id and
+    only paired within runs of that size, keeping the join linear in
+    bucket size.  The ranking window shuffles on the same (band,
+    band_sig) key the join needs anyway — one task sorts the hot bucket
+    (O(b log b), vs the O(b²) join it prevents)."""
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
+        bands_df = bands_df.withColumn(
+            "sub", F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(max_bucket_size))
+        )
+        join_keys = ["band", "band_sig", "sub"]
+    else:
+        join_keys = ["band", "band_sig"]
     a = bands_df.alias("a")
     b = bands_df.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for k in join_keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, cond)
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
@@ -302,10 +328,16 @@ WITH tok AS (
   FROM mh
 ), bands AS (
 {band_union}
+), bands_sub AS (
+  SELECT doc_id, band, band_sig,
+         FLOOR((ROW_NUMBER() OVER (PARTITION BY band, band_sig ORDER BY doc_id) - 1)
+               / {MAX_LSH_BUCKET}) AS sub
+  FROM bands
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+  FROM bands_sub a JOIN bands_sub b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.sub = b.sub
+   AND a.doc_id < b.doc_id
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
 ), inter AS (
@@ -329,16 +361,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(load_tables(spark, sf_dir)["documents"])
 
 
-def connected_components(edges: DataFrame, src: str = "doc1", dst: str = "doc2") -> DataFrame:
-    """Minimum-label propagation connected components over an edge list —
-    the clustering step after near-dup pair generation (keep one doc per
-    component).
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc1",
+    dst: str = "doc2",
+    max_iterations: int = 50,
+    telemetry: dict | None = None,
+) -> DataFrame:
+    """Connected components over an edge list — the clustering step after
+    near-dup pair generation (keep one doc per component).
 
-    Iterative DataFrame algorithm (the standard large-scale shape, GraphX
-    Pregel-style): each round every vertex takes the min label among
-    itself and its neighbors; converges in O(component diameter) rounds.
-    ``localCheckpoint`` truncates lineage each round so plans don't grow
-    exponentially.  Output: (doc_id, cluster_id=min doc_id in component).
+    Label-propagation with **pointer doubling** (VERDICT r4 item 4):
+    each round every vertex takes the min label among itself and its
+    neighbors (one edge-label join), then labels are shortcut through
+    themselves (``label ← label[label]``, a labels-with-labels self-join)
+    — the large-star/small-star idea from Kiveris et al., "Connected
+    Components in MapReduce and Beyond" (SOCC'14).  Plain propagation
+    needs O(diameter) rounds — a pathological path-shaped component at
+    100 TB means thousands of full-join rounds; doubling halves the
+    remaining distance every round, so convergence is O(log diameter)
+    (a 10⁶-vertex chain: ~20 rounds, not 10⁶).
+
+    ``max_iterations`` is a hard guard (the r4 ``while True`` was
+    unbounded): with doubling, hitting 50 would need a component of
+    diameter ≳2⁵⁰ — impossible; if ever reached it raises rather than
+    looping forever on a logic bug.  ``localCheckpoint`` truncates
+    lineage each round so plans don't grow exponentially.
+
+    Output: (doc_id, cluster_id=min doc_id in component).
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -352,19 +402,36 @@ def connected_components(edges: DataFrame, src: str = "doc1", dst: str = "doc2")
         .withColumn("label", F.col("v"))
         .localCheckpoint()
     )
-    while True:
+    rounds = 0
+    for _ in range(max_iterations):
+        rounds += 1
         neighbor_min = (
             sym.join(labels, sym.b == labels.v)
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
+        propagated = labels.join(
+            neighbor_min, labels.v == neighbor_min.a, "left"
+        ).select(
+            "v",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer doubling: label ← label's own label.  The chain from
+        # any vertex to its component minimum halves in length, so the
+        # whole loop converges in O(log diameter) rounds instead of
+        # O(diameter).
+        parent = propagated.select(
+            F.col("v").alias("p_v"), F.col("label").alias("p_label")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.v == neighbor_min.a, "left")
+            propagated.join(parent, propagated.label == parent.p_v, "left")
             .select(
                 "v",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "label"
-                ),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                ).alias("label"),
             )
             .localCheckpoint()
         )
@@ -378,6 +445,14 @@ def connected_components(edges: DataFrame, src: str = "doc1", dst: str = "doc2")
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds — with pointer doubling that implies diameter "
+            f"> 2^{max_iterations}, i.e. a bug, not a big graph"
+        )
+    if telemetry is not None:
+        telemetry["rounds"] = rounds
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -749,10 +824,16 @@ WITH sh AS (
   FROM mh
 ), bands AS (
 {band_union}
+), bands_sub AS (
+  SELECT doc_id, band, band_sig,
+         FLOOR((ROW_NUMBER() OVER (PARTITION BY band, band_sig ORDER BY doc_id) - 1)
+               / {MAX_LSH_BUCKET}) AS sub
+  FROM bands
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+  FROM bands_sub a JOIN bands_sub b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.sub = b.sub
+   AND a.doc_id < b.doc_id
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
 ), inter AS (

@@ -542,9 +542,10 @@ def _sq_quantize(df: DataFrame, minmax: DataFrame) -> DataFrame:
         f" * {SQ_LEVELS}D / (mx{i} - mn{i})))))"
         for i in range(DIM)
     )
+    extra = [c for c in df.columns if c not in ("vec_id", "embedding")]
     return (
         df.crossJoin(F.broadcast(minmax))
-        .selectExpr("vec_id", f"array({elems}) AS qv")
+        .selectExpr("vec_id", *extra, f"array({elems}) AS qv")
     )
 
 
@@ -624,6 +625,194 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
     return int8_topk(_repartition_if_narrow(emb), queries)
+
+
+def _assign_cells_quantized(qz: DataFrame, qcents: DataFrame) -> DataFrame:
+    """(vec_id, qv, nrm, cell1, cell2): nearest and second-nearest
+    QUANTIZED centroid per quantized vector — same broadcast-NLJ +
+    map-side partial-agg shape as :func:`_assign_cells`, but in code
+    space: the assignment reads only the 8-bit codes, so at scale the
+    float vectors never need to be resident at query time at all (the
+    real point of a quantized store).  All dots are exact integers →
+    cosines are identical IEEE doubles in both engines, and the
+    ``sort_array`` tie-break (cos desc, cent_id asc) mirrors the
+    oracle's ROW_NUMBER exactly."""
+    paired = qz.crossJoin(F.broadcast(qcents)).select(
+        "vec_id",
+        "qv",
+        "nrm",
+        F.struct(
+            F.expr(f"-(({_dot_sql('qv', 'cent_qv')}) / (SQRT(nrm) * SQRT(cent_nrm)))").alias(
+                "negcos"
+            ),
+            F.col("cent_id").alias("cid"),
+        ).alias("s"),
+    )
+    return (
+        paired.groupBy("vec_id")
+        .agg(
+            F.first("qv").alias("qv"),
+            F.first("nrm").alias("nrm"),
+            F.sort_array(F.collect_list("s")).alias("cells"),
+        )
+        .select(
+            "vec_id",
+            "qv",
+            "nrm",
+            F.col("cells")[0]["cid"].alias("cell1"),
+            F.col("cells")[1]["cid"].alias("cell2"),
+        )
+    )
+
+
+def int8_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = TOPK,
+    n_probe: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF-pruned scalar-quantized ANN (VERDICT r4 item 3): the int8
+    memory-bound path scores only within probed cells instead of the
+    whole corpus.
+
+    One quantization pass (minmax agg → 1-row broadcast, map-side affine
+    codes), then EVERYTHING — cell assignment and scoring — runs in code
+    space: the 16 quantized centroids broadcast for the NLJ assignment
+    (map-side partial agg collapses to one row per vector), candidates
+    come from a broadcast hash join on cell, the scoring kernel is the
+    unrolled integer dot.  Per query the scan touches |probed cells| /
+    |cells| of the corpus instead of all of it, on codes 4× smaller than
+    floats — at 100 TB the float vectors aren't touched at query time at
+    all.  All dots are exact integers (≤255²·64 ≪ 2⁵³) so scores, cell
+    assignments, and ties reproduce bit-for-bit in the DuckDB oracle."""
+    if not 1 <= n_probe <= IVF_PROBES:
+        raise ValueError(f"n_probe must be between 1 and {IVF_PROBES}")
+    from pyspark import StorageLevel
+
+    minmax = _sq_minmax(embeddings)
+    # persist the code store: without a materialization boundary Catalyst
+    # inlines the 64-term quantization expression into the 16-way
+    # centroid NLJ and recomputes it per (vector, centroid) pair — 16×
+    # the quantization work.  In production the int8 store is a
+    # materialized artifact anyway (that's its purpose); persisting here
+    # is the local stand-in for "read codes from the quantized table".
+    qz = (
+        _sq_quantize(embeddings, minmax)
+        .selectExpr("vec_id", "qv", f"{_dot_sql('qv', 'qv')} AS nrm")
+        .filter("nrm > 0")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    qcents = qz.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("qv").alias("cent_qv"),
+        F.col("nrm").alias("cent_nrm"),
+    )
+    assigned = _assign_cells_quantized(qz, qcents)
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("c_qv"),
+        F.col("nrm").alias("nc"),
+        F.col("cell1").alias("cell"),
+    )
+    if queries is None:
+        # the registered query's shape: queries are the deterministic
+        # corpus slice, so their codes + cells come free from the one
+        # corpus pass
+        q_assigned = assigned.filter(F.col("vec_id") % QUERY_MOD == 0)
+    else:
+        q_qz = _sq_quantize(queries, minmax).selectExpr(
+            "vec_id", "qv", f"{_dot_sql('qv', 'qv')} AS nrm"
+        ).filter("nrm > 0")
+        q_assigned = _assign_cells_quantized(q_qz, qcents)
+    probe_cell = (
+        F.explode(F.array("cell1", "cell2")) if n_probe == 2 else F.col("cell1")
+    )
+    q = q_assigned.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("nq"),
+        probe_cell.alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"({_dot_sql('q_qv', 'c_qv')}) / (SQRT(nq) * SQRT(nc)) AS cos_q",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_q").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_q")
+    )
+
+
+def _duck_sq_ivf_sql() -> str:
+    """Oracle: quantization CTEs (identical to ann_int8_topk's), then
+    cell assignment and scoring both in code space — the exact mirror of
+    the Spark plan (quantized-centroid cosine, ROW_NUMBER tie-break on
+    cent_id)."""
+    mm_cols = ", ".join(
+        f"MIN(CAST(embedding[{i + 1}] AS DOUBLE)) AS mn{i}, "
+        f"MAX(CAST(embedding[{i + 1}] AS DOUBLE)) AS mx{i}"
+        for i in range(DIM)
+    )
+    elems = ", ".join(
+        f"CASE WHEN mx{i} = mn{i} THEN 0 "
+        f"ELSE LEAST(255.0, GREATEST(0.0, FLOOR((CAST(embedding[{i + 1}] AS DOUBLE) - mn{i})"
+        f" * {SQ_LEVELS}.0 / (mx{i} - mn{i})))) END"
+        for i in range(DIM)
+    )
+    return f"""
+WITH mm AS (
+  SELECT {mm_cols} FROM embeddings
+), qz AS (
+  SELECT vec_id, [{elems}]::DOUBLE[] AS qv FROM embeddings, mm
+), sized AS (
+  SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM qz
+  WHERE list_dot_product(qv, qv) > 0
+), qcents AS (
+  SELECT vec_id AS cent_id, qv AS cent_qv, nrm AS cent_nrm FROM sized
+  WHERE vec_id < {IVF_CENTROIDS}
+), cells AS (
+  SELECT vec_id, cent_id AS cell, cell_rank FROM (
+    SELECT s.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+             list_dot_product(s.qv, c.cent_qv) / (SQRT(s.nrm) * SQRT(c.cent_nrm)) DESC,
+             c.cent_id) AS cell_rank
+    FROM sized s, qcents c
+  )
+), corpus_cells AS (
+  SELECT vec_id, cell FROM cells WHERE cell_rank = 1
+), probe_cells AS (
+  SELECT vec_id, cell FROM cells
+  WHERE cell_rank <= {IVF_PROBES} AND vec_id % {QUERY_MOD} = 0
+), scored AS (
+  SELECT p.vec_id AS query_id, co.vec_id AS neighbor_id,
+         list_dot_product(q.qv, c.qv) / (SQRT(q.nrm) * SQRT(c.nrm)) AS cos_q
+  FROM probe_cells p
+  JOIN corpus_cells co ON co.cell = p.cell AND co.vec_id <> p.vec_id
+  JOIN sized q ON q.vec_id = p.vec_id
+  JOIN sized c ON c.vec_id = co.vec_id
+)
+SELECT query_id, neighbor_id, rank, cos_q FROM (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS INTEGER) AS rank,
+         cos_q
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
+@query("ann_int8_ivf_topk", _duck_sq_ivf_sql())
+def ann_int8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _repartition_if_narrow
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return int8_ivf_topk(_repartition_if_narrow(emb))
 
 
 # ---------------------------------------------------------------------------

@@ -172,6 +172,45 @@ class TestClustering:
         assert comp[10] == comp[11] == 10
         assert comp[20] == comp[21] == comp[22] == 20
 
+    def test_path_graph_converges_logarithmically(self, spark):
+        """VERDICT r4 item 4: pointer doubling makes the worst case — a
+        single path-shaped component — converge in O(log diameter)
+        rounds, and the iteration guard exists.  A 64-vertex chain has
+        diameter 63: plain propagation needs ~63 rounds, doubling must
+        finish well within 10 (≈log₂63 + slack)."""
+        from duckdb_extension_kafquack_spark.operators.dedup import (
+            connected_components,
+        )
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(63)], "doc1 long, doc2 long"
+        )
+        telemetry = {}
+        comp = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(
+                chain, max_iterations=10, telemetry=telemetry
+            ).collect()
+        }
+        assert all(c == 0 for c in comp.values())
+        assert len(comp) == 64
+        assert telemetry["rounds"] <= 10
+
+    def test_iteration_guard_raises(self, spark):
+        """max_iterations too small → loud RuntimeError, not an infinite
+        or silently-wrong loop."""
+        import pytest
+
+        from duckdb_extension_kafquack_spark.operators.dedup import (
+            connected_components,
+        )
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(63)], "doc1 long, doc2 long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(chain, max_iterations=2)
+
 
 class TestSkew:
     def test_salted_agg_equals_direct(self, spark, tables):
@@ -593,6 +632,49 @@ class TestInt8Quantization:
             pick = exact[(exact.query_id == q) & (exact.neighbor_id == nb)]
             assert len(pick) == 1, f"query {q}: int8 pick {nb} not in exact top-20"
             assert best - float(pick.cos_sim.iloc[0]) <= 0.1
+
+    def test_int8_ivf_prunes_but_keeps_shape(self, spark, tables):
+        """The IVF-pruned int8 path (VERDICT r4 item 3): per-query k
+        rows with contiguous ranks, scores drawn from the same quantized
+        kernel — every (query, neighbor, cos_q) it returns must also
+        appear in the UNPRUNED int8 scan's full scored set with the same
+        value (pruning only removes candidates, never rescores)."""
+        from duckdb_extension_kafquack_spark.operators.similarity import (
+            int8_ivf_topk,
+        )
+
+        emb = tables["embeddings"]
+        ivf = int8_ivf_topk(emb).collect()
+        per_query = {}
+        for r in ivf:
+            per_query.setdefault(r.query_id, []).append(r.rank)
+        for q, ranks in per_query.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        # re-score the ivf picks with the same quantized kernel via a
+        # targeted join — values must match exactly
+        from duckdb_extension_kafquack_spark.operators.similarity import (
+            _dot_sql,
+            _sq_minmax,
+            _sq_quantize,
+        )
+
+        qz = _sq_quantize(emb, _sq_minmax(emb))
+        pairs = spark.createDataFrame(
+            [(r.query_id, r.neighbor_id, r.cos_q) for r in ivf],
+            "query_id long, neighbor_id long, cos_q double",
+        )
+        q1 = qz.selectExpr("vec_id AS query_id", "qv AS a")
+        q2 = qz.selectExpr("vec_id AS neighbor_id", "qv AS b")
+        rescored = (
+            pairs.join(q1, "query_id").join(q2, "neighbor_id")
+            .selectExpr(
+                "cos_q",
+                f"({_dot_sql('a', 'b')}) / "
+                f"(SQRT({_dot_sql('a', 'a')}) * SQRT({_dot_sql('b', 'b')})) AS expect",
+            )
+            .collect()
+        )
+        assert rescored and all(r.cos_q == r.expect for r in rescored)
 
 
 class TestIncrementalDedup:
