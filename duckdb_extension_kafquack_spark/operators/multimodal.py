@@ -3,11 +3,14 @@
 Images/audio/video ride Spark as ``BinaryType`` columns with a typed
 metadata struct alongside; decode / feature-extraction runs as
 Arrow-batched ``mapInPandas`` so payload bytes never leave the executor
-(and never hit the driver).  The actual codec step is STUBBED — the
-image/audio libraries are not in this container — behind
-``decode_stub=True`` (deterministic fake features) or a clearly-marked
-``NotImplementedError``; everything Spark-side (schema, batching,
-partitioning, UDF signature) is real and tested.
+(and never hit the driver).  The codec step is pluggable behind
+``decode_stub``: ``True`` (default) uses deterministic fakes so tests
+and oracles are stable; ``False`` runs the REAL codec where the
+executor environment provides one — PIL for images, ffmpeg for video,
+feature-detected per process by :func:`codec_support` — and raises a
+``NotImplementedError`` naming the missing dependency otherwise.
+Everything Spark-side (schema, batching, partitioning, UDF signature)
+is identical in all cases and tested.
 
 At 100 TB: payloads dominate storage → the metadata projection must
 prune them (parquet column pruning does, verified in tests), and the
@@ -57,6 +60,32 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def codec_support() -> dict[str, bool]:
+    """Feature-detect real codecs (VERDICT r4 item 7).
+
+    ``image`` → PIL importable; ``video`` → an ffmpeg binary on PATH.
+    Called inside the Pandas-UDF body too, so detection happens in the
+    EXECUTOR process — the one that would actually run the codec (driver
+    and executors can have different environments on a real cluster)."""
+    import importlib.util
+    import shutil
+
+    return {
+        "image": importlib.util.find_spec("PIL") is not None,
+        "video": shutil.which("ffmpeg") is not None,
+    }
+
+
+def _require_codec(kind: str, feature: str) -> None:
+    support = codec_support()
+    if not support.get(kind, False):
+        raise NotImplementedError(
+            f"{feature} requires a real codec ({'PIL' if kind == 'image' else 'ffmpeg'}), "
+            f"which is not available in this environment (codec_support() -> {support}); "
+            "install it or run with decode_stub=True for the deterministic stub."
+        )
+
+
 def blobs_from_documents(docs: DataFrame, mime: str = "text/plain") -> DataFrame:
     """Materialize a multimodal blob table from the documents fixture:
     payload = UTF-8 bytes of the text (a stand-in for image bytes)."""
@@ -73,27 +102,49 @@ def decode_features(blobs: DataFrame, *, decode_stub: bool = True) -> DataFrame:
     """Arrow-batched decode / feature-extract over payload bytes.
 
     With ``decode_stub=True`` emits deterministic fake image dims derived
-    from payload length (so tests and oracles are stable); with
-    ``decode_stub=False`` raises ``NotImplementedError`` where a real
-    codec (PIL/ffmpeg) would run — the Spark plumbing around it is
-    identical either way.
+    from payload length (so tests and oracles are stable).  With
+    ``decode_stub=False`` the REAL codec runs where the environment
+    provides one (PIL, feature-detected in the executor via
+    :func:`codec_support`): payloads are opened as images and true
+    (width, height) extracted, unparseable payloads yield NULL dims —
+    errors-are-data, like the Kafka source.  Without PIL it raises
+    ``NotImplementedError`` naming what's missing.  The Spark plumbing
+    (schema, Arrow batching, map-only no-shuffle plan) is identical in
+    all three cases.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not decode_stub:
+            _require_codec("image", "decode_features(decode_stub=False)")
+            import io
+
+            from PIL import Image
+
+            def dims(b):
+                if b is None:
+                    return (None, None)
+                try:
+                    with Image.open(io.BytesIO(b)) as im:
+                        return im.size  # (w, h)
+                except Exception:  # noqa: BLE001 — undecodable payload → NULLs
+                    return (None, None)
+
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real image/audio decode requires codec libraries not "
-                    "present in this environment; run with decode_stub=True"
-                )
-            n = pdf["payload"].map(lambda b: len(b) if b is not None else 0)
+            if decode_stub:
+                n = pdf["payload"].map(lambda b: len(b) if b is not None else 0)
+                width = (n % 640).astype("int32")
+                height = (n % 480).astype("int32")
+            else:
+                sizes = pdf["payload"].map(dims)
+                width = sizes.map(lambda s: s[0]).astype("Int32")
+                height = sizes.map(lambda s: s[1]).astype("Int32")
             yield pd.DataFrame(
                 {
                     "blob_id": pdf["blob_id"],
                     "mime": pdf["mime"],
                     "n_bytes": pdf["n_bytes"],
-                    "width": (n % 640).astype("int32"),
-                    "height": (n % 480).astype("int32"),
+                    "width": width,
+                    "height": height,
                     "first_byte": pdf["payload"].map(
                         lambda b: int(b[0]) if b else None
                     ).astype("int32"),
@@ -128,23 +179,40 @@ def resize_images(
     blobs: DataFrame, target_w: int = 224, target_h: int = 224, *, decode_stub: bool = True
 ) -> DataFrame:
     """Image resize as an Arrow-batched map stage (1 row in → 1 row out,
-    payload transformed executor-side).  The codec is STUBBED (no image
-    libs in this container): the fake 'resize' deterministically truncates
-    the payload proportionally — the Spark plumbing (binary in/out
-    schema, batching, no shuffle) is the real part.
+    payload transformed executor-side).  ``decode_stub=True`` fakes the
+    resize by deterministic truncation (stable for tests/oracles);
+    ``decode_stub=False`` runs a real PIL resize → PNG where the
+    environment provides PIL (feature-detected in the executor), raising
+    a named ``NotImplementedError`` otherwise.  The Spark plumbing
+    (binary in/out schema, batching, no shuffle) is identical either way.
     """
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not decode_stub:
+            _require_codec("image", "resize_images(decode_stub=False)")
+            import io
+
+            from PIL import Image
+
+            def real_resize(b):
+                if b is None:
+                    return None
+                try:
+                    with Image.open(io.BytesIO(b)) as im:
+                        out = io.BytesIO()
+                        im.resize((target_w, target_h)).save(out, format="PNG")
+                        return out.getvalue()
+                except Exception:  # noqa: BLE001 — undecodable payload → NULL
+                    return None
+
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real image resize requires codec libraries not present "
-                    "in this environment; run with decode_stub=True"
+            if decode_stub:
+                out_len = (target_w * target_h) // 512  # fake byte budget
+                payload = pdf["payload"].map(
+                    lambda b: bytes(b[:out_len]) if b is not None else None
                 )
-            out_len = (target_w * target_h) // 512  # fake byte budget
-            payload = pdf["payload"].map(
-                lambda b: bytes(b[:out_len]) if b is not None else None
-            )
+            else:
+                payload = pdf["payload"].map(real_resize)
             yield pd.DataFrame(
                 {
                     "blob_id": pdf["blob_id"],
@@ -162,26 +230,55 @@ def sample_frames(
     blobs: DataFrame, every_ms: int = 1000, max_frames: int = 8, *, decode_stub: bool = True
 ) -> DataFrame:
     """Video frame sampling: 1 blob row in → N frame rows out (the fan-out
-    shape `mapInPandas` supports natively).  Frame extraction is STUBBED
-    deterministically (slices of the payload stand in for decoded frames);
-    schema/batching/ordering are real.
+    shape `mapInPandas` supports natively).  ``decode_stub=True`` slices
+    the payload deterministically (stable for tests/oracles);
+    ``decode_stub=False`` extracts real frames with ffmpeg where the
+    binary exists on the executor's PATH (feature-detected), raising a
+    named ``NotImplementedError`` otherwise.  Schema / batching /
+    ordering are identical in all cases.
     """
     import hashlib
 
+    def _ffmpeg_frames(data: bytes) -> list[bytes]:
+        import os
+        import subprocess
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            src = os.path.join(td, "in.bin")
+            with open(src, "wb") as f:
+                f.write(data)
+            pattern = os.path.join(td, "f%04d.png")
+            subprocess.run(
+                [
+                    "ffmpeg", "-v", "error", "-i", src,
+                    "-vf", f"fps=1000/{every_ms}",
+                    "-frames:v", str(max_frames), pattern,
+                ],
+                check=True,
+                capture_output=True,
+            )
+            out = []
+            for name in sorted(os.listdir(td)):
+                if name.startswith("f") and name.endswith(".png"):
+                    with open(os.path.join(td, name), "rb") as f:
+                        out.append(f.read())
+            return out
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not decode_stub:
+            _require_codec("video", "sample_frames(decode_stub=False)")
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real frame sampling requires video codecs not present "
-                    "in this environment; run with decode_stub=True"
-                )
             rows = {k: [] for k in ("blob_id", "frame_no", "frame_ts_ms", "frame_payload", "frame_hash")}
             for blob_id, payload in zip(pdf["blob_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                n = min(max_frames, max(1, len(data) // 64))
-                step = max(1, len(data) // n) if data else 1
-                for i in range(n):
-                    frame = data[i * step : i * step + 64]
+                if decode_stub:
+                    n = min(max_frames, max(1, len(data) // 64))
+                    step = max(1, len(data) // n) if data else 1
+                    frames = [data[i * step : i * step + 64] for i in range(n)]
+                else:
+                    frames = _ffmpeg_frames(data)
+                for i, frame in enumerate(frames):
                     rows["blob_id"].append(blob_id)
                     rows["frame_no"].append(i)
                     rows["frame_ts_ms"].append(i * every_ms)

@@ -146,15 +146,90 @@ class TestMultimodal:
         feats = decode_features(blobs).collect()
         assert all(0 <= r.width < 640 and 0 <= r.height < 480 for r in feats)
 
-    def test_decode_without_stub_raises(self, spark, tables):
+    def test_codec_support_reports_bools(self):
+        from duckdb_extension_kafquack_spark.operators.multimodal import (
+            codec_support,
+        )
+
+        s = codec_support()
+        assert set(s) == {"image", "video"}
+        assert all(isinstance(v, bool) for v in s.values())
+
+    def test_decode_without_stub_raises_when_no_codec(self, spark, tables):
+        """decode_stub=False without PIL must fail loudly, naming the
+        missing dependency (VERDICT r4 item 7)."""
         from duckdb_extension_kafquack_spark.operators.multimodal import (
             blobs_from_documents,
+            codec_support,
             decode_features,
         )
 
+        if codec_support()["image"]:
+            pytest.skip("PIL present — real-decode path active instead")
         blobs = blobs_from_documents(tables["documents"]).limit(1)
-        with pytest.raises(Exception, match="NotImplementedError|decode"):
+        with pytest.raises(Exception, match="PIL"):
             decode_features(blobs, decode_stub=False).collect()
+
+    def test_real_image_decode_when_pil_present(self, spark, tables):
+        """With PIL available, decode_stub=False extracts TRUE image
+        dimensions from a generated PNG and yields NULL dims for
+        undecodable payloads (errors-are-data)."""
+        from duckdb_extension_kafquack_spark.operators.multimodal import (
+            codec_support,
+            decode_features,
+        )
+
+        if not codec_support()["image"]:
+            pytest.skip("PIL not available in this environment")
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (123, 45)).save(buf, format="PNG")
+        blobs = spark.createDataFrame(
+            [(1, "image/png", bytearray(buf.getvalue()), len(buf.getvalue()), "h"),
+             (2, "image/png", bytearray(b"not an image"), 12, "h2")],
+            "blob_id long, mime string, payload binary, n_bytes long, content_hash string",
+        )
+        feats = {r.blob_id: r for r in decode_features(blobs, decode_stub=False).collect()}
+        assert (feats[1].width, feats[1].height) == (123, 45)
+        assert feats[2].width is None and feats[2].height is None
+
+    def test_real_resize_when_pil_present(self, spark):
+        from duckdb_extension_kafquack_spark.operators.multimodal import (
+            codec_support,
+            resize_images,
+        )
+
+        if not codec_support()["image"]:
+            pytest.skip("PIL not available in this environment")
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (64, 64)).save(buf, format="PNG")
+        blobs = spark.createDataFrame(
+            [(1, "image/png", bytearray(buf.getvalue()), len(buf.getvalue()), "h")],
+            "blob_id long, mime string, payload binary, n_bytes long, content_hash string",
+        )
+        out = resize_images(blobs, 16, 16, decode_stub=False).collect()[0]
+        with Image.open(io.BytesIO(bytes(out.payload))) as im:
+            assert im.size == (16, 16)
+
+    def test_frame_sample_without_stub_raises_when_no_ffmpeg(self, spark, tables):
+        from duckdb_extension_kafquack_spark.operators.multimodal import (
+            blobs_from_documents,
+            codec_support,
+            sample_frames,
+        )
+
+        if codec_support()["video"]:
+            pytest.skip("ffmpeg present — real-frame path active instead")
+        blobs = blobs_from_documents(tables["documents"]).limit(1)
+        with pytest.raises(Exception, match="ffmpeg"):
+            sample_frames(blobs, decode_stub=False).collect()
 
 
 class TestClustering:
