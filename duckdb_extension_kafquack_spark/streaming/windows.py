@@ -422,3 +422,39 @@ def streaming_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 5 * rsd * F.col("exact_users")
         ).alias("within_error"),
     )
+
+
+@query(
+    "streaming_kafka_datasource",
+    """
+SELECT CAST(user_id % 4 AS INTEGER) AS "partition",
+       CAST(COUNT(*) AS BIGINT) AS messages,
+       CAST(MAX(event_id) AS BIGINT) AS max_offset,
+       CAST(COUNT(*) FILTER (WHERE event_id % 101 = 0) AS BIGINT) AS error_rows
+FROM events
+GROUP BY 1
+""",
+)
+def streaming_kafka_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kafquack Python Data Source's STREAM reader driven end-to-end:
+    ``spark.readStream.format("kafquack")`` → per-partition aggregate →
+    memory sink, checked against the batch oracle.  Python streaming
+    sources don't support availableNow — Spark falls back to single-batch
+    execution, which (with no maxOffsetsPerTrigger) drains the whole
+    replay in batch 0, giving the bounded-read parity the reference's
+    interactive scan has (kafquack_extension.cpp:145-157)."""
+    from ..session import ensure_session_conf
+    from ..sources.datasource import read_kafquack
+
+    ensure_session_conf(spark)
+    stream = read_kafquack(
+        spark, "localhost:9092", "events", "graft-group",
+        stream=True, fixture_dir=sf_dir,
+    )
+    agg = stream.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("messages"),
+        F.max("offset").alias("max_offset"),
+        F.count(F.when(F.col("error").isNotNull(), 1)).alias("error_rows"),
+    )
+    run_stream_to_table(agg, "kafka_datasource_stream", "complete")
+    return spark.table("kafka_datasource_stream")
