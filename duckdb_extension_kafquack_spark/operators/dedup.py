@@ -1018,3 +1018,73 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.count(F.when(F.col("s1") != F.col("s2"), 1)).alias("n_leaks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus dedup: keep one canonical doc per near-dup cluster
+# ---------------------------------------------------------------------------
+
+
+def canonical_corpus(docs: DataFrame) -> DataFrame:
+    """The dedup pipeline's actual OUTPUT: the corpus with every
+    non-canonical near-dup cluster member removed (keeper = the
+    cluster's minimum doc_id — deterministic, engine-independent).
+
+    Composes the banded MinHash pair generator with pointer-doubling
+    connected components; the removal itself is a broadcast-sized
+    left-anti join (the drop list is |clusters|·(avg size − 1) rows —
+    tiny relative to the corpus by LSH construction), so the only
+    corpus-scale work remains the LSH pipeline's own single shuffle."""
+    pairs = minhash_near_duplicates(docs).select("doc1", "doc2")
+    comp = connected_components(pairs)
+    drop = comp.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti")
+
+
+def _duck_canonical_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc1, doc2 FROM ({_duck_minhash_sql()})
+), sym AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION
+  SELECT doc2 AS a, doc1 AS b FROM pairs
+), verts AS (
+  SELECT DISTINCT a AS v FROM sym
+), reach(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT re.v, s.b FROM reach re JOIN sym s ON re.r = s.a
+), drop_ids AS (
+  SELECT v AS doc_id FROM (
+    SELECT v, MIN(r) AS cluster_id FROM reach GROUP BY v
+  ) WHERE v <> cluster_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(*) FILTER (WHERE x.doc_id IS NOT NULL) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) FILTER (WHERE x.doc_id IS NULL) AS BIGINT) AS n_kept,
+       CAST(SUM(d.n_chars) FILTER (WHERE x.doc_id IS NULL) AS BIGINT) AS kept_chars
+FROM documents d LEFT JOIN drop_ids x ON d.doc_id = x.doc_id
+GROUP BY d.source
+"""
+
+
+@query("dedup_canonical_corpus", _duck_canonical_sql())
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source accounting of the deduplicated corpus (total / dropped
+    / kept docs, kept chars) — what a pipeline run reports after the
+    keep-one-per-cluster pass."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = minhash_near_duplicates(docs).select("doc1", "doc2")
+    comp = connected_components(pairs)
+    drop = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id", F.lit(1).alias("is_dup")
+    )
+    flagged = docs.join(F.broadcast(drop), "doc_id", "left")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.col("is_dup")).alias("n_dropped"),
+        F.count(F.when(F.col("is_dup").isNull(), 1)).alias("n_kept"),
+        F.sum(F.when(F.col("is_dup").isNull(), F.col("n_chars"))).alias("kept_chars"),
+    )

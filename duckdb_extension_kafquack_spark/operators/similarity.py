@@ -138,9 +138,7 @@ def cosine_topk(
     )
 
 
-@query(
-    "ann_cosine_topk",
-    f"""
+_DUCK_BRUTE_TOPK = f"""
 SELECT query_id, neighbor_id, rank, cos_sim FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
@@ -149,8 +147,10 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
   FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
   WHERE q.vec_id % {QUERY_MOD} = 0
 ) WHERE rank <= {TOPK}
-""",
-)
+"""
+
+
+@query("ann_cosine_topk", _DUCK_BRUTE_TOPK)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _repartition_if_narrow
 
@@ -193,9 +193,7 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = TOPK) -> DataFr
     )
 
 
-@query(
-    "ann_lsh_topk",
-    f"""
+_DUCK_LSH_TOPK = f"""
 WITH bucketed AS (
   SELECT vec_id, embedding, {duck_srp_bucket()} AS bucket FROM embeddings
 )
@@ -207,8 +205,10 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM (
   FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
   WHERE q.vec_id % {QUERY_MOD} = 0
 ) WHERE rank <= {TOPK}
-""",
-)
+"""
+
+
+@query("ann_lsh_topk", _DUCK_LSH_TOPK)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
@@ -865,3 +865,74 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_vec"),
         F.max("doc_id").alias("max_vec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality metric: recall@k of the approximate paths vs exact
+# ---------------------------------------------------------------------------
+
+
+def ann_recall(
+    exact: DataFrame, approx: DataFrame, k: int = TOPK
+) -> DataFrame:
+    """(method-agnostic) recall@k: |approx top-k ∩ exact top-k| summed
+    over queries, divided as ONE exact-integer quotient — the metric a
+    training pipeline gates its ANN index on.  Integer sums only; the
+    single final division is bit-identical cross-engine (never average
+    per-query ratios: summing inexact doubles is order-dependent)."""
+    hits = approx.join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    )
+    n_queries = exact.select("query_id").distinct().count()
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.lit(n_queries).cast("long").alias("n_queries"),
+        (F.count(F.lit(1)) / F.lit(k * n_queries)).alias("recall_at_k"),
+    )
+
+
+@query(
+    "ann_recall_at_k",
+    f"""
+WITH exact AS ({_DUCK_BRUTE_TOPK}),
+lsh AS ({_DUCK_LSH_TOPK}),
+ivf AS ({_DUCK_IVF}),
+nq AS (SELECT COUNT(DISTINCT query_id) AS n FROM exact)
+SELECT method, n_hits, n_queries, n_hits::DOUBLE / ({TOPK} * n_queries) AS recall_at_k
+FROM (
+  SELECT 'lsh' AS method,
+         CAST((SELECT COUNT(*) FROM lsh a JOIN exact e USING (query_id, neighbor_id)) AS BIGINT) AS n_hits,
+         CAST((SELECT n FROM nq) AS BIGINT) AS n_queries
+  UNION ALL
+  SELECT 'ivf' AS method,
+         CAST((SELECT COUNT(*) FROM ivf a JOIN exact e USING (query_id, neighbor_id)) AS BIGINT) AS n_hits,
+         CAST((SELECT n FROM nq) AS BIGINT) AS n_queries
+)
+""",
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of BOTH approximate ANN paths (SRP-LSH, IVF) against
+    the exact brute-force top-k — the index-quality gate a pipeline runs
+    before switching its retrieval to the approximate path.  The exact
+    result is computed once and reused for both comparisons (persist);
+    hits are left-semi joins on (query, neighbor) — broadcast-sized, no
+    corpus shuffle beyond the topk pipelines' own."""
+    from pyspark import StorageLevel
+
+    from .dedup import _repartition_if_narrow
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    exact = cosine_topk(_repartition_if_narrow(emb), queries).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    out = None
+    for method, approx in (
+        ("lsh", lsh_topk(emb, queries)),
+        ("ivf", ivf_topk(_repartition_if_narrow(emb), queries)),
+    ):
+        r = ann_recall(exact, approx).select(
+            F.lit(method).alias("method"), "n_hits", "n_queries", "recall_at_k"
+        )
+        out = r if out is None else out.unionByName(r)
+    return out

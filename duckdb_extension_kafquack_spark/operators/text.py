@@ -514,3 +514,50 @@ query("lang_confusion_matrix", _duck_lang_confusion_sql())(
     .groupBy("labeled_lang", "predicted_lang")
     .agg(F.count(F.lit(1)).alias("n_docs"))
 )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (the cleanup pass before tokenization/dedup)
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Canonical text-normalization pass: lowercase, strip everything but
+    letters/digits/spaces, collapse whitespace runs, trim.  Map-only,
+    pure JVM expressions (codegen) — the cheap first stage every
+    dedup/tokenize pipeline runs.  Emits the normalized text plus its
+    md5 (the key exact dedup would group on downstream)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("norm_len"),
+        F.size(F.filter(F.split(norm, " "), lambda t: t != "")).alias("norm_tokens"),
+        F.md5(norm).alias("norm_hash"),
+    )
+
+
+_DUCK_NORMALIZE = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id,
+       norm_text,
+       CAST(length(norm_text) AS BIGINT) AS norm_len,
+       CAST(len(list_filter(string_split(norm_text, ' '), t -> t <> '')) AS INTEGER) AS norm_tokens,
+       md5(norm_text) AS norm_hash
+FROM n
+"""
+
+
+@query("text_normalize", _DUCK_NORMALIZE)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalize_text(load_tables(spark, sf_dir)["documents"])

@@ -883,3 +883,50 @@ class TestAsofNearest:
             p, v, on="ts", by="user_id", right_cols=["view_ts"], direction="nearest",
             suffix="").collect()}
         assert a == b
+
+
+class TestAnnRecall:
+    def test_recall_bounded_and_consistent(self, spark, tables):
+        from duckdb_extension_kafquack_spark.operators.similarity import (
+            ann_recall_at_k,
+        )
+        from tests.conftest import SF_DIR
+
+        rows = {r.method: r for r in ann_recall_at_k(spark, SF_DIR).collect()}
+        assert set(rows) == {"lsh", "ivf"}
+        for r in rows.values():
+            assert 0.0 <= r.recall_at_k <= 1.0
+            assert r.n_hits <= 5 * r.n_queries
+
+
+class TestCanonicalCorpus:
+    def test_kept_plus_dropped_is_total(self, spark, tables):
+        from duckdb_extension_kafquack_spark.operators.dedup import (
+            canonical_corpus,
+            dedup_canonical_corpus,
+        )
+        from tests.conftest import SF_DIR
+
+        docs = tables["documents"]
+        report = dedup_canonical_corpus(spark, SF_DIR).collect()
+        assert sum(r.n_total for r in report) == docs.count()
+        for r in report:
+            assert r.n_kept + r.n_dropped == r.n_total
+        kept = canonical_corpus(docs)
+        assert kept.count() == sum(r.n_kept for r in report)
+        # canonical keepers are never dropped: every cluster min survives
+        assert kept.count() < docs.count() or all(r.n_dropped == 0 for r in report)
+
+
+class TestTextNormalize:
+    def test_normalized_text_is_clean(self, spark, tables):
+        from duckdb_extension_kafquack_spark.operators.text import normalize_text
+
+        out = normalize_text(tables["documents"]).collect()
+        import re
+
+        for r in out[:100]:
+            assert r.norm_text == r.norm_text.strip()
+            assert not re.search(r"[^a-z0-9 ]", r.norm_text)
+            assert "  " not in r.norm_text
+            assert r.norm_len == len(r.norm_text)
