@@ -382,10 +382,44 @@ def read_kafquack(
     return reader.options(**opts).load()
 
 
+def create_sql_view(
+    spark,
+    view_name: str,
+    brokers: str,
+    topic: str,
+    group_id: str,
+    **options: Any,
+) -> None:
+    """Pure-SQL access: ``CREATE TEMPORARY VIEW <name> USING kafquack`` —
+    after this, ``SELECT * FROM <name>`` is the live distributed scan,
+    the full Spark equivalent of the reference's
+    ``SELECT * FROM kafka_consumer(...)`` idiom
+    (kafquack_extension.cpp:223-229, README.md:12-14).  Unlike
+    :func:`..sources.kafka.register_topic_view` (which binds a
+    driver-built DataFrame), the USING route resolves entirely inside
+    Spark SQL, so it also works from a pure-SQL session."""
+    register_datasource(spark)
+    opts = {"brokers": brokers, "topic": topic, "group_id": group_id}
+    opts.update({k: str(v) for k, v in options.items() if v is not None})
+    if not view_name.replace("_", "").isalnum():
+        raise ValueError(f"invalid view name: {view_name!r}")
+    rendered = ", ".join(
+        # escape embedded single quotes so option values can't break out
+        # of the OPTIONS string literal
+        "{} '{}'".format(k, str(v).replace("'", "''"))
+        for k, v in opts.items()
+    )
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {view_name} USING kafquack "
+        f"OPTIONS ({rendered})"
+    )
+
+
 __all__ = [
     "KafquackDataSource",
     "KafquackBatchReader",
     "KafquackSimpleStreamReader",
     "register_datasource",
     "read_kafquack",
+    "create_sql_view",
 ]

@@ -16,6 +16,11 @@ from duckdb_extension_kafquack_spark import (  # noqa: F401
     load_tables,
     register,
 )
+from duckdb_extension_kafquack_spark.sources.datasource import (  # noqa: F401
+    create_sql_view,
+    read_kafquack,
+    register_datasource,
+)
 from duckdb_extension_kafquack_spark.sources.kafka import (  # noqa: F401
     KAFKA_MESSAGE_SCHEMA,
     register_topic_view,
@@ -33,6 +38,9 @@ __all__ = [
     "kafka_consumer",
     "register",
     "register_topic_view",
+    "register_datasource",
+    "read_kafquack",
+    "create_sql_view",
     "KAFKA_MESSAGE_SCHEMA",
     "with_decode_policy",
     "kafka_messages_from_events",

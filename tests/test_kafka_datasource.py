@@ -222,3 +222,48 @@ class TestStreamRead:
         assert end["index"] == len(rows)
         rows2, end2 = r.read(end)
         assert rows2 == [] and end2 == end
+
+
+class TestSqlRoute:
+    def test_create_view_using_kafquack(self, spark):
+        """The reference's pure-SQL idiom, end-to-end: CREATE VIEW USING
+        kafquack, then plain SELECTs plan the distributed scan."""
+        from duckdb_extension_kafquack_spark.sources.datasource import (
+            create_sql_view,
+        )
+
+        create_sql_view(
+            spark, "kafquack_sql_view", "localhost:9092", "events", "g",
+            fixture_dir=SF_DIR,
+        )
+        total = spark.sql("SELECT COUNT(*) AS n FROM kafquack_sql_view").collect()[0].n
+        ref = kafka_messages_from_events(spark, SF_DIR)
+        assert total == ref.count()
+        by_part = spark.sql(
+            "SELECT partition, COUNT(*) AS n FROM kafquack_sql_view "
+            "GROUP BY partition ORDER BY partition"
+        ).collect()
+        assert len(by_part) == 4
+
+    def test_view_name_validated(self, spark):
+        from duckdb_extension_kafquack_spark.sources.datasource import (
+            create_sql_view,
+        )
+
+        with pytest.raises(ValueError, match="invalid view name"):
+            create_sql_view(spark, "bad-name; DROP", "b", "t", "g")
+
+    def test_option_quotes_escaped(self, spark):
+        """A group_id containing a single quote must not break out of the
+        OPTIONS literal (it reaches bind validation, which accepts it)."""
+        from duckdb_extension_kafquack_spark.sources.datasource import (
+            create_sql_view,
+        )
+
+        create_sql_view(
+            spark, "kafquack_quote_view", "localhost:9092", "events", "g'1",
+            fixture_dir=SF_DIR,
+        )
+        assert spark.sql(
+            "SELECT COUNT(*) AS n FROM kafquack_quote_view"
+        ).collect()[0].n > 0
