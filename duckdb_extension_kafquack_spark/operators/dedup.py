@@ -642,12 +642,19 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = SIMHASH_HAMMING_MAX) 
     banded = sigs.select(
         F.col("doc_id"), F.col("simhash"), F.explode(F.array(*bands)).alias("bb")
     ).select("doc_id", "simhash", "bb.band", "bb.band_sig")
+    # same bucket hygiene as candidate_pairs: an identical-boilerplate
+    # cluster shares every band key; sub-split keeps the join linear
+    w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
+    banded = banded.withColumn(
+        "sub", F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(MAX_LSH_BUCKET))
+    )
     a, b_ = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.sub") == F.col("b.sub"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -693,11 +700,17 @@ WITH tok AS (
   SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums
 ), bands AS (
 {band_union}
+), bands_sub AS (
+  SELECT doc_id, simhash, band, band_sig,
+         FLOOR((ROW_NUMBER() OVER (PARTITION BY band, band_sig ORDER BY doc_id) - 1)
+               / {MAX_LSH_BUCKET}) AS sub
+  FROM bands
 )
 SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+FROM bands_sub a JOIN bands_sub b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.sub = b.sub
+ AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
 """
 
