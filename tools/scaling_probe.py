@@ -61,6 +61,7 @@ def main() -> None:
     from duckdb_extension_kafquack_spark.operators.similarity import (
         cosine_topk,
         embedding_near_duplicates,
+        int8_ivf_topk,
         int8_topk,
         ivf_topk,
     )
@@ -130,6 +131,7 @@ def main() -> None:
         bench("ann_cosine_topk", k, cosine_topk(emb, queries))
         bench("ann_ivf_topk", k, ivf_topk(emb, queries))
         bench("ann_int8_topk", k, int8_topk(emb, queries))
+        bench("ann_int8_ivf_topk", k, int8_ivf_topk(emb, queries))
         bench("incremental_dedup", k, incremental_dedup_report(docs))
         # block-pair tiled exact all-pairs: O(n²) compute by design, but
         # distributed (tiles scale with n_blocks²) — probe all k
@@ -176,6 +178,12 @@ def main() -> None:
         "* `ann_cosine_topk` / `ann_ivf_topk` — the probe grows queries AND",
         "  corpus k× each, so brute force is O(k²) by construction; IVF's",
         "  cell pruning keeps the measured growth far below it.",
+        "* `ann_int8_ivf_topk` — same cell pruning over quantized codes",
+        "  (assignment + scoring both in code space off the persisted int8",
+        "  store); flat growth tracks `ann_ivf_topk`, not the brute int8 scan.",
+        "* `minhash_lsh_dedup` — the round-5 bucket sub-split",
+        "  (MAX_LSH_BUCKET=64) bounds within-bucket pairs at O(b·64): the",
+        "  replica-heavy probe that previously grew 4.0× at 16× is now flat.",
         "* `embedding_near_dup` is the block-pair tiled EXACT all-pairs scan:",
         "  inherently O(n²) work, but fully distributed — per-tile BLAS with",
         "  only candidate ids leaving each tile, no driver collect, no",
