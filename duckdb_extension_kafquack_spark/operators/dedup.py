@@ -1101,3 +1101,58 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("is_dup").isNull(), 1)).alias("n_kept"),
         F.sum(F.when(F.col("is_dup").isNull(), F.col("n_chars"))).alias("kept_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistent signature store: reusable corpus LSH state across ingests
+# ---------------------------------------------------------------------------
+
+
+def store_band_signatures(
+    docs: DataFrame, table: str = "kafquack_band_sigs", num_buckets: int = 32
+) -> str:
+    """Persist the corpus's MinHash band signatures as a bucketed table
+    keyed on ``band_sig`` — the production shape of nightly incremental
+    dedup: signatures are computed ONCE per corpus doc ever, and each
+    nightly batch joins its (tiny) signature set against this table with
+    no recomputation and no corpus-side shuffle (the batch side
+    broadcasts, or bucket-locality serves a one-sided shuffle).  At
+    100 TB re-sharding or re-shingling the corpus nightly is the cost
+    that kills naive incremental dedup; this table is the state that
+    avoids it."""
+    import os
+    import shutil
+
+    from ..sources.files import write_bucketed
+
+    spark = docs.sparkSession
+    # idempotent rewrite: DROP leaves the managed location behind if a
+    # previous write died mid-flight — clear both
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    shutil.rmtree(loc, ignore_errors=True)
+    bands = minhash_bands(minhash_signatures(docs))
+    write_bucketed(bands, table, "band_sig", num_buckets)
+    return table
+
+
+def incremental_candidates_from_store(
+    spark: SparkSession, batch_docs: DataFrame, table: str = "kafquack_band_sigs"
+) -> DataFrame:
+    """(batch_doc, corpus_doc) LSH candidate pairs of a new batch against
+    the STORED corpus signatures — no corpus text is read, no corpus
+    signature is recomputed.  The batch side is signature-hashed map-side
+    and broadcast into the stored table's scan."""
+    corpus_bands = spark.table(table).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "band_sig"
+    )
+    batch_bands = minhash_bands(minhash_signatures(batch_docs)).select(
+        F.col("doc_id").alias("batch_doc"), "band", "band_sig"
+    )
+    return (
+        corpus_bands.join(F.broadcast(batch_bands), ["band", "band_sig"])
+        .filter(F.col("batch_doc") != F.col("corpus_doc"))
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+    )

@@ -930,3 +930,51 @@ class TestTextNormalize:
             assert not re.search(r"[^a-z0-9 ]", r.norm_text)
             assert "  " not in r.norm_text
             assert r.norm_len == len(r.norm_text)
+
+
+class TestSignatureStore:
+    def test_stored_candidates_match_recomputed_and_avoid_corpus_shuffle(
+        self, spark, tables
+    ):
+        """The persisted band-signature table (nightly-ingest state):
+        candidates from the store equal candidates from full
+        recomputation, and the plan shuffles NOTHING (stored scan +
+        broadcast batch)."""
+        from duckdb_extension_kafquack_spark.operators.dedup import (
+            incremental_candidates_from_store,
+            minhash_bands,
+            minhash_signatures,
+            store_band_signatures,
+        )
+        from duckdb_extension_kafquack_spark.plans import count_exchanges
+
+        docs = tables["documents"]
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        batch = docs.filter(F.col("doc_id") % 2 == 1)
+        store_band_signatures(corpus, "t_sig_store")
+        got = incremental_candidates_from_store(spark, batch, "t_sig_store")
+        # the STORED CORPUS side must reach the join with no exchange:
+        # its FileScan is bucketed and feeds BroadcastHashJoin directly.
+        # (The plan's only exchanges are batch-/pair-sized: the batch
+        # repartition and the final distinct — never the corpus.)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        join_idx = plan.index("BroadcastHashJoin")
+        corpus_scan_idx = plan.index("t_sig_store")
+        assert "Exchange" not in plan[join_idx:corpus_scan_idx]
+        assert count_exchanges(got) <= 2
+        cb = minhash_bands(minhash_signatures(corpus)).select(
+            F.col("doc_id").alias("corpus_doc"), "band", "band_sig"
+        )
+        bb = minhash_bands(minhash_signatures(batch)).select(
+            F.col("doc_id").alias("batch_doc"), "band", "band_sig"
+        )
+        expect = {
+            (r.batch_doc, r.corpus_doc)
+            for r in cb.join(bb, ["band", "band_sig"])
+            .select("batch_doc", "corpus_doc")
+            .distinct()
+            .collect()
+        }
+        assert {(r.batch_doc, r.corpus_doc) for r in got.collect()} == expect
+        assert expect  # fixture guarantees at least one near-dup pair
