@@ -523,6 +523,38 @@ def _sq_minmax(embeddings: DataFrame) -> DataFrame:
     return embeddings.agg(*aggs)
 
 
+def _sq_minmax_np(embeddings: DataFrame):
+    """(mn, mx) numpy float64 arrays — same values as :func:`_sq_minmax`
+    but computed as a per-partition numpy partial reduce (one 2×DIM row
+    per partition leaves each task) instead of a 128-expression codegen
+    aggregate; min/max is order-independent so the results are identical.
+    The ≤ n_partitions partial rows are combined driver-side — the same
+    1-row-stats collect the expression form also materializes."""
+    import numpy as np
+
+    def partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        mn = mx = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bmn, bmx = mat.min(axis=0), mat.max(axis=0)
+            mn = bmn if mn is None else np.minimum(mn, bmn)
+            mx = bmx if mx is None else np.maximum(mx, bmx)
+        if mn is not None:
+            yield pd.DataFrame({"mn": [mn.tolist()], "mx": [mx.tolist()]})
+
+    rows = embeddings.select("embedding").mapInPandas(
+        partial, "mn array<double>, mx array<double>"
+    ).collect()
+    mn = np.min(np.array([r["mn"] for r in rows], dtype=np.float64), axis=0)
+    mx = np.max(np.array([r["mx"] for r in rows], dtype=np.float64), axis=0)
+    return mn, mx
+
+
 def _sq_quantize(df: DataFrame, minmax: DataFrame) -> DataFrame:
     """(vec_id, qv): per-dimension affine quantization to integer-valued
     DOUBLEs in [0, 255].
@@ -549,16 +581,116 @@ def _sq_quantize(df: DataFrame, minmax: DataFrame) -> DataFrame:
     )
 
 
+def _np_quantize(mat, mn, mx):
+    """numpy twin of :func:`_sq_quantize`'s per-element affine map — the
+    SAME IEEE-double op sequence (``((x - mn) * 255) / (mx - mn)`` then
+    FLOOR then clamp, zero-spread dims → 0), so codes are bit-identical
+    to both the Spark expression and the DuckDB oracle."""
+    import numpy as np
+
+    span = mx - mn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        codes = np.floor((mat - mn) * float(SQ_LEVELS) / span)
+    codes = np.minimum(255.0, np.maximum(0.0, codes))
+    codes[:, span == 0.0] = 0.0
+    return codes
+
+
 def int8_topk(embeddings: DataFrame, queries: DataFrame, k: int = TOPK) -> DataFrame:
     """Top-k by cosine over scalar-quantized codes: the memory-bound ANN
     path (8-bit codes instead of float32 — 4x smaller scans, integer
     SIMD at scale) with exactly reproducible arithmetic.
 
-    Plan: quantizer stats = one aggregate → 1-row broadcast; both sides
-    quantize map-side; the query side (tiny by construction) broadcasts
-    into a scan of quantized corpus; per-query top-k via the usual
-    row_number partial top-k.  Zero-norm codes are excluded on both
-    engines (cosine undefined)."""
+    Physical strategy (round 5): quantization, norms, and scoring run as
+    ONE Arrow-batched numpy kernel over the corpus scan (``mapInPandas``)
+    — a single BLAS matmul per batch plus a per-batch partial top-k, so
+    only ≤ k rows per query leave each batch and the final exchange is
+    the usual row_number top-k merge.  The previous pure-codegen form
+    (:func:`int8_topk_codegen`) compiled a ~4k-node expression tree per
+    side (64 guarded-IF quantize elements + three 64-term unrolled dots);
+    at sf0.1 compile time dominated the actual arithmetic ~3:1.
+
+    numpy is safe HERE, unlike the float paths (where only candidate ids
+    may leave numpy and a JVM fold must re-score): the codes are integer-
+    valued ≤255, every dot is ≤ 255²·64 ≪ 2⁵³, so the dot is EXACT in
+    any accumulation order and cosines are bit-identical IEEE doubles in
+    numpy, Spark codegen, and DuckDB ``list_dot_product``.
+
+    Driver-side state: the 1-row minmax aggregate and the query batch
+    (tiny by construction — it's the ANN lookup set, and the old plan
+    already materialized it driver-side for the broadcast) are closed
+    over by the kernel.  Zero-norm codes are excluded on both engines
+    (cosine undefined)."""
+    import numpy as np
+
+    mn, mx = _sq_minmax_np(embeddings)
+    q_rows = queries.select("vec_id", "embedding").collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = _np_quantize(
+        np.array([r["embedding"] for r in q_rows], dtype=np.float64), mn, mx
+    )
+    nq = (q_mat * q_mat).sum(axis=1)
+    live = nq > 0
+    q_ids, q_mat, nq = q_ids[live], q_mat[live], nq[live]
+    sqrt_nq = np.sqrt(nq)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0 or len(q_ids) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            c_mat = _np_quantize(
+                np.vstack(pdf["embedding"].to_numpy()).astype(np.float64), mn, mx
+            )
+            nc = (c_mat * c_mat).sum(axis=1)
+            m = nc > 0
+            ids, c_mat, nc = ids[m], c_mat[m], nc[m]
+            if len(ids) == 0:
+                continue
+            # (batch × queries) exact-integer dots in one BLAS call, then
+            # the same `dot / (sqrt(nq) * sqrt(nc))` as the oracle
+            cos = (c_mat @ q_mat.T) / (sqrt_nq[None, :] * np.sqrt(nc)[:, None])
+            cos[ids[:, None] == q_ids[None, :]] = -np.inf  # self-pairs out
+            kk = min(k, len(ids))
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(q_ids)):
+                col = cos[:, qi]
+                # partial top-k under the GLOBAL total order (cos desc,
+                # neighbor_id asc) — a superset of the true top-k, so the
+                # final row_number merge is exact
+                sel = np.lexsort((ids, -col))[:kk]
+                sel = sel[np.isfinite(col[sel])]
+                out_q.append(np.full(len(sel), q_ids[qi], dtype=np.int64))
+                out_n.append(ids[sel])
+                out_c.append(col[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos_q": np.concatenate(out_c),
+                }
+            )
+
+    partial = embeddings.select("vec_id", "embedding").mapInPandas(
+        score, "query_id long, neighbor_id long, cos_q double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_q").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_q")
+    )
+
+
+def int8_topk_codegen(embeddings: DataFrame, queries: DataFrame, k: int = TOPK) -> DataFrame:
+    """Pure-codegen reference implementation of :func:`int8_topk` (the
+    round-4 plan): quantize via :func:`_sq_quantize` expressions on both
+    sides, broadcast the query codes, score with the 64-term unrolled
+    integer dot.  Retained for the equivalence test — the numpy kernel
+    must produce bit-identical rows."""
     minmax = _sq_minmax(embeddings)
     c = _sq_quantize(embeddings, minmax).selectExpr(
         "vec_id AS neighbor_id", "qv AS c_qv", f"{_dot_sql('qv', 'qv')} AS nc"

@@ -708,6 +708,28 @@ class TestInt8Quantization:
             assert len(pick) == 1, f"query {q}: int8 pick {nb} not in exact top-20"
             assert best - float(pick.cos_sim.iloc[0]) <= 0.1
 
+    def test_int8_numpy_kernel_equals_codegen(self, spark, tables):
+        """The round-5 numpy scoring kernel must be BIT-IDENTICAL to the
+        retained pure-codegen form: quantized dots are exact integers so
+        numpy's accumulation order cannot diverge — every (query,
+        neighbor, rank, cos_q) row must match exactly, cos_q included."""
+        from duckdb_extension_kafquack_spark.operators.similarity import (
+            int8_topk,
+            int8_topk_codegen,
+        )
+        from pyspark.sql import functions as F
+
+        emb = tables["embeddings"]
+        queries = emb.filter(F.col("vec_id") % 100 == 0)
+        key = lambda r: (r.query_id, r.rank)
+        a = sorted(int8_topk(emb, queries).collect(), key=key)
+        b = sorted(int8_topk_codegen(emb, queries).collect(), key=key)
+        assert len(a) == len(b) > 0
+        for ra, rb in zip(a, b):
+            assert (ra.query_id, ra.neighbor_id, ra.rank) == (
+                rb.query_id, rb.neighbor_id, rb.rank)
+            assert ra.cos_q == rb.cos_q  # exact, no tolerance
+
     def test_int8_ivf_prunes_but_keeps_shape(self, spark, tables):
         """The IVF-pruned int8 path (VERDICT r4 item 3): per-query k
         rows with contiguous ranks, scores drawn from the same quantized
