@@ -219,64 +219,27 @@ IVF_CENTROIDS = 16  # deterministic "trained" centroids: vec_id < 16
 IVF_PROBES = 2
 
 
-def _centroids(embeddings: DataFrame) -> DataFrame:
-    """The trained codebook as a 16-row DataFrame (deterministic
-    ``vec_id < IVF_CENTROIDS`` slice stands in for an offline-trained
-    codebook), with centroid norms precomputed once."""
-    return embeddings.filter(F.col("vec_id") < IVF_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cent_emb"),
-        _norm_col("embedding").alias("cn"),
-    )
+def _fold_dots(A, B):
+    """(n,d) × (m,d) → (n,m) pairwise dot products accumulated
+    DIMENSION-BY-DIMENSION: each pair's partial sum evolves p0, p0+p1, …
+    — the exact left-associated order of :func:`_dot_sql`'s unrolled sum
+    and DuckDB's ``list_dot_product``, so the doubles are BIT-IDENTICAL
+    to both engines (verified empirically; a BLAS matmul's blocked
+    accumulation reorders the sum and diverges in the last ulp).  ~d
+    vectorized FMAs over an (n,m) buffer — still two orders of magnitude
+    faster than interpreted per-pair scoring."""
+    acc = A[:, 0, None] * B[None, :, 0]
+    for d in range(1, A.shape[1]):
+        acc += A[:, d, None] * B[None, :, d]
+    return acc
 
 
-def _assign_cells(df: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, embedding, vn, cell1, cell2): nearest and second-nearest
-    centroid per vector via broadcast NLJ against the 16-row codebook +
-    a vec_id aggregate.
-
-    Why this shape (vs literal-inlined codebook dots, round 3): the
-    per-pair cosine is the O(dim) column-vs-column unrolled dot — the
-    same codegen'd kernel the brute-force scorer uses — instead of
-    dim x centroids literal terms.  The literal formulation produced
-    ~1k-node expression trees that Catalyst re-traversed at every AQE
-    stage and serialized into 8 MiB task binaries; it benchmarked 5x
-    slower end-to-end despite being "zero shuffle".
-
-    The groupBy is cheap at any scale: partial aggregation collapses the
-    16x NLJ expansion back to ONE row per vector map-side (each vector's
-    16 candidate rows are produced consecutively in the same partition),
-    so the exchange carries one row per vector — the same volume as the
-    scan itself.
-
-    Tie-breaks match the oracle's ROW_NUMBER(ORDER BY cos DESC, cent_id):
-    ``sort_array`` over ``struct(-cos, cent_id)`` sorts cos descending,
-    cent_id ascending on exact-double ties."""
-    v = df.select("vec_id", "embedding", _norm_col("embedding").alias("vn"))
-    paired = v.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "vn",
-        F.struct(
-            (-_fast_cos("embedding", "cent_emb", "vn", "cn")).alias("negcos"),
-            F.col("cent_id").alias("cid"),
-        ).alias("s"),
-    )
-    return (
-        paired.groupBy("vec_id")
-        .agg(
-            F.first("embedding").alias("embedding"),
-            F.first("vn").alias("vn"),
-            F.sort_array(F.collect_list("s")).alias("cells"),
-        )
-        .select(
-            "vec_id",
-            "embedding",
-            "vn",
-            F.col("cells")[0]["cid"].alias("cell1"),
-            F.col("cells")[1]["cid"].alias("cell2"),
-        )
-    )
+def _fold_self(A):
+    """Row-wise self-dot with the same fold order (for norms)."""
+    acc = A[:, 0] * A[:, 0]
+    for d in range(1, A.shape[1]):
+        acc += A[:, d] * A[:, d]
+    return acc
 
 
 def ivf_topk(
@@ -288,45 +251,101 @@ def ivf_topk(
     """IVF approximate top-k: corpus assigned to 1 cell each, queries
     probe ``n_probe`` cells; candidates = same-cell rows only.
 
-    Physical shape: 16-row codebook broadcast to both sides; cell
-    assignment is broadcast-NLJ + map-side partial aggregate (exchange
-    volume = one row per vector); candidates come from a broadcast hash
-    join on cell.  With corpus n_probe=1 a (query, neighbor) pair can
-    only arise in the neighbor's single cell, so no distinct is
-    needed."""
+    Physical strategy (round 5, third rewrite): ONE Arrow-batched numpy
+    kernel over the corpus scan.  The 16-row codebook and the (tiny by
+    construction) query batch are collected once driver-side — the same
+    materializations the previous broadcast-NLJ plan shipped to every
+    task — and closed over; each corpus batch assigns its rows' nearest
+    cell and scores one sub-block PER CELL against only the queries
+    probing that cell (the IVF prune), emitting a per-batch partial
+    top-k.  All dots/norms use :func:`_fold_dots`'s fold-order
+    accumulation, so every emitted ``cos_sim`` is bit-identical to the
+    JVM fold and the DuckDB oracle even though this is the FLOAT path —
+    the earlier plans' history is instructive: round 3's literal-inlined
+    codebook built ~1k-node expression trees (8 MiB task binaries, 5×
+    slower), round 4's broadcast-NLJ + 64-term unrolled dots spent more
+    time compiling codegen than scoring.  At 100 TB the corpus is
+    materialized partitioned by cell, so the scan prunes to probed
+    cells before this kernel ever runs; the per-batch assignment here is
+    the local stand-in for that partition pruning."""
+    import numpy as np
+
     if not 1 <= n_probe <= IVF_PROBES:
         raise ValueError(f"n_probe must be between 1 and {IVF_PROBES}")
-    cents = _centroids(embeddings)
-    corpus = _assign_cells(embeddings, cents).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("vn").alias("cn"),
-        F.col("cell1").alias("cell"),
+
+    def _collect_f64(df):
+        rows = df.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        return ids, mat, np.sqrt(_fold_self(mat))
+
+    cent_ids, cent_mat, cent_n = _collect_f64(
+        embeddings.filter(F.col("vec_id") < IVF_CENTROIDS)
     )
-    probed = _assign_cells(queries, cents)
-    probe_cell = (
-        F.explode(F.array("cell1", "cell2")) if n_probe == 2 else F.col("cell1")
+    order = np.argsort(cent_ids)  # stable argsort ties → smaller cent_id
+    cent_ids, cent_mat, cent_n = cent_ids[order], cent_mat[order], cent_n[order]
+
+    def _nearest_cells(mat, vn, n):
+        cos = _fold_dots(mat, cent_mat) / (vn[:, None] * cent_n[None, :])
+        return cent_ids[np.argsort(-cos, axis=1, kind="stable")[:, :n]]
+
+    q_ids, q_mat, q_n = _collect_f64(queries)
+    probe = _nearest_cells(q_mat, q_n, n_probe)  # (m, n_probe)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0 or len(q_ids) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            c_mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            c_n = np.sqrt(_fold_self(c_mat))
+            cell1 = _nearest_cells(c_mat, c_n, 1)[:, 0]
+            cand = [[] for _ in range(len(q_ids))]
+            for cell in np.unique(cell1):
+                qsel = np.nonzero((probe == cell).any(axis=1))[0]
+                if len(qsel) == 0:
+                    continue
+                rsel = np.nonzero(cell1 == cell)[0]
+                # same operand order as _fast_cos: dot / (qn * cn)
+                sub = _fold_dots(q_mat[qsel], c_mat[rsel]) / (
+                    q_n[qsel][:, None] * c_n[rsel][None, :]
+                )
+                sub[q_ids[qsel][:, None] == ids[rsel][None, :]] = -np.inf
+                for row, qi in enumerate(qsel):
+                    cand[qi].append((ids[rsel], sub[row, :]))
+            out_q, out_n, out_c = [], [], []
+            for qi, chunks in enumerate(cand):
+                if not chunks:
+                    continue
+                cids = np.concatenate([c[0] for c in chunks])
+                ccos = np.concatenate([c[1] for c in chunks])
+                sel = np.lexsort((cids, -ccos))[: min(k, len(cids))]
+                sel = sel[np.isfinite(ccos[sel])]
+                out_q.append(np.full(len(sel), q_ids[qi], dtype=np.int64))
+                out_n.append(cids[sel])
+                out_c.append(ccos[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cos_sim": np.concatenate(out_c),
+                    }
+                )
+
+    partial = embeddings.select("vec_id", "embedding").mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
     )
-    probes = probed.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("vn").alias("qn"),
-        probe_cell.alias("cell"),
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
     )
-    scored = (
-        corpus.join(F.broadcast(probes), "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            _fast_cos("q_emb", "c_emb", "qn", "cn").alias("cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.col("cos").alias("cos_sim"))
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
 
 
@@ -759,44 +778,6 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_topk(_repartition_if_narrow(emb), queries)
 
 
-def _assign_cells_quantized(qz: DataFrame, qcents: DataFrame) -> DataFrame:
-    """(vec_id, qv, nrm, cell1, cell2): nearest and second-nearest
-    QUANTIZED centroid per quantized vector — same broadcast-NLJ +
-    map-side partial-agg shape as :func:`_assign_cells`, but in code
-    space: the assignment reads only the 8-bit codes, so at scale the
-    float vectors never need to be resident at query time at all (the
-    real point of a quantized store).  All dots are exact integers →
-    cosines are identical IEEE doubles in both engines, and the
-    ``sort_array`` tie-break (cos desc, cent_id asc) mirrors the
-    oracle's ROW_NUMBER exactly."""
-    paired = qz.crossJoin(F.broadcast(qcents)).select(
-        "vec_id",
-        "qv",
-        "nrm",
-        F.struct(
-            F.expr(f"-(({_dot_sql('qv', 'cent_qv')}) / (SQRT(nrm) * SQRT(cent_nrm)))").alias(
-                "negcos"
-            ),
-            F.col("cent_id").alias("cid"),
-        ).alias("s"),
-    )
-    return (
-        paired.groupBy("vec_id")
-        .agg(
-            F.first("qv").alias("qv"),
-            F.first("nrm").alias("nrm"),
-            F.sort_array(F.collect_list("s")).alias("cells"),
-        )
-        .select(
-            "vec_id",
-            "qv",
-            "nrm",
-            F.col("cells")[0]["cid"].alias("cell1"),
-            F.col("cells")[1]["cid"].alias("cell2"),
-        )
-    )
-
-
 def int8_ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame | None = None,
@@ -807,76 +788,120 @@ def int8_ivf_topk(
     memory-bound path scores only within probed cells instead of the
     whole corpus.
 
-    One quantization pass (minmax agg → 1-row broadcast, map-side affine
-    codes), then EVERYTHING — cell assignment and scoring — runs in code
-    space: the 16 quantized centroids broadcast for the NLJ assignment
-    (map-side partial agg collapses to one row per vector), candidates
-    come from a broadcast hash join on cell, the scoring kernel is the
-    unrolled integer dot.  Per query the scan touches |probed cells| /
-    |cells| of the corpus instead of all of it, on codes 4× smaller than
-    floats — at 100 TB the float vectors aren't touched at query time at
-    all.  All dots are exact integers (≤255²·64 ≪ 2⁵³) so scores, cell
-    assignments, and ties reproduce bit-for-bit in the DuckDB oracle."""
+    Physical strategy (round 5, same fusion as :func:`int8_topk`):
+    everything runs in code space inside ONE Arrow-batched numpy kernel
+    over the corpus scan.  Driver-side, the 2×DIM minmax stats, the
+    16-row quantized codebook, and the (tiny by construction) query
+    batch with its probed cells are computed once and closed over.  Each
+    corpus batch then quantizes, assigns its rows' nearest cell, and —
+    the IVF prune — runs one sub-matmul PER CELL against only the
+    queries probing that cell, so scoring work per batch is
+    |probed fraction| of the brute kernel's.  Per-batch partial top-k
+    (≤ k rows per query per batch) feeds the exact row_number merge.
+
+    At 100 TB the code store is materialized partitioned BY CELL, so the
+    scan itself prunes to probed cells (cell → partition pushdown) and
+    the float vectors aren't touched at query time at all; locally the
+    cell assignment recomputes per batch because the fixture store is
+    unpartitioned.  All dots are exact integers (≤255²·64 ≪ 2⁵³) so
+    scores, cell assignments, and ties reproduce bit-for-bit in the
+    DuckDB oracle — numpy accumulation order cannot matter, which is
+    what licenses the numpy kernel here, unlike the float paths.  Cell
+    tie-break matches the oracle's ROW_NUMBER (cos DESC, cent_id ASC)
+    via a stable argsort over centroids pre-sorted by id."""
+    import numpy as np
+
     if not 1 <= n_probe <= IVF_PROBES:
         raise ValueError(f"n_probe must be between 1 and {IVF_PROBES}")
-    from pyspark import StorageLevel
+    mn, mx = _sq_minmax_np(embeddings)
 
-    minmax = _sq_minmax(embeddings)
-    # persist the code store: without a materialization boundary Catalyst
-    # inlines the 64-term quantization expression into the 16-way
-    # centroid NLJ and recomputes it per (vector, centroid) pair — 16×
-    # the quantization work.  In production the int8 store is a
-    # materialized artifact anyway (that's its purpose); persisting here
-    # is the local stand-in for "read codes from the quantized table".
-    qz = (
-        _sq_quantize(embeddings, minmax)
-        .selectExpr("vec_id", "qv", f"{_dot_sql('qv', 'qv')} AS nrm")
-        .filter("nrm > 0")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    qcents = qz.filter(F.col("vec_id") < IVF_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("qv").alias("cent_qv"),
-        F.col("nrm").alias("cent_nrm"),
-    )
-    assigned = _assign_cells_quantized(qz, qcents)
-    c = assigned.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("qv").alias("c_qv"),
-        F.col("nrm").alias("nc"),
-        F.col("cell1").alias("cell"),
-    )
-    if queries is None:
-        # the registered query's shape: queries are the deterministic
-        # corpus slice, so their codes + cells come free from the one
-        # corpus pass
-        q_assigned = assigned.filter(F.col("vec_id") % QUERY_MOD == 0)
-    else:
-        q_qz = _sq_quantize(queries, minmax).selectExpr(
-            "vec_id", "qv", f"{_dot_sql('qv', 'qv')} AS nrm"
-        ).filter("nrm > 0")
-        q_assigned = _assign_cells_quantized(q_qz, qcents)
-    probe_cell = (
-        F.explode(F.array("cell1", "cell2")) if n_probe == 2 else F.col("cell1")
-    )
-    q = q_assigned.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qv").alias("q_qv"),
-        F.col("nrm").alias("nq"),
-        probe_cell.alias("cell"),
-    )
-    scored = (
-        c.join(F.broadcast(q), "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .selectExpr(
-            "query_id",
-            "neighbor_id",
-            f"({_dot_sql('q_qv', 'c_qv')}) / (SQRT(nq) * SQRT(nc)) AS cos_q",
+    def _collect_codes(df):
+        rows = df.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        mat = _np_quantize(
+            np.array([r["embedding"] for r in rows], dtype=np.float64), mn, mx
         )
+        nrm = (mat * mat).sum(axis=1)
+        live = nrm > 0
+        return ids[live], mat[live], nrm[live]
+
+    cent_ids, cent_mat, cent_nrm = _collect_codes(
+        embeddings.filter(F.col("vec_id") < IVF_CENTROIDS)
+    )
+    order = np.argsort(cent_ids)  # stable argsort ties → smaller cent_id
+    cent_ids, cent_mat, cent_nrm = cent_ids[order], cent_mat[order], cent_nrm[order]
+    sqrt_cn = np.sqrt(cent_nrm)
+
+    def _nearest_cells(mat, nrm, n):
+        cos = (mat @ cent_mat.T) / (np.sqrt(nrm)[:, None] * sqrt_cn[None, :])
+        near = np.argsort(-cos, axis=1, kind="stable")[:, :n]
+        return cent_ids[near]
+
+    q_df = (
+        embeddings.filter(F.col("vec_id") % QUERY_MOD == 0)
+        if queries is None
+        else queries
+    )
+    q_ids, q_mat, nq = _collect_codes(q_df)
+    probe = _nearest_cells(q_mat, nq, n_probe)  # (m, n_probe) probed cells
+    sqrt_nq = np.sqrt(nq)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0 or len(q_ids) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            c_mat = _np_quantize(
+                np.vstack(pdf["embedding"].to_numpy()).astype(np.float64), mn, mx
+            )
+            nc = (c_mat * c_mat).sum(axis=1)
+            m = nc > 0
+            ids, c_mat, nc = ids[m], c_mat[m], nc[m]
+            if len(ids) == 0:
+                continue
+            cell1 = _nearest_cells(c_mat, nc, 1)[:, 0]
+            sqrt_nc = np.sqrt(nc)
+            cand = [[] for _ in range(len(q_ids))]  # (ids, cos) per query
+            for cell in np.unique(cell1):
+                qsel = np.nonzero((probe == cell).any(axis=1))[0]
+                if len(qsel) == 0:
+                    continue
+                rsel = np.nonzero(cell1 == cell)[0]
+                sub = (c_mat[rsel] @ q_mat[qsel].T) / (
+                    sqrt_nq[qsel][None, :] * sqrt_nc[rsel][:, None]
+                )
+                sub[ids[rsel][:, None] == q_ids[qsel][None, :]] = -np.inf
+                for col, qi in enumerate(qsel):
+                    cand[qi].append((ids[rsel], sub[:, col]))
+            out_q, out_n, out_c = [], [], []
+            for qi, chunks in enumerate(cand):
+                if not chunks:
+                    continue
+                cids = np.concatenate([c[0] for c in chunks])
+                ccos = np.concatenate([c[1] for c in chunks])
+                sel = np.lexsort((cids, -ccos))[: min(k, len(cids))]
+                sel = sel[np.isfinite(ccos[sel])]
+                out_q.append(np.full(len(sel), q_ids[qi], dtype=np.int64))
+                out_n.append(cids[sel])
+                out_c.append(ccos[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cos_q": np.concatenate(out_c),
+                    }
+                )
+
+    partial = embeddings.select("vec_id", "embedding").mapInPandas(
+        score, "query_id long, neighbor_id long, cos_q double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_q").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_q")
     )
