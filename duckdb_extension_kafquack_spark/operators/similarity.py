@@ -423,21 +423,25 @@ def embedding_near_duplicates(
     ≈0.45-0.51, where SRP-LSH recall is poor — LSH stays the *approximate*
     path via :func:`lsh_topk`).
 
-    Two stages keep it both BLAS-fast and oracle-exact:
+    Two stages inside ONE kernel keep it both BLAS-fast and oracle-exact
+    (round 5: the exact re-score moved into the tile kernel — it used to
+    be two broadcast joins plus an interpreted ``zip_with``/``aggregate``
+    fold per candidate):
 
     1. *Candidate generation*: each tile group (the two blocks' rows,
        Arrow-batched into ``applyInPandas``) runs ONE numpy matmul and
-       emits only the id pairs whose numpy cosine clears
-       ``threshold − slack`` — the |blk_i|×|blk_j| cross product exists
-       only inside BLAS, and only ids (not vectors) leave the stage.
-    2. *Exact re-score*: the few candidates join back to the corpus and
-       are scored with the JVM ``zip_with``/``aggregate`` fold —
-       bit-identical to DuckDB's ``list_dot_product`` (products commute
-       and the sum order is fixed, so it is symmetric in its arguments).
-       The final ``≥ threshold`` filter happens on THAT value, so
-       numpy's different accumulation order (off by ~1e-15, far inside
-       the slack) never decides membership and the emitted ``cos_sim``
-       hash-matches the oracle UNROUNDED — no round-half tie risk.
+       keeps only the pairs whose BLAS cosine clears ``threshold −
+       slack`` — the |blk_i|×|blk_j| cross product exists only inside
+       BLAS.
+    2. *Exact re-score, same kernel*: the few candidate pairs are
+       re-scored with :func:`_fold_dots`-order accumulation —
+       bit-identical to the JVM fold and DuckDB ``list_dot_product``
+       (products commute element-wise, so it is symmetric in its
+       arguments).  The final ``≥ threshold`` filter happens on THAT
+       value, so BLAS's different accumulation order (off by ~1e-15,
+       far inside the slack) never decides membership and the emitted
+       ``cos_sim`` hash-matches the oracle UNROUNDED — no round-half
+       tie risk.
     """
     spark = embeddings.sparkSession
     slack = 1e-9
@@ -464,7 +468,8 @@ def embedding_near_duplicates(
 
         i, j = key
         empty = pd.DataFrame({"id1": pd.array([], dtype="int64"),
-                              "id2": pd.array([], dtype="int64")})
+                              "id2": pd.array([], dtype="int64"),
+                              "cos_sim": pd.array([], dtype="float64")})
         a = pdf[pdf["side"] == 0]
         if len(a) == 0:  # a vec_id % n_blocks block can be empty
             return empty
@@ -475,6 +480,7 @@ def embedding_near_duplicates(
             sims = a_sims @ a_sims.T
             r, c = np.nonzero(np.triu(sims >= threshold - slack, k=1))
             id1, id2 = a_ids[r], a_ids[c]
+            m1, m2 = a_mat[r], a_mat[c]
         else:
             c_rows = pdf[pdf["side"] == 1]
             if len(c_rows) == 0:
@@ -484,23 +490,26 @@ def embedding_near_duplicates(
             sims = a_sims @ (c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)).T
             r, c = np.nonzero(sims >= threshold - slack)
             id1, id2 = a_ids[r], c_ids[c]
-        lo, hi = np.minimum(id1, id2), np.maximum(id1, id2)
-        return pd.DataFrame({"id1": lo, "id2": hi})
+            m1, m2 = a_mat[r], c_mat[c]
+        if len(id1) == 0:
+            return empty
+        # exact fold-order re-score of the few candidates (pairwise, not
+        # all-pairs): bit-identical to the JVM fold / list_dot_product
+        acc = m1[:, 0] * m2[:, 0]
+        n1 = m1[:, 0] * m1[:, 0]
+        n2 = m2[:, 0] * m2[:, 0]
+        for d in range(1, m1.shape[1]):
+            acc += m1[:, d] * m2[:, d]
+            n1 += m1[:, d] * m1[:, d]
+            n2 += m2[:, d] * m2[:, d]
+        cos = acc / (np.sqrt(n1) * np.sqrt(n2))
+        keep = cos >= threshold
+        lo = np.minimum(id1[keep], id2[keep])
+        hi = np.maximum(id1[keep], id2[keep])
+        return pd.DataFrame({"id1": lo, "id2": hi, "cos_sim": cos[keep]})
 
-    cand = tiled.groupBy("i", "j").applyInPandas(find_candidates, "id1 long, id2 long")
-    e1 = embeddings.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("emb1"))
-    e2 = embeddings.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("emb2"))
-    # candidates are small by construction → two broadcast joins fetch
-    # their vectors off corpus scans, no corpus shuffle
-    with_e1 = e1.join(F.broadcast(cand), "id1")
-    return (
-        e2.join(F.broadcast(with_e1), "id2")
-        .select(
-            "id1",
-            "id2",
-            cosine_similarity(F.col("emb1"), F.col("emb2")).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+    return tiled.groupBy("i", "j").applyInPandas(
+        find_candidates, "id1 long, id2 long, cos_sim double"
     )
 
 
