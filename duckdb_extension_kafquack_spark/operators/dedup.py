@@ -196,6 +196,48 @@ def minhash_bands(sigs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
 
 
+def _with_bucket_sub(bands_df: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Append the bucket sub-split column: rows of a bucket larger than
+    ``max_bucket_size`` are scattered into ``ceil(n / max)`` sub-groups
+    by ``doc_id % nsub``; everyone else gets ``sub = 0``.
+
+    Why this shape (round-5 second cut): the first cut ranked EVERY
+    bucket with a ``row_number`` window — a second full exchange of the
+    band relation for a column that is 0 almost everywhere, and the hot
+    bucket still sorted in ONE task (the exact straggler the cap
+    exists to kill).  Here bucket sizes reduce map-side to one tiny
+    row-per-oversized-bucket relation (AQE broadcasts it; at a
+    pathological 100 TB boilerplate swamp it degrades to a shuffle join,
+    still keyed and linear), ``sub`` is a map-side expression, and the
+    modulo scatters a hot bucket's rows across DIFFERENT join partitions
+    instead of one sorted run — no straggler anywhere.  ``n / 64.0`` is
+    exact in IEEE doubles (power-of-two divisor), so ``ceil`` and the
+    modulo reproduce bit-identically in the DuckDB mirrors.
+
+    NOTE: callers must hand in a ``bands_df`` derived from a persisted /
+    cheap relation — it is evaluated twice (sizes + rows)."""
+    hot = (
+        bands_df.groupBy("band", "band_sig")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > max_bucket_size)
+        .select(
+            "band",
+            "band_sig",
+            F.ceil(F.col("_bn") / F.lit(float(max_bucket_size))).alias("_nsub"),
+        )
+    )
+    return (
+        bands_df.join(hot, ["band", "band_sig"], "left")
+        .withColumn(
+            "sub",
+            F.when(F.col("_nsub").isNull(), F.lit(0).cast("bigint")).otherwise(
+                F.col("doc_id") % F.col("_nsub")
+            ),
+        )
+        .drop("_nsub")
+    )
+
+
 def candidate_pairs(
     bands_df: DataFrame, max_bucket_size: int | None = MAX_LSH_BUCKET
 ) -> DataFrame:
@@ -204,16 +246,12 @@ def candidate_pairs(
     output; distinct collapses multi-band collisions.
 
     ``max_bucket_size`` (:data:`MAX_LSH_BUCKET`) bounds the within-bucket
-    pair count: members of an oversized bucket are ranked by doc_id and
-    only paired within runs of that size, keeping the join linear in
-    bucket size.  The ranking window shuffles on the same (band,
-    band_sig) key the join needs anyway — one task sorts the hot bucket
-    (O(b log b), vs the O(b²) join it prevents)."""
+    pair count via :func:`_with_bucket_sub`: members of an oversized
+    bucket are scattered into ``ceil(n/max)`` sub-groups by doc_id
+    modulo, keeping the join linear in bucket size with no straggler
+    task."""
     if max_bucket_size is not None:
-        w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
-        bands_df = bands_df.withColumn(
-            "sub", F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(max_bucket_size))
-        )
+        bands_df = _with_bucket_sub(bands_df, max_bucket_size)
         join_keys = ["band", "band_sig", "sub"]
     else:
         join_keys = ["band", "band_sig"]
@@ -328,11 +366,13 @@ WITH tok AS (
   FROM mh
 ), bands AS (
 {band_union}
+), hot AS (
+  SELECT band, band_sig, CAST(CEIL(COUNT(*) / {MAX_LSH_BUCKET}.0) AS BIGINT) AS nsub
+  FROM bands GROUP BY band, band_sig HAVING COUNT(*) > {MAX_LSH_BUCKET}
 ), bands_sub AS (
-  SELECT doc_id, band, band_sig,
-         FLOOR((ROW_NUMBER() OVER (PARTITION BY band, band_sig ORDER BY doc_id) - 1)
-               / {MAX_LSH_BUCKET}) AS sub
-  FROM bands
+  SELECT b.doc_id, b.band, b.band_sig,
+         CASE WHEN h.nsub IS NULL THEN 0 ELSE b.doc_id % h.nsub END AS sub
+  FROM bands b LEFT JOIN hot h ON b.band = h.band AND b.band_sig = h.band_sig
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
   FROM bands_sub a JOIN bands_sub b
@@ -625,7 +665,12 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = SIMHASH_HAMMING_MAX) 
     ``bit_count(xor)`` verifies.  Self-join keys are (block_id, 45-bit
     value) — uniform, no cross product.
     """
-    sigs = simhash_signatures(docs)
+    from pyspark import StorageLevel
+
+    # persisted: the banded relation is evaluated twice by the bucket
+    # sub-split (sizes + rows) and the signature pipeline (explode →
+    # bit-sum groupBy) is the expensive part
+    sigs = simhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
     bands = []
     bits_per = SIMHASH_BITS // _SIMHASH_BLOCKS
     mask = (1 << SIMHASH_BITS) - 1
@@ -644,10 +689,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = SIMHASH_HAMMING_MAX) 
     ).select("doc_id", "simhash", "bb.band", "bb.band_sig")
     # same bucket hygiene as candidate_pairs: an identical-boilerplate
     # cluster shares every band key; sub-split keeps the join linear
-    w = Window.partitionBy("band", "band_sig").orderBy("doc_id")
-    banded = banded.withColumn(
-        "sub", F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(MAX_LSH_BUCKET))
-    )
+    banded = _with_bucket_sub(banded, MAX_LSH_BUCKET)
     a, b_ = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -700,11 +742,13 @@ WITH tok AS (
   SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums
 ), bands AS (
 {band_union}
+), hot AS (
+  SELECT band, band_sig, CAST(CEIL(COUNT(*) / {MAX_LSH_BUCKET}.0) AS BIGINT) AS nsub
+  FROM bands GROUP BY band, band_sig HAVING COUNT(*) > {MAX_LSH_BUCKET}
 ), bands_sub AS (
-  SELECT doc_id, simhash, band, band_sig,
-         FLOOR((ROW_NUMBER() OVER (PARTITION BY band, band_sig ORDER BY doc_id) - 1)
-               / {MAX_LSH_BUCKET}) AS sub
-  FROM bands
+  SELECT b.doc_id, b.simhash, b.band, b.band_sig,
+         CASE WHEN h.nsub IS NULL THEN 0 ELSE b.doc_id % h.nsub END AS sub
+  FROM bands b LEFT JOIN hot h ON b.band = h.band AND b.band_sig = h.band_sig
 )
 SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
@@ -837,11 +881,13 @@ WITH sh AS (
   FROM mh
 ), bands AS (
 {band_union}
+), hot AS (
+  SELECT band, band_sig, CAST(CEIL(COUNT(*) / {MAX_LSH_BUCKET}.0) AS BIGINT) AS nsub
+  FROM bands GROUP BY band, band_sig HAVING COUNT(*) > {MAX_LSH_BUCKET}
 ), bands_sub AS (
-  SELECT doc_id, band, band_sig,
-         FLOOR((ROW_NUMBER() OVER (PARTITION BY band, band_sig ORDER BY doc_id) - 1)
-               / {MAX_LSH_BUCKET}) AS sub
-  FROM bands
+  SELECT b.doc_id, b.band, b.band_sig,
+         CASE WHEN h.nsub IS NULL THEN 0 ELSE b.doc_id % h.nsub END AS sub
+  FROM bands b LEFT JOIN hot h ON b.band = h.band AND b.band_sig = h.band_sig
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
   FROM bands_sub a JOIN bands_sub b
