@@ -4,19 +4,23 @@
 * SRP-LSH bucketed ANN            → :func:`lsh_topk` (the scale path)
 * embedding cosine near-dup pairs → :func:`embedding_near_duplicates`
 
-Scale design: brute force is a broadcast of the (small) query set
-against the full corpus — linear scan, no shuffle of the corpus, with a
-per-partition top-k (Spark's WindowGroupLimit) before the final merge.
-The LSH variant buckets both sides by deterministic sign-random-
-projection bits so the join touches only same-bucket rows; at 100 TB
-bucket count scales with corpus size (more planes) while the plan shape
-is unchanged.
+Scale design: the scoring paths (brute, IVF, int8) run as Arrow-batched
+numpy kernels over the corpus scan — one linear pass, no corpus
+shuffle, per-batch partial top-k (≤ k rows per query per batch) before
+the single row_number merge; the tiny query set / codebook / quantizer
+stats are driver-side closures, the same materializations the earlier
+broadcast-join plans shipped to every task.  The LSH variant buckets
+both sides by deterministic sign-random-projection bits so the join
+touches only same-bucket rows; at 100 TB bucket count scales with
+corpus size (more planes) while the plan shape is unchanged.
 
 Determinism: hyperplane weights are derived from md5 in *Python*
 (hashlib) and inlined as literals in both the Spark plan and the DuckDB
-oracle — same constants, same buckets, same results.  Dot products are
-bit-identical between Spark's ``aggregate`` fold and DuckDB's
-``list_dot_product`` (verified empirically on the fixtures).
+oracle — same constants, same buckets, same results.  Float dot
+products use :func:`_fold_dots`' dimension-by-dimension accumulation,
+bit-identical to Spark's ``aggregate`` fold / unrolled sum AND DuckDB's
+``list_dot_product`` (verified empirically on the fixtures); int8 dots
+are exact integers, safe in any accumulation order.
 """
 
 from __future__ import annotations
@@ -96,45 +100,66 @@ def _dot_sql(a: str, b: str, dim: int = DIM) -> str:
     )
 
 
-def _norm_col(vec: str, dim: int = DIM) -> F.Column:
-    return F.expr(f"sqrt({_dot_sql(vec, vec, dim)})")
-
-
-def _fast_cos(a: str, b: str, na: str, nb: str, dim: int = DIM) -> F.Column:
-    """cos = unrolled_dot / (norm_a · norm_b) with the norms PRECOMPUTED
-    once per row on each side — the naive form recomputes both norms for
-    every pair, tripling the hot-loop work."""
-    return F.expr(f"({_dot_sql(a, b, dim)}) / ({na} * {nb})")
-
-
 def cosine_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = TOPK
 ) -> DataFrame:
-    """Brute-force exact top-k: broadcast the query set, scan the corpus
-    once, per-group top-k via row_number (partial top-k before shuffle)."""
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        _norm_col("embedding").alias("qn"),
+    """Brute-force exact top-k: one corpus scan, per-batch partial top-k,
+    one row_number merge over ≤ k rows per query per batch.
+
+    Round 5: the scoring loop is a numpy kernel (``mapInPandas``) using
+    :func:`_fold_dots`'s fold-order accumulation, so every emitted
+    ``cos_sim`` is bit-identical to the unrolled JVM sum and DuckDB's
+    ``list_dot_product`` — the query batch (tiny by construction; the
+    previous plan already materialized it driver-side for the broadcast
+    join) is closed over.  Replaces the broadcast NLJ whose 64-term
+    codegen dot spent more time compiling than scoring."""
+    import numpy as np
+
+    q_rows = queries.select("vec_id", "embedding").collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_n = np.sqrt(_fold_self(q_mat)) if len(q_rows) else np.zeros(0)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0 or len(q_ids) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            c_mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            c_n = np.sqrt(_fold_self(c_mat))
+            # operand order matches the old _fast_cos form: dot / (qn * cn)
+            cos = _fold_dots(c_mat, q_mat) / (q_n[None, :] * c_n[:, None])
+            cos[ids[:, None] == q_ids[None, :]] = -np.inf  # self-pairs out
+            kk = min(k, len(ids))
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(q_ids)):
+                col = cos[:, qi]
+                sel = np.lexsort((ids, -col))[:kk]
+                sel = sel[np.isfinite(col[sel])]
+                out_q.append(np.full(len(sel), q_ids[qi], dtype=np.int64))
+                out_n.append(ids[sel])
+                out_c.append(col[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos_sim": np.concatenate(out_c),
+                }
+            )
+
+    partial = embeddings.select("vec_id", "embedding").mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
     )
-    c = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        _norm_col("embedding").alias("cn"),
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            _fast_cos("q_emb", "c_emb", "qn", "cn").alias("cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.col("cos").alias("cos_sim"))
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
 
 
@@ -309,7 +334,7 @@ def ivf_topk(
                 if len(qsel) == 0:
                     continue
                 rsel = np.nonzero(cell1 == cell)[0]
-                # same operand order as _fast_cos: dot / (qn * cn)
+                # operand order matches the old _fast_cos form: dot / (qn * cn)
                 sub = _fold_dots(q_mat[qsel], c_mat[rsel]) / (
                     q_n[qsel][:, None] * c_n[rsel][None, :]
                 )
@@ -979,6 +1004,198 @@ def ann_int8_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     return int8_ivf_topk(_repartition_if_narrow(emb))
+
+
+# ---------------------------------------------------------------------------
+# K-means codebook training (distributed Lloyd iterations in code space)
+# ---------------------------------------------------------------------------
+
+KMEANS_ITERS = 2
+
+
+def kmeans_codebook_train(
+    embeddings: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    iters: int = KMEANS_ITERS,
+):
+    """Distributed Lloyd iterations that TRAIN the IVF codebook instead
+    of the deterministic ``vec_id < 16`` slice standing in for one — the
+    offline step a real IVF index runs before :func:`int8_ivf_topk` can
+    prune.
+
+    Everything happens in quantized code space so the iterative float
+    trap disappears: a float k-means centroid is an ORDER-DEPENDENT sum
+    (never hash-matchable cross-engine), but here members are integer
+    codes ≤255, so per-cell per-dimension sums are exact in any order,
+    and the updated centroid is the element-wise integer mean
+    (``sum DIV n`` — floor division, both engines), which keeps codes in
+    [0, 255] forever: sums stay ≪ 2⁵³ no matter how many iterations or
+    how big the corpus.  Assignment is max-cosine with exact integer
+    dots (tie → smaller cell id), mirroring the oracle's ROW_NUMBER.
+
+    Physical shape per iteration: ONE numpy pass over the corpus scan
+    (``mapInPandas``) emitting per-batch per-cell partial sums — ≤
+    |cells| rows per batch leave each task (the classic map-side combine
+    of distributed k-means); partials are folded driver-side (≤ batches
+    × cells tiny integer rows, same class as the codebook collect).
+    Returns ``(cell_ids, counts, cents)`` numpy state after ``iters``
+    rounds: ids, final-round member counts, and the updated integer
+    centroids."""
+    import numpy as np
+
+    mn, mx = _sq_minmax_np(embeddings)
+    seed_rows = (
+        embeddings.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    seed_ids = np.array([r["vec_id"] for r in seed_rows], dtype=np.int64)
+    order = np.argsort(seed_ids)
+    cents = _np_quantize(
+        np.array([r["embedding"] for r in seed_rows], dtype=np.float64), mn, mx
+    )[order]
+    cent_ids = seed_ids[order]
+    live = (cents * cents).sum(axis=1) > 0  # zero-norm seed: cosine undefined
+    cent_ids, cents = cent_ids[live], cents[live]
+    corpus = embeddings.select("embedding")
+
+    def make_pass(cid, cv):
+        cn = np.sqrt((cv * cv).sum(axis=1))
+
+        def go(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = _np_quantize(
+                    np.vstack(pdf["embedding"].to_numpy()).astype(np.float64), mn, mx
+                )
+                nrm = (mat * mat).sum(axis=1)
+                mat = mat[nrm > 0]
+                if len(mat) == 0:
+                    continue
+                # exact integer dots -> identical cosines both engines
+                cos = (mat @ cv.T) / (
+                    np.sqrt((mat * mat).sum(axis=1))[:, None] * cn[None, :]
+                )
+                assign = np.argsort(-cos, axis=1, kind="stable")[:, 0]
+                rows = []
+                for j in np.unique(assign):
+                    sub = mat[assign == j]
+                    rows.append(
+                        (int(cid[j]), len(sub), sub.sum(axis=0).astype(np.int64).tolist())
+                    )
+                yield pd.DataFrame(rows, columns=["cell_id", "n", "s"])
+
+        return go
+
+    counts = {}
+    sums = {}
+    for _ in range(iters):
+        parts = corpus.mapInPandas(
+            make_pass(cent_ids, cents), "cell_id long, n long, s array<long>"
+        ).collect()
+        counts, sums = {}, {}
+        for r in parts:
+            counts[r["cell_id"]] = counts.get(r["cell_id"], 0) + r["n"]
+            sv = np.array(r["s"], dtype=np.int64)
+            sums[r["cell_id"]] = sums.get(r["cell_id"], 0) + sv
+        cent_ids = np.array(sorted(counts), dtype=np.int64)
+        cents = np.array(
+            [sums[c] // counts[c] for c in cent_ids], dtype=np.float64
+        )
+        live = (cents * cents).sum(axis=1) > 0
+        final_counts = np.array([counts[c] for c in cent_ids], dtype=np.int64)
+        final_cents = cents
+        cent_ids_next, cents_next = cent_ids[live], cents[live]
+        out_ids = cent_ids
+        cent_ids, cents = cent_ids_next, cents_next
+    return out_ids, final_counts, final_cents
+
+
+def _duck_kmeans_sql() -> str:
+    """Oracle: the same two Lloyd rounds unrolled as CTEs — quantize,
+    assign (ROW_NUMBER max-cos, tie → cell_id), 64 exact integer SUMs
+    per cell, integer-mean update (``//``), repeat, then report final
+    membership and centroid norms."""
+    mm_cols = ", ".join(
+        f"MIN(CAST(embedding[{i + 1}] AS DOUBLE)) AS mn{i}, "
+        f"MAX(CAST(embedding[{i + 1}] AS DOUBLE)) AS mx{i}"
+        for i in range(DIM)
+    )
+    elems = ", ".join(
+        f"CASE WHEN mx{i} = mn{i} THEN 0 "
+        f"ELSE LEAST(255.0, GREATEST(0.0, FLOOR((CAST(embedding[{i + 1}] AS DOUBLE) - mn{i})"
+        f" * {SQ_LEVELS}.0 / (mx{i} - mn{i})))) END"
+        for i in range(DIM)
+    )
+    sum_cols = ", ".join(
+        f"CAST(SUM(s.qv[{d + 1}]) AS BIGINT) AS s{d}" for d in range(DIM)
+    )
+    mean_list = ", ".join(f"s{d} // n" for d in range(DIM))
+
+    def assign(cents_cte: str) -> str:
+        return f"""SELECT vec_id, cell_id FROM (
+    SELECT s.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+             list_dot_product(s.qv, c.cv) / (SQRT(s.nrm) * SQRT(c.cn)) DESC,
+             c.cell_id) AS rn
+    FROM sized s, {cents_cte} c
+  ) WHERE rn = 1"""
+
+    return f"""
+WITH mm AS (
+  SELECT {mm_cols} FROM embeddings
+), qz AS (
+  SELECT vec_id, [{elems}]::DOUBLE[] AS qv FROM embeddings, mm
+), sized AS (
+  SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM qz
+  WHERE list_dot_product(qv, qv) > 0
+), c0 AS (
+  SELECT vec_id AS cell_id, qv AS cv, list_dot_product(qv, qv) AS cn
+  FROM sized WHERE vec_id < {IVF_CENTROIDS}
+), a1 AS (
+  {assign('c0')}
+), s1 AS (
+  SELECT a.cell_id, COUNT(*) AS n, {sum_cols}
+  FROM a1 a JOIN sized s ON s.vec_id = a.vec_id GROUP BY a.cell_id
+), c1 AS (
+  SELECT cell_id, cv, list_dot_product(cv, cv) AS cn FROM (
+    SELECT cell_id, [{mean_list}]::DOUBLE[] AS cv FROM s1
+  ) WHERE list_dot_product(cv, cv) > 0
+), a2 AS (
+  {assign('c1')}
+), s2 AS (
+  SELECT a.cell_id, COUNT(*) AS n, {sum_cols}
+  FROM a2 a JOIN sized s ON s.vec_id = a.vec_id GROUP BY a.cell_id
+)
+SELECT cell_id, n AS n_members,
+       CAST(list_dot_product(cv, cv) AS BIGINT) AS centroid_norm
+FROM (SELECT cell_id, n, [{mean_list}]::DOUBLE[] AS cv FROM s2)
+ORDER BY cell_id
+"""
+
+
+@query("ivf_kmeans_codebook", _duck_kmeans_sql())
+def ivf_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered shape of the trainer: (cell_id, n_members,
+    centroid_norm) after KMEANS_ITERS Lloyd rounds — the index-build
+    step whose output feeds :func:`int8_ivf_topk` in production."""
+    import numpy as np
+
+    from .dedup import _repartition_if_narrow
+
+    emb = _repartition_if_narrow(load_tables(spark, sf_dir)["embeddings"])
+    ids, counts, cents = kmeans_codebook_train(emb)
+    norms = (cents * cents).sum(axis=1).astype(np.int64)
+    rows = [
+        (int(i), int(n), int(z)) for i, n, z in zip(ids, counts, norms)
+    ]
+    return spark.createDataFrame(
+        rows, "cell_id long, n_members long, centroid_norm long"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -730,6 +730,34 @@ class TestInt8Quantization:
                 rb.query_id, rb.neighbor_id, rb.rank)
             assert ra.cos_q == rb.cos_q  # exact, no tolerance
 
+    def test_kmeans_codebook_trains_in_code_space(self, spark, tables):
+        """Two Lloyd rounds over int8 codes: every returned centroid must
+        stay inside the code cube [0,255]^64 (the integer-mean update
+        guarantees it at ANY corpus size — the scale invariant), member
+        counts must cover every nonzero-norm corpus row exactly once,
+        and cell ids must come from the seed slice."""
+        import numpy as np
+
+        from duckdb_extension_kafquack_spark.operators.similarity import (
+            IVF_CENTROIDS,
+            _np_quantize,
+            _sq_minmax_np,
+            kmeans_codebook_train,
+        )
+
+        emb = tables["embeddings"]
+        ids, counts, cents = kmeans_codebook_train(emb)
+        assert set(ids) <= set(range(IVF_CENTROIDS))
+        assert cents.min() >= 0 and cents.max() <= 255
+        assert np.array_equal(cents, np.floor(cents))  # integer-valued
+        mn, mx = _sq_minmax_np(emb)
+        rows = emb.select("embedding").collect()
+        codes = _np_quantize(
+            np.array([r["embedding"] for r in rows], dtype=np.float64), mn, mx
+        )
+        n_live = int(((codes * codes).sum(axis=1) > 0).sum())
+        assert counts.sum() == n_live
+
     def test_int8_ivf_prunes_but_keeps_shape(self, spark, tables):
         """The IVF-pruned int8 path (VERDICT r4 item 3): per-query k
         rows with contiguous ranks, scores drawn from the same quantized
