@@ -384,3 +384,63 @@ def test_asof_duplicate_times_deterministic(spark, left, right):
             assert rt == pd_times[key], (direction, key)
             if plan is not None:
                 assert plan in right_at[(key[0], rt)], (direction, key)
+
+
+def test_fold_dots_bit_identical_to_jvm_and_duckdb(spark):
+    """The numpy fold-order kernel that licenses the round-5 float ANN
+    rewrites: `_fold_dots` / `_fold_self` must reproduce the unrolled
+    JVM sum AND DuckDB's list_dot_product BIT-FOR-BIT on adversarial
+    random float32 data (mixed magnitudes force real rounding at every
+    accumulation step, so any order divergence would show)."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from duckdb_extension_kafquack_spark.operators.similarity import (
+        DIM,
+        _dot_sql,
+        _fold_dots,
+        _fold_self,
+    )
+
+    rng = np.random.RandomState(7)
+    # magnitudes spanning 12 orders + sign flips: worst case for
+    # accumulation-order sensitivity
+    mat64 = (
+        rng.standard_normal((40, DIM)) * (10.0 ** rng.uniform(-6, 6, (40, DIM)))
+    ).astype(np.float32)
+    rows = [(i, [float(x) for x in mat64[i]]) for i in range(len(mat64))]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    pairs = [(i, (i * 7 + 3) % len(mat64)) for i in range(len(mat64))]
+    cond = " OR ".join(f"(a.vec_id = {i} AND b.vec_id = {j})" for i, j in pairs)
+    jvm = {
+        (r.i, r.j): (r.dot, r.cos)
+        for r in df.alias("a").crossJoin(df.alias("b")).filter(F.expr(cond)).selectExpr(
+            "a.vec_id AS i",
+            "b.vec_id AS j",
+            f"({_dot_sql('a.embedding', 'b.embedding')}) AS dot",
+            f"({_dot_sql('a.embedding', 'b.embedding')}) / "
+            f"(sqrt({_dot_sql('a.embedding', 'a.embedding')}) * "
+            f"sqrt({_dot_sql('b.embedding', 'b.embedding')})) AS cos",
+        ).collect()
+    }
+    A = mat64.astype(np.float64)
+    D = _fold_dots(A, A)
+    N = np.sqrt(_fold_self(A))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE v AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {list(map(float, A[i]))}::DOUBLE[])" for i in range(len(A)))
+        + ") t(vec_id, emb)"
+    )
+    duck = {
+        (i, j): con.execute(
+            "SELECT list_dot_product(a.emb, b.emb) FROM v a, v b "
+            f"WHERE a.vec_id = {i} AND b.vec_id = {j}"
+        ).fetchone()[0]
+        for i, j in pairs
+    }
+    for i, j in pairs:
+        assert D[i, j] == jvm[(i, j)][0], (i, j, "jvm dot")
+        assert D[i, j] / (N[i] * N[j]) == jvm[(i, j)][1], (i, j, "jvm cos")
+        assert D[i, j] == duck[(i, j)], (i, j, "duckdb dot")
