@@ -817,6 +817,7 @@ def int8_ivf_topk(
     queries: DataFrame | None = None,
     k: int = TOPK,
     n_probe: int = IVF_PROBES,
+    codebook=None,
 ) -> DataFrame:
     """IVF-pruned scalar-quantized ANN (VERDICT r4 item 3): the int8
     memory-bound path scores only within probed cells instead of the
@@ -859,9 +860,18 @@ def int8_ivf_topk(
         live = nrm > 0
         return ids[live], mat[live], nrm[live]
 
-    cent_ids, cent_mat, cent_nrm = _collect_codes(
-        embeddings.filter(F.col("vec_id") < IVF_CENTROIDS)
-    )
+    if codebook is not None:
+        # externally trained codebook (e.g. kmeans_codebook_train):
+        # (ids, integer-valued code vectors), ids sorted, zero-norm
+        # cells already dropped
+        cent_ids, cent_mat = codebook
+        cent_ids = np.asarray(cent_ids, dtype=np.int64)
+        cent_mat = np.asarray(cent_mat, dtype=np.float64)
+        cent_nrm = (cent_mat * cent_mat).sum(axis=1)
+    else:
+        cent_ids, cent_mat, cent_nrm = _collect_codes(
+            embeddings.filter(F.col("vec_id") < IVF_CENTROIDS)
+        )
     order = np.argsort(cent_ids)  # stable argsort ties → smaller cent_id
     cent_ids, cent_mat, cent_nrm = cent_ids[order], cent_mat[order], cent_nrm[order]
     sqrt_cn = np.sqrt(cent_nrm)
@@ -1115,11 +1125,12 @@ def kmeans_codebook_train(
     return out_ids, final_counts, final_cents
 
 
-def _duck_kmeans_sql() -> str:
-    """Oracle: the same two Lloyd rounds unrolled as CTEs — quantize,
-    assign (ROW_NUMBER max-cos, tie → cell_id), 64 exact integer SUMs
-    per cell, integer-mean update (``//``), repeat, then report final
-    membership and centroid norms."""
+def _duck_kmeans_ctes() -> str:
+    """Shared oracle fragment: quantize (mm/qz/sized) then two unrolled
+    Lloyd rounds — assign (ROW_NUMBER max-cos, tie → cell_id), 64 exact
+    integer SUMs per cell, integer-mean update (``//``) — ending at
+    ``s2`` (final-round membership sums).  Used by the trainer oracle
+    and by the trained-IVF oracle."""
     mm_cols = ", ".join(
         f"MIN(CAST(embedding[{i + 1}] AS DOUBLE)) AS mn{i}, "
         f"MAX(CAST(embedding[{i + 1}] AS DOUBLE)) AS mx{i}"
@@ -1134,7 +1145,7 @@ def _duck_kmeans_sql() -> str:
     sum_cols = ", ".join(
         f"CAST(SUM(s.qv[{d + 1}]) AS BIGINT) AS s{d}" for d in range(DIM)
     )
-    mean_list = ", ".join(f"s{d} // n" for d in range(DIM))
+    mean_list = _duck_kmeans_mean_list()
 
     def assign(cents_cte: str) -> str:
         return f"""SELECT vec_id, cell_id FROM (
@@ -1145,8 +1156,7 @@ def _duck_kmeans_sql() -> str:
     FROM sized s, {cents_cte} c
   ) WHERE rn = 1"""
 
-    return f"""
-WITH mm AS (
+    return f"""mm AS (
   SELECT {mm_cols} FROM embeddings
 ), qz AS (
   SELECT vec_id, [{elems}]::DOUBLE[] AS qv FROM embeddings, mm
@@ -1170,10 +1180,21 @@ WITH mm AS (
 ), s2 AS (
   SELECT a.cell_id, COUNT(*) AS n, {sum_cols}
   FROM a2 a JOIN sized s ON s.vec_id = a.vec_id GROUP BY a.cell_id
-)
+)"""
+
+
+def _duck_kmeans_mean_list() -> str:
+    return ", ".join(f"s{d} // n" for d in range(DIM))
+
+
+def _duck_kmeans_sql() -> str:
+    """Oracle for the trainer: the shared two-round CTEs, then report
+    final membership and centroid norms."""
+    return f"""
+WITH {_duck_kmeans_ctes()}
 SELECT cell_id, n AS n_members,
        CAST(list_dot_product(cv, cv) AS BIGINT) AS centroid_norm
-FROM (SELECT cell_id, n, [{mean_list}]::DOUBLE[] AS cv FROM s2)
+FROM (SELECT cell_id, n, [{_duck_kmeans_mean_list()}]::DOUBLE[] AS cv FROM s2)
 ORDER BY cell_id
 """
 
@@ -1196,6 +1217,63 @@ def ivf_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "cell_id long, n_members long, centroid_norm long"
     )
+
+
+def _duck_sq_ivf_trained_sql() -> str:
+    """Oracle for train-then-probe: the shared two-round k-means CTEs
+    produce the trained codebook (``cb``), then the same cell-assignment
+    + probed-cell scoring blocks as :func:`_duck_sq_ivf_sql` run against
+    it instead of the seed slice."""
+    return f"""
+WITH {_duck_kmeans_ctes()}, cb AS (
+  SELECT cell_id, cv, list_dot_product(cv, cv) AS cn FROM (
+    SELECT cell_id, [{_duck_kmeans_mean_list()}]::DOUBLE[] AS cv FROM s2
+  ) WHERE list_dot_product(cv, cv) > 0
+), cells AS (
+  SELECT vec_id, cell_id AS cell, cell_rank FROM (
+    SELECT s.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+             list_dot_product(s.qv, c.cv) / (SQRT(s.nrm) * SQRT(c.cn)) DESC,
+             c.cell_id) AS cell_rank
+    FROM sized s, cb c
+  )
+), corpus_cells AS (
+  SELECT vec_id, cell FROM cells WHERE cell_rank = 1
+), probe_cells AS (
+  SELECT vec_id, cell FROM cells
+  WHERE cell_rank <= {IVF_PROBES} AND vec_id % {QUERY_MOD} = 0
+), scored AS (
+  SELECT p.vec_id AS query_id, co.vec_id AS neighbor_id,
+         list_dot_product(q.qv, c.qv) / (SQRT(q.nrm) * SQRT(c.nrm)) AS cos_q
+  FROM probe_cells p
+  JOIN corpus_cells co ON co.cell = p.cell AND co.vec_id <> p.vec_id
+  JOIN sized q ON q.vec_id = p.vec_id
+  JOIN sized c ON c.vec_id = co.vec_id
+)
+SELECT query_id, neighbor_id, rank, cos_q FROM (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_q DESC, neighbor_id) AS INTEGER) AS rank,
+         cos_q
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
+@query("ann_int8_ivf_trained", _duck_sq_ivf_trained_sql())
+def ann_int8_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end index build + query: train the codebook with two
+    distributed Lloyd rounds (:func:`kmeans_codebook_train`), then run
+    the IVF-pruned int8 scan against the TRAINED centroids — the full
+    production lifecycle of a quantized ANN index, every stage of which
+    reproduces bit-for-bit in the unrolled DuckDB oracle."""
+    import numpy as np
+
+    from .dedup import _repartition_if_narrow
+
+    emb = _repartition_if_narrow(load_tables(spark, sf_dir)["embeddings"])
+    ids, _counts, cents = kmeans_codebook_train(emb)
+    live = (cents * cents).sum(axis=1) > 0
+    return int8_ivf_topk(emb, codebook=(ids[live], cents[live]))
 
 
 # ---------------------------------------------------------------------------
