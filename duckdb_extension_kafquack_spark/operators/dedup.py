@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import duck_seeded_md5
+from ..functions.hashing import duck_seeded_md5, spark_hash64
 from ..session import load_tables
 from ..suite import query
 
@@ -47,12 +47,14 @@ NGRAM_THRESHOLD = 0.7
 # LSH hygiene: a band bucket with b members yields b(b-1)/2 candidate
 # pairs — one boilerplate-heavy bucket (identical headers/footers across
 # a web corpus) turns the bucket join quadratic and creates a straggler
-# task.  Buckets larger than this are deterministically SUB-SPLIT (rank
-# members by doc_id, group into runs of this size, pair only within a
-# run): per-bucket pair count drops from O(b²) to O(b·cap) — linear —
-# while a giant duplicate cluster still collapses to ≤ b/cap keepers
-# instead of 1 (acceptable dedup degradation, standard production
-# practice).  Mirrored verbatim in the DuckDB oracles.
+# task.  Buckets larger than this are deterministically SUB-SPLIT
+# (scattered into ceil(b/cap) groups by md5-hash(doc_id) % nsub — see
+# :func:`_with_bucket_sub`): expected per-bucket pair count drops from
+# O(b²) to O(b·cap) — linear — and the hot bucket's rows land in
+# DIFFERENT join partitions (no straggler), while a giant duplicate
+# cluster still collapses to ≤ nsub keepers instead of 1 (acceptable
+# dedup degradation, standard production practice).  Mirrored verbatim
+# in the DuckDB oracles.
 MAX_LSH_BUCKET = 64
 
 # 60 bits (the full width of the cross-engine md5 hash): 16/32-bit
@@ -209,10 +211,13 @@ def _with_bucket_sub(bands_df: DataFrame, max_bucket_size: int) -> DataFrame:
     row-per-oversized-bucket relation (AQE broadcasts it; at a
     pathological 100 TB boilerplate swamp it degrades to a shuffle join,
     still keyed and linear), ``sub`` is a map-side expression, and the
-    modulo scatters a hot bucket's rows across DIFFERENT join partitions
-    instead of one sorted run — no straggler anywhere.  ``n / 64.0`` is
-    exact in IEEE doubles (power-of-two divisor), so ``ceil`` and the
-    modulo reproduce bit-identically in the DuckDB mirrors.
+    scatter key is ``md5-hash(doc_id) % nsub`` — hashed, not the raw id,
+    so strided id patterns (all-even ids vs nsub=2) can't collapse the
+    split — spreading a hot bucket's rows across DIFFERENT join
+    partitions instead of one sorted run: no straggler anywhere.
+    ``n / 64.0`` is exact in IEEE doubles (power-of-two divisor), so
+    ``ceil``, the 60-bit md5 hash, and the modulo reproduce
+    bit-identically in the DuckDB mirrors.
 
     NOTE: callers must hand in a ``bands_df`` derived from a persisted /
     cheap relation — it is evaluated twice (sizes + rows)."""
@@ -231,7 +236,7 @@ def _with_bucket_sub(bands_df: DataFrame, max_bucket_size: int) -> DataFrame:
         .withColumn(
             "sub",
             F.when(F.col("_nsub").isNull(), F.lit(0).cast("bigint")).otherwise(
-                F.col("doc_id") % F.col("_nsub")
+                spark_hash64(F.col("doc_id").cast("string")) % F.col("_nsub")
             ),
         )
         .drop("_nsub")
@@ -371,7 +376,7 @@ WITH tok AS (
   FROM bands GROUP BY band, band_sig HAVING COUNT(*) > {MAX_LSH_BUCKET}
 ), bands_sub AS (
   SELECT b.doc_id, b.band, b.band_sig,
-         CASE WHEN h.nsub IS NULL THEN 0 ELSE b.doc_id % h.nsub END AS sub
+         CASE WHEN h.nsub IS NULL THEN 0 ELSE ('0x' || substr(md5(b.doc_id::VARCHAR), 1, 15))::BIGINT % h.nsub END AS sub
   FROM bands b LEFT JOIN hot h ON b.band = h.band AND b.band_sig = h.band_sig
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
@@ -747,7 +752,7 @@ WITH tok AS (
   FROM bands GROUP BY band, band_sig HAVING COUNT(*) > {MAX_LSH_BUCKET}
 ), bands_sub AS (
   SELECT b.doc_id, b.simhash, b.band, b.band_sig,
-         CASE WHEN h.nsub IS NULL THEN 0 ELSE b.doc_id % h.nsub END AS sub
+         CASE WHEN h.nsub IS NULL THEN 0 ELSE ('0x' || substr(md5(b.doc_id::VARCHAR), 1, 15))::BIGINT % h.nsub END AS sub
   FROM bands b LEFT JOIN hot h ON b.band = h.band AND b.band_sig = h.band_sig
 )
 SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
@@ -886,7 +891,7 @@ WITH sh AS (
   FROM bands GROUP BY band, band_sig HAVING COUNT(*) > {MAX_LSH_BUCKET}
 ), bands_sub AS (
   SELECT b.doc_id, b.band, b.band_sig,
-         CASE WHEN h.nsub IS NULL THEN 0 ELSE b.doc_id % h.nsub END AS sub
+         CASE WHEN h.nsub IS NULL THEN 0 ELSE ('0x' || substr(md5(b.doc_id::VARCHAR), 1, 15))::BIGINT % h.nsub END AS sub
   FROM bands b LEFT JOIN hot h ON b.band = h.band AND b.band_sig = h.band_sig
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
