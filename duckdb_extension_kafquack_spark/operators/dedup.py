@@ -672,10 +672,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = SIMHASH_HAMMING_MAX) 
     """
     from pyspark import StorageLevel
 
-    # persisted: the banded relation is evaluated twice by the bucket
-    # sub-split (sizes + rows) and the signature pipeline (explode →
-    # bit-sum groupBy) is the expensive part
-    sigs = simhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = simhash_signatures(docs)
     bands = []
     bits_per = SIMHASH_BITS // _SIMHASH_BLOCKS
     mask = (1 << SIMHASH_BITS) - 1
@@ -692,6 +689,15 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = SIMHASH_HAMMING_MAX) 
     banded = sigs.select(
         F.col("doc_id"), F.col("simhash"), F.explode(F.array(*bands)).alias("bb")
     ).select("doc_id", "simhash", "bb.band", "bb.band_sig")
+    # persisted: the bucket sub-split evaluates the banded relation twice
+    # (sizes + rows) and the signature pipeline (explode → bit-sum
+    # groupBy) upstream is the expensive part.  Persist the BANDED
+    # relation, not the signature relation: Spark's cache manager
+    # substitutes any later IDENTICAL plan fragment with the cached one,
+    # and dedup_simhash builds the exact signature subplan — caching
+    # sigs here would silently rewrite that query's plan mid-session
+    # (caught by test_simhash_signatures_are_map_side in full-suite runs)
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     # same bucket hygiene as candidate_pairs: an identical-boilerplate
     # cluster shares every band key; sub-split keeps the join linear
     banded = _with_bucket_sub(banded, MAX_LSH_BUCKET)

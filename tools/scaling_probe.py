@@ -179,11 +179,16 @@ def main() -> None:
         "  corpus k× each, so brute force is O(k²) by construction; IVF's",
         "  cell pruning keeps the measured growth far below it.",
         "* `ann_int8_ivf_topk` — same cell pruning over quantized codes",
-        "  (assignment + scoring both in code space off the persisted int8",
-        "  store); flat growth tracks `ann_ivf_topk`, not the brute int8 scan.",
+        "  (assignment + scoring both in code space inside the per-batch",
+        "  numpy kernel); flat growth tracks `ann_ivf_topk`, not the brute",
+        "  int8 scan.  All four ANN rows run the late-round-5 fused",
+        "  kernels (fold-order / exact-integer numpy over the corpus scan,",
+        "  per-batch partial top-k).",
         "* `minhash_lsh_dedup` — the round-5 bucket sub-split",
-        "  (MAX_LSH_BUCKET=64) bounds within-bucket pairs at O(b·64): the",
-        "  replica-heavy probe that previously grew 4.0× at 16× is now flat.",
+        "  (MAX_LSH_BUCKET=64, hashed-modulo scatter, no ranking-window",
+        "  exchange) bounds expected within-bucket pairs at O(b·64) and",
+        "  spreads a hot bucket across join partitions: the replica-heavy",
+        "  probe that previously grew 4.0× at 16× is now flat.",
         "* `embedding_near_dup` is the block-pair tiled EXACT all-pairs scan:",
         "  inherently O(n²) work, but fully distributed — per-tile BLAS with",
         "  only candidate ids leaving each tile, no driver collect, no",
