@@ -208,9 +208,13 @@ def _with_bucket_sub(bands_df: DataFrame, max_bucket_size: int) -> DataFrame:
     band relation for a column that is 0 almost everywhere, and the hot
     bucket still sorted in ONE task (the exact straggler the cap
     exists to kill).  Here bucket sizes reduce map-side to one tiny
-    row-per-oversized-bucket relation (AQE broadcasts it; at a
-    pathological 100 TB boilerplate swamp it degrades to a shuffle join,
-    still keyed and linear), ``sub`` is a map-side expression, and the
+    row-per-oversized-bucket relation, FORCE-broadcast back onto the
+    band scan (unforced, Catalyst's aggregate-size guess planned an SMJ
+    that re-shuffled the whole band relation — the exact exchange this
+    design removes; the hot list is bounded at b/cap rows, and a corpus
+    whose oversized-bucket KEYS alone overflow a broadcast implies
+    ~10¹⁰ boilerplate rows — an input-hygiene problem, not a join
+    strategy problem), ``sub`` is a map-side expression, and the
     scatter key is ``md5-hash(doc_id) % nsub`` — hashed, not the raw id,
     so strided id patterns (all-even ids vs nsub=2) can't collapse the
     split — spreading a hot bucket's rows across DIFFERENT join
@@ -232,7 +236,7 @@ def _with_bucket_sub(bands_df: DataFrame, max_bucket_size: int) -> DataFrame:
         )
     )
     return (
-        bands_df.join(hot, ["band", "band_sig"], "left")
+        bands_df.join(F.broadcast(hot), ["band", "band_sig"], "left")
         .withColumn(
             "sub",
             F.when(F.col("_nsub").isNull(), F.lit(0).cast("bigint")).otherwise(
