@@ -951,6 +951,8 @@ def incremental_dedup_report(docs: DataFrame) -> DataFrame:
     (corpus band signatures are precomputable and reusable across
     nightly runs; only candidate pairs are exact-verified).  Precedence
     exact > near matches what a real pipeline stores."""
+    from pyspark import StorageLevel
+
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     corpus_hashes = (
         docs.filter(F.col("doc_id") % 2 == 0)
@@ -963,14 +965,49 @@ def incremental_dedup_report(docs: DataFrame) -> DataFrame:
         .select("doc_id")
         .withColumn("is_exact", F.lit(1))
     )
-    pairs = minhash_near_duplicates(docs).select("doc1", "doc2")
-    near_ids = (
-        pairs.filter((F.col("doc1") % 2) != (F.col("doc2") % 2))
-        .select(
-            F.when(F.col("doc1") % 2 == 1, F.col("doc1"))
-            .otherwise(F.col("doc2"))
-            .alias("doc_id")
+    # cross-parity-only LSH (round 5): the report never uses same-parity
+    # pairs, so instead of the full banded SELF-join + verify, the odd
+    # (batch) band rows join the even (corpus) band rows directly —
+    # candidate generation AND the array_intersect verify touch only the
+    # pairs that matter (~half the work, and the production shape: a
+    # nightly batch joins the corpus, it doesn't re-self-join it).  The
+    # bucket sub-split is computed over the FULL band relation first, so
+    # sub groups — and therefore the candidate set — are exactly the
+    # oracle's self-join-then-filter-parity set.
+    sig = minhash_sig_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = _with_bucket_sub(minhash_bands(sig), MAX_LSH_BUCKET)
+    cand = (
+        bands.filter(F.col("doc_id") % 2 == 1)
+        .select("band", "band_sig", "sub", F.col("doc_id").alias("batch_doc"))
+        .join(
+            bands.filter(F.col("doc_id") % 2 == 0).select(
+                "band", "band_sig", "sub", F.col("doc_id").alias("corpus_doc")
+            ),
+            ["band", "band_sig", "sub"],
         )
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("batch_doc"), F.col("stoks").alias("t1"), F.col("n").alias("n1")
+    )
+    sc = sig.select(
+        F.col("doc_id").alias("corpus_doc"), F.col("stoks").alias("t2"), F.col("n").alias("n2")
+    )
+    near_ids = (
+        sb.join(F.broadcast(cand), "batch_doc")
+        .join(sc, "corpus_doc")
+        .select(
+            "batch_doc",
+            F.size(F.array_intersect("t1", "t2")).alias("icnt"),
+            "n1",
+            "n2",
+        )
+        .filter(
+            (F.col("icnt") / (F.col("n1") + F.col("n2") - F.col("icnt")))
+            >= JACCARD_THRESHOLD
+        )
+        .select(F.col("batch_doc").alias("doc_id"))
         .distinct()
         .withColumn("is_near", F.lit(1))
     )
