@@ -151,6 +151,8 @@ def _repartition_if_narrow(df: DataFrame) -> DataFrame:
     the per-doc signature work across the session's cores."""
     import os
 
+    if df.isStreaming:  # no .rdd on streams; micro-batches split upstream
+        return df
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     return df.repartition(cpus) if df.rdd.getNumPartitions() < cpus else df
 

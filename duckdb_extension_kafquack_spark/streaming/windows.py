@@ -458,3 +458,185 @@ def streaming_kafka_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_table(agg, "kafka_datasource_stream", "complete")
     return spark.table("kafka_datasource_stream")
+
+
+def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table as a file stream (the nightly-crawl arrival)."""
+    from ..session import ensure_session_conf
+
+    ensure_session_conf(spark)
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _duck_streaming_incr_sql() -> str:
+    from ..functions.hashing import duck_seeded_md5
+    from ..operators.dedup import (
+        _DUCK_SHINGLE_CTE,
+        BANDS,
+        JACCARD_THRESHOLD,
+        NUM_HASHES,
+        ROWS_PER_BAND,
+    )
+
+    mh_cols = ",\n         ".join(
+        f"min({duck_seeded_md5('tok', s)}) AS mh{s}" for s in range(NUM_HASHES)
+    )
+    band_sigs = ",\n       ".join(
+        "md5(" + " || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + f") AS sig{b}"
+        for b in range(BANDS)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, sig{b} AS band_sig FROM sigs" for b in range(BANDS)
+    )
+    return f"""
+WITH tok AS (
+{_DUCK_SHINGLE_CTE}
+), mh AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM tok GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id,
+       {band_sigs}
+  FROM mh
+), bands AS (
+{band_union}
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+), cand AS (
+  SELECT DISTINCT b.doc_id AS bd, c.doc_id AS cd
+  FROM bands b JOIN bands c ON b.band = c.band AND b.band_sig = c.band_sig
+  WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+), inter AS (
+  SELECT cand.bd, cand.cd, COUNT(*) AS icnt
+  FROM cand
+  JOIN tok t1 ON t1.doc_id = cand.bd
+  JOIN tok t2 ON t2.doc_id = cand.cd AND t2.tok = t1.tok
+  GROUP BY cand.bd, cand.cd
+), near AS (
+  SELECT DISTINCT i.bd AS doc_id
+  FROM inter i
+  JOIN sizes s1 ON s1.doc_id = i.bd
+  JOIN sizes s2 ON s2.doc_id = i.cd
+  WHERE icnt::DOUBLE / (s1.n + s2.n - icnt) >= {JACCARD_THRESHOLD}
+), corpus_h AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+), batch AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+), cls AS (
+  SELECT b.source,
+         CASE WHEN b.h IN (SELECT h FROM corpus_h) THEN 'exact_dup'
+              WHEN b.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+              ELSE 'unique' END AS cls
+  FROM batch b
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_batch,
+       CAST(COUNT(*) FILTER (WHERE cls = 'exact_dup') AS BIGINT) AS n_exact_dup,
+       CAST(COUNT(*) FILTER (WHERE cls = 'near_dup') AS BIGINT) AS n_near_dup,
+       CAST(COUNT(*) FILTER (WHERE cls = 'unique') AS BIGINT) AS n_unique
+FROM cls GROUP BY source
+"""
+
+
+@query("streaming_incremental_dedup", _duck_streaming_incr_sql())
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-ingest dedup as a LIVE stream: the incoming batch (odd
+    doc_ids) arrives via ``readStream``; each micro-batch classifies its
+    docs against the STATIC corpus (even ids) — exact duplicates via a
+    stream-static left join on the corpus md5 set, near-duplicates via a
+    stream-static band join against the corpus's precomputed MinHash
+    band signatures (the live twin of ``store_band_signatures``) with
+    the exact-Jaccard verify inline.  Signatures on the stream side are
+    map-only expressions (no state); the single stateful operator is the
+    per-doc flag aggregation, so the query scales as stream-static joins
+    do — corpus state is broadcast/static, stream state is one row per
+    in-flight doc.  The per-source rollup reads the drained table.  No
+    bucket cap on this join (the corpus side is the static index; the
+    oracle mirrors the uncapped join exactly)."""
+    from ..operators.dedup import (
+        _SPARK_SHINGLES,
+        BANDS,
+        JACCARD_THRESHOLD,
+        NUM_HASHES,
+        ROWS_PER_BAND,
+        minhash_bands,
+        minhash_sig_sets,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    corpus_hash = (
+        corpus.select(F.md5("text").alias("h")).distinct().withColumn("_ex", F.lit(1))
+    )
+    csig = minhash_sig_sets(corpus)
+    crel = minhash_bands(csig).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "band_sig"
+    ).join(
+        csig.select(
+            F.col("doc_id").alias("corpus_doc"),
+            F.col("stoks").alias("t2"),
+            F.col("n").alias("n2"),
+        ),
+        "corpus_doc",
+    )
+    mh_cols = [
+        f"array_min(transform(stoks, t -> md5('{s}:' || t))) AS mh{s}"
+        for s in range(NUM_HASHES)
+    ]
+    ssig = (
+        _docs_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 1)
+        .selectExpr(
+            "doc_id", "source", "md5(text) AS h",
+            "filter(split(text, ' '), t -> t != '') AS toks",
+        )
+        .selectExpr("doc_id", "source", "h", f"array_distinct({_SPARK_SHINGLES}) AS stoks")
+        .selectExpr("doc_id", "source", "h", "stoks", "size(stoks) AS n", *mh_cols)
+    )
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat(*[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])).alias("band_sig"),
+        )
+        for b in range(BANDS)
+    ]
+    s = ssig.select(
+        "doc_id", "source", "h",
+        F.col("stoks").alias("t1"), F.col("n").alias("n1"),
+        F.explode(F.array(*band_rows)).alias("bb"),
+    ).select("doc_id", "source", "h", "t1", "n1", "bb.band", "bb.band_sig")
+    icnt = F.size(F.array_intersect("t1", "t2"))
+    near_flag = F.when(
+        F.col("corpus_doc").isNotNull()
+        & ((icnt / (F.col("n1") + F.col("n2") - icnt)) >= JACCARD_THRESHOLD),
+        1,
+    ).otherwise(0)
+    flagged = (
+        s.join(F.broadcast(corpus_hash), "h", "left")
+        .join(F.broadcast(crel), ["band", "band_sig"], "left")
+        .select(
+            "doc_id", "source",
+            F.coalesce(F.col("_ex"), F.lit(0)).alias("ex_flag"),
+            near_flag.alias("nr_flag"),
+        )
+    )
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.max("ex_flag").alias("ex"), F.max("nr_flag").alias("nr")
+    )
+    run_stream_to_table(per_doc, "stream_incr_dedup", "complete")
+    return (
+        spark.table("stream_incr_dedup")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.count(F.when(F.col("ex") == 1, 1)).alias("n_exact_dup"),
+            F.count(F.when((F.col("ex") == 0) & (F.col("nr") == 1), 1)).alias("n_near_dup"),
+            F.count(F.when((F.col("ex") == 0) & (F.col("nr") == 0), 1)).alias("n_unique"),
+        )
+    )
