@@ -30,6 +30,40 @@ class TestDedup:
         assert len(out) == 1
         assert out[0].canonical_id == 1 and out[0].n_copies == 2
 
+    def test_bucket_sub_split_scatters_hot_buckets(self, spark):
+        """_with_bucket_sub: cold buckets get sub=0 untouched; an
+        oversized bucket scatters into ceil(n/cap) groups via the
+        60-bit md5 hash of doc_id — and the Spark values must equal the
+        DuckDB mirror formula exactly (the three LSH oracles inline it)."""
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from duckdb_extension_kafquack_spark.operators.dedup import _with_bucket_sub
+
+        rows = [(d, 0, "hot") for d in range(200)] + [(d, 0, "cold") for d in range(10)]
+        bands = spark.createDataFrame(rows, "doc_id long, band int, band_sig string")
+        out = _with_bucket_sub(bands, 64).collect()
+        cold = [r for r in out if r.band_sig == "cold"]
+        hot = [r for r in out if r.band_sig == "hot"]
+        assert {r.sub for r in cold} == {0}
+        nsub = -(-200 // 64)  # ceil = 4
+        assert {r.sub for r in hot} <= set(range(nsub))
+        assert len({r.sub for r in hot}) > 1  # genuinely scattered
+        # largest sub group stays near n/nsub (hash-uniform, no collapse)
+        from collections import Counter
+
+        biggest = max(Counter(r.sub for r in hot).values())
+        assert biggest <= 2 * (200 // nsub)
+        con = duckdb.connect()
+        duck = {
+            d: con.execute(
+                f"SELECT ('0x' || substr(md5('{d}'), 1, 15))::BIGINT % {nsub}"
+            ).fetchone()[0]
+            for d in range(200)
+        }
+        for r in hot:
+            assert r.sub == duck[r.doc_id], r.doc_id
+
     def test_minhash_finds_near_dup(self, spark, docs):
         from duckdb_extension_kafquack_spark.operators.dedup import (
             minhash_near_duplicates,
