@@ -1358,6 +1358,7 @@ def ann_recall(
 WITH exact AS ({_DUCK_BRUTE_TOPK}),
 lsh AS ({_DUCK_LSH_TOPK}),
 ivf AS ({_DUCK_IVF}),
+int8ivf AS ({_duck_sq_ivf_sql()}),
 nq AS (SELECT COUNT(DISTINCT query_id) AS n FROM exact)
 SELECT method, n_hits, n_queries, n_hits::DOUBLE / ({TOPK} * n_queries) AS recall_at_k
 FROM (
@@ -1368,16 +1369,22 @@ FROM (
   SELECT 'ivf' AS method,
          CAST((SELECT COUNT(*) FROM ivf a JOIN exact e USING (query_id, neighbor_id)) AS BIGINT) AS n_hits,
          CAST((SELECT n FROM nq) AS BIGINT) AS n_queries
+  UNION ALL
+  SELECT 'int8ivf' AS method,
+         CAST((SELECT COUNT(*) FROM int8ivf a JOIN exact e USING (query_id, neighbor_id)) AS BIGINT) AS n_hits,
+         CAST((SELECT n FROM nq) AS BIGINT) AS n_queries
 )
 """,
 )
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{k} of BOTH approximate ANN paths (SRP-LSH, IVF) against
-    the exact brute-force top-k — the index-quality gate a pipeline runs
-    before switching its retrieval to the approximate path.  The exact
-    result is computed once and reused for both comparisons (persist);
-    hits are left-semi joins on (query, neighbor) — broadcast-sized, no
-    corpus shuffle beyond the topk pipelines' own."""
+    """Recall@{k} of all three approximate ANN paths (SRP-LSH, IVF, and
+    quantized int8+IVF) against the exact brute-force top-k — the
+    index-quality gate a pipeline runs before switching its retrieval to
+    an approximate path, and the quantization-loss readout for the int8
+    store.  The exact result is computed once and reused for every
+    comparison (persist); hits are left-semi joins on (query, neighbor)
+    — broadcast-sized, no corpus shuffle beyond the topk pipelines'
+    own."""
     from pyspark import StorageLevel
 
     from .dedup import _repartition_if_narrow
@@ -1391,6 +1398,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     for method, approx in (
         ("lsh", lsh_topk(emb, queries)),
         ("ivf", ivf_topk(_repartition_if_narrow(emb), queries)),
+        ("int8ivf", int8_ivf_topk(_repartition_if_narrow(emb))),
     ):
         r = ann_recall(exact, approx).select(
             F.lit(method).alias("method"), "n_hits", "n_queries", "recall_at_k"

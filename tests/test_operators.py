@@ -977,7 +977,7 @@ class TestAnnRecall:
         from tests.conftest import SF_DIR
 
         rows = {r.method: r for r in ann_recall_at_k(spark, SF_DIR).collect()}
-        assert set(rows) == {"lsh", "ivf"}
+        assert set(rows) == {"lsh", "ivf", "int8ivf"}
         for r in rows.values():
             assert 0.0 <= r.recall_at_k <= 1.0
             assert r.n_hits <= 5 * r.n_queries
