@@ -1053,6 +1053,8 @@ def kmeans_codebook_train(
     centroids."""
     import numpy as np
 
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     mn, mx = _sq_minmax_np(embeddings)
     seed_rows = (
         embeddings.filter(F.col("vec_id") < n_centroids)
@@ -1067,6 +1069,8 @@ def kmeans_codebook_train(
     cent_ids = seed_ids[order]
     live = (cents * cents).sum(axis=1) > 0  # zero-norm seed: cosine undefined
     cent_ids, cents = cent_ids[live], cents[live]
+    if len(cent_ids) == 0:
+        raise ValueError("no non-zero-norm seed vectors to initialize centroids")
     corpus = embeddings.select("embedding")
 
     def make_pass(cid, cv):
@@ -1112,6 +1116,10 @@ def kmeans_codebook_train(
             counts[r["cell_id"]] = counts.get(r["cell_id"], 0) + r["n"]
             sv = np.array(r["s"], dtype=np.int64)
             sums[r["cell_id"]] = sums.get(r["cell_id"], 0) + sv
+        if not counts:
+            raise ValueError(
+                "assignment pass produced no members (empty or all-zero corpus)"
+            )
         cent_ids = np.array(sorted(counts), dtype=np.int64)
         cents = np.array(
             [sums[c] // counts[c] for c in cent_ids], dtype=np.float64
