@@ -117,7 +117,11 @@ def cosine_topk(
 
     q_rows = queries.select("vec_id", "embedding").collect()
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_mat = (
+        np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+        if q_rows
+        else np.zeros((0, DIM))
+    )
     q_n = np.sqrt(_fold_self(q_mat)) if len(q_rows) else np.zeros(0)
 
     def score(batches):
@@ -301,8 +305,12 @@ def ivf_topk(
     def _collect_f64(df):
         rows = df.select("vec_id", "embedding").collect()
         ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-        return ids, mat, np.sqrt(_fold_self(mat))
+        mat = (
+            np.array([r["embedding"] for r in rows], dtype=np.float64)
+            if rows
+            else np.zeros((0, DIM))
+        )
+        return ids, mat, np.sqrt(_fold_self(mat)) if len(rows) else np.zeros(0)
 
     cent_ids, cent_mat, cent_n = _collect_f64(
         embeddings.filter(F.col("vec_id") < IVF_CENTROIDS)
@@ -680,7 +688,10 @@ def int8_topk(embeddings: DataFrame, queries: DataFrame, k: int = TOPK) -> DataF
     q_rows = queries.select("vec_id", "embedding").collect()
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = _np_quantize(
-        np.array([r["embedding"] for r in q_rows], dtype=np.float64), mn, mx
+        np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+        if q_rows
+        else np.zeros((0, DIM)),
+        mn, mx,
     )
     nq = (q_mat * q_mat).sum(axis=1)
     live = nq > 0
@@ -854,7 +865,10 @@ def int8_ivf_topk(
         rows = df.select("vec_id", "embedding").collect()
         ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
         mat = _np_quantize(
-            np.array([r["embedding"] for r in rows], dtype=np.float64), mn, mx
+            np.array([r["embedding"] for r in rows], dtype=np.float64)
+            if rows
+            else np.zeros((0, DIM)),
+            mn, mx,
         )
         nrm = (mat * mat).sum(axis=1)
         live = nrm > 0
@@ -1064,7 +1078,10 @@ def kmeans_codebook_train(
     seed_ids = np.array([r["vec_id"] for r in seed_rows], dtype=np.int64)
     order = np.argsort(seed_ids)
     cents = _np_quantize(
-        np.array([r["embedding"] for r in seed_rows], dtype=np.float64), mn, mx
+        np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
+        if seed_rows
+        else np.zeros((0, DIM)),
+        mn, mx,
     )[order]
     cent_ids = seed_ids[order]
     live = (cents * cents).sum(axis=1) > 0  # zero-norm seed: cosine undefined
