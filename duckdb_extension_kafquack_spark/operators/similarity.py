@@ -1430,3 +1430,186 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Persisted int8 code store: the materialized quantized index
+# ---------------------------------------------------------------------------
+
+
+def store_quantized_codes(
+    embeddings: DataFrame, path: str, n_centroids: int = IVF_CENTROIDS
+) -> None:
+    """Materialize the scalar-quantized code store PARTITIONED BY IVF
+    CELL — the production artifact every int8/IVF docstring above refers
+    to.  At query time :func:`int8_ivf_from_store` filters on ``cell``
+    and Spark's partition pruning skips every unprobed cell's files
+    before a byte is read: the IVF prune becomes an I/O prune, and the
+    float vectors aren't touched at all.
+
+    Layout per row: (vec_id, qv int8-style codes, nrm exact integer
+    self-dot, cell = nearest quantized centroid).  The quantizer stats
+    (mn/mx per dimension) ride along in a 1-row ``_meta`` sidecar so a
+    later query batch quantizes identically without rescanning the
+    corpus.  Writing is one numpy pass over the corpus scan — the same
+    kernel the in-memory path uses."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    mn, mx = _sq_minmax_np(embeddings)
+    seed_rows = (
+        embeddings.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    seed_ids = np.array([r["vec_id"] for r in seed_rows], dtype=np.int64)
+    order = np.argsort(seed_ids)
+    cents = _np_quantize(
+        np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
+        if seed_rows
+        else np.zeros((0, DIM)),
+        mn, mx,
+    )[order]
+    cent_ids = seed_ids[order]
+    live = (cents * cents).sum(axis=1) > 0
+    cent_ids, cents = cent_ids[live], cents[live]
+    sqrt_cn = np.sqrt((cents * cents).sum(axis=1))
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _np_quantize(
+                np.vstack(pdf["embedding"].to_numpy()).astype(np.float64), mn, mx
+            )
+            nrm = (mat * mat).sum(axis=1)
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            m = nrm > 0
+            ids, mat, nrm = ids[m], mat[m], nrm[m]
+            if len(ids) == 0:
+                continue
+            cos = (mat @ cents.T) / (np.sqrt(nrm)[:, None] * sqrt_cn[None, :])
+            cell = cent_ids[np.argsort(-cos, axis=1, kind="stable")[:, 0]]
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "qv": list(mat),
+                    "nrm": nrm,
+                    "cell": cell,
+                }
+            )
+
+    codes = embeddings.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, qv array<double>, nrm double, cell long"
+    )
+    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+    meta = spark.createDataFrame(
+        [(mn.tolist(), mx.tolist())], "mn array<double>, mx array<double>"
+    )
+    meta.write.mode("overwrite").parquet(path + "_meta")
+
+
+def int8_ivf_from_store(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = TOPK,
+    n_probe: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF-pruned int8 top-k SERVED FROM THE MATERIALIZED STORE: query
+    codes + probe cells are computed driver-side from the sidecar stats
+    and the store's own centroid rows, then the scan filters on ``cell``
+    — partition pruning drops every unprobed cell's files (asserted in
+    tests via PartitionFilters), and the per-batch kernel only scores
+    rows whose partition survived.  Results are bit-identical to
+    :func:`int8_ivf_topk` computing everything from the raw floats."""
+    import numpy as np
+
+    meta = spark.read.parquet(path + "_meta").collect()[0]
+    mn = np.array(meta["mn"], dtype=np.float64)
+    mx = np.array(meta["mx"], dtype=np.float64)
+    store = spark.read.parquet(path)
+    cent_rows = store.filter(F.col("vec_id") < IVF_CENTROIDS).collect()
+    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    order = np.argsort(cent_ids)
+    cent_ids = cent_ids[order]
+    cents = (
+        np.array([r["qv"] for r in cent_rows], dtype=np.float64)[order]
+        if cent_rows
+        else np.zeros((0, DIM))
+    )
+    sqrt_cn = np.sqrt((cents * cents).sum(axis=1))
+
+    q_rows = queries.select("vec_id", "embedding").collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = _np_quantize(
+        np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+        if q_rows
+        else np.zeros((0, DIM)),
+        mn, mx,
+    )
+    nq = (q_mat * q_mat).sum(axis=1)
+    live = nq > 0
+    q_ids, q_mat, nq = q_ids[live], q_mat[live], nq[live]
+    sqrt_nq = np.sqrt(nq)
+    qcos = (q_mat @ cents.T) / (sqrt_nq[:, None] * sqrt_cn[None, :])
+    probe = cent_ids[np.argsort(-qcos, axis=1, kind="stable")[:, :n_probe]]
+    probed_cells = sorted({int(c) for c in probe.ravel()})
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0 or len(q_ids) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            c_mat = np.vstack(pdf["qv"].to_numpy()).astype(np.float64)
+            nc = pdf["nrm"].to_numpy().astype(np.float64)
+            cell1 = pdf["cell"].to_numpy().astype(np.int64)
+            sqrt_nc = np.sqrt(nc)
+            cand = [[] for _ in range(len(q_ids))]
+            for cell in np.unique(cell1):
+                qsel = np.nonzero((probe == cell).any(axis=1))[0]
+                if len(qsel) == 0:
+                    continue
+                rsel = np.nonzero(cell1 == cell)[0]
+                sub = (c_mat[rsel] @ q_mat[qsel].T) / (
+                    sqrt_nq[qsel][None, :] * sqrt_nc[rsel][:, None]
+                )
+                sub[ids[rsel][:, None] == q_ids[qsel][None, :]] = -np.inf
+                for col, qi in enumerate(qsel):
+                    cand[qi].append((ids[rsel], sub[:, col]))
+            out_q, out_n, out_c = [], [], []
+            for qi, chunks in enumerate(cand):
+                if not chunks:
+                    continue
+                cids = np.concatenate([c[0] for c in chunks])
+                ccos = np.concatenate([c[1] for c in chunks])
+                sel = np.lexsort((cids, -ccos))[: min(k, len(cids))]
+                sel = sel[np.isfinite(ccos[sel])]
+                out_q.append(np.full(len(sel), q_ids[qi], dtype=np.int64))
+                out_n.append(cids[sel])
+                out_c.append(ccos[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cos_q": np.concatenate(out_c),
+                    }
+                )
+
+    pruned = store.filter(F.col("cell").isin(probed_cells))
+    partial = pruned.select("vec_id", "qv", "nrm", "cell").mapInPandas(
+        score, "query_id long, neighbor_id long, cos_q double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_q").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_q")
+    )

@@ -983,6 +983,45 @@ class TestAnnRecall:
             assert r.n_hits <= 5 * r.n_queries
 
 
+class TestInt8Store:
+    def test_store_roundtrip_matches_in_memory_and_prunes(self, spark, tables, tmp_path):
+        """The materialized int8 code store: serving from the store must
+        be BIT-IDENTICAL to computing from raw floats, and the probe
+        scan must hit partition pruning on `cell` (unprobed cells'
+        files never read — the I/O form of the IVF prune)."""
+        from pyspark.sql import functions as F
+
+        from duckdb_extension_kafquack_spark.operators.similarity import (
+            QUERY_MOD,
+            int8_ivf_from_store,
+            int8_ivf_topk,
+            store_quantized_codes,
+        )
+
+        emb = tables["embeddings"]
+        path = str(tmp_path / "codes")
+        store_quantized_codes(emb, path)
+        queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        from_store = int8_ivf_from_store(spark, path, queries)
+        rows_store = sorted(
+            (r.query_id, r.neighbor_id, r.rank, r.cos_q)
+            for r in from_store.collect()
+        )
+        rows_mem = sorted(
+            (r.query_id, r.neighbor_id, r.rank, r.cos_q)
+            for r in int8_ivf_topk(emb).collect()
+        )
+        assert rows_store == rows_mem and len(rows_store) > 0
+        plan = from_store._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell" in plan
+        # the probed-cell filter must actually reach the scan as a
+        # partition filter, not a post-scan row filter
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "cell" in m.group(1), m.group(1) if m else plan[:500]
+
+
 class TestCanonicalCorpus:
     def test_kept_plus_dropped_is_total(self, spark, tables):
         from duckdb_extension_kafquack_spark.operators.dedup import (
