@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import duck_seeded_md5, spark_hash64
+from ..functions.hashing import duck_hash64, duck_seeded_md5, spark_hash64
 from ..session import load_tables
 from ..suite import query
 
@@ -1256,3 +1256,92 @@ def incremental_candidates_from_store(
         .select("batch_doc", "corpus_doc")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span coverage (substring-level dedup signal)
+# ---------------------------------------------------------------------------
+
+# a doc is span-duplicated when at least this percent of its shingle
+# positions repeat elsewhere in the corpus (integer frontier: 100·dup ≥
+# PCT·total — no float threshold cross-engine)
+DUP_SPAN_PCT = 50
+
+
+def dup_span_coverage(docs: DataFrame) -> DataFrame:
+    """Per-document duplicated-substring coverage, the substring-level
+    dedup signal of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (arXiv:2107.06499), re-shaped for Spark:
+    instead of a suffix array (inherently sequential), count every
+    word-shingle POSITION whose shingle text occurs in ≥2 distinct
+    documents.  ``dup_frac`` is the fraction of a doc's token windows
+    that are corpus-duplicated — the quantity the paper thresholds on.
+
+    Scale design: two aggregations and one join, all keyed on the 60-bit
+    shingle hash (uniform by md5 — no skew): (1) per-(doc, shingle)
+    position counts, (2) per-shingle distinct-doc counts derived from
+    (1) WITHOUT re-reading text, (3) hash join back and a per-doc sum.
+    The global side of the join is one row per distinct shingle, so a
+    stop-shingle ("the the the") causes no row expansion.  Everything is
+    codegen expressions; no UDF, no collect, no all-pairs term anywhere
+    — linear in corpus token count, the same profile as word-count.
+    """
+    pos = (
+        docs.select(
+            "doc_id",
+            F.filter(F.split("text", " "), lambda t: t != "").alias("toks"),
+        )
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok"))
+        .select("doc_id", spark_hash64(F.col("tok")).alias("sh"))
+    )
+    per_doc = pos.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("n_pos"))
+    global_docs = per_doc.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup_pos = F.when(F.col("n_docs") >= 2, F.col("n_pos")).otherwise(F.lit(0))
+    return (
+        per_doc.join(global_docs, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_pos").cast("bigint").alias("total_shingles"),
+            F.sum(dup_pos).cast("bigint").alias("dup_shingles"),
+        )
+        .select(
+            "doc_id",
+            "total_shingles",
+            "dup_shingles",
+            (F.col("dup_shingles") / F.col("total_shingles")).alias("dup_frac"),
+            (100 * F.col("dup_shingles") >= DUP_SPAN_PCT * F.col("total_shingles")).alias(
+                "span_duplicated"
+            ),
+        )
+    )
+
+
+_DUCK_DUP_SPAN_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), pos AS (
+  SELECT doc_id, {duck_hash64("s.tok")} AS sh
+  FROM tokd, unnest({_DUCK_SHINGLES}) AS s(tok)
+), per_doc AS (
+  SELECT doc_id, sh, COUNT(*) AS n_pos FROM pos GROUP BY doc_id, sh
+), gl AS (
+  SELECT sh, COUNT(*) AS n_docs FROM per_doc GROUP BY sh
+), agg AS (
+  SELECT p.doc_id,
+         CAST(SUM(p.n_pos) AS BIGINT) AS total_shingles,
+         CAST(SUM(CASE WHEN g.n_docs >= 2 THEN p.n_pos ELSE 0 END) AS BIGINT) AS dup_shingles
+  FROM per_doc p JOIN gl g USING (sh)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, total_shingles, dup_shingles,
+       dup_shingles / total_shingles AS dup_frac,
+       (100 * dup_shingles >= {DUP_SPAN_PCT} * total_shingles) AS span_duplicated
+FROM agg
+"""
+
+
+@query("dedup_dup_span_coverage", _DUCK_DUP_SPAN_SQL)
+def dedup_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _repartition_if_narrow(load_tables(spark, sf_dir)["documents"])
+    return dup_span_coverage(docs)

@@ -185,3 +185,144 @@ def cms_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_count")).cast("long").alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: constant-size membership sketch + false-positive audit
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 4     # hash functions
+BLOOM_SEED = 2000
+BLOOM_MEMBER_SOURCE = "src0"  # the member set: shingles of one source
+
+
+def _shingle_stream(docs: DataFrame) -> DataFrame:
+    """Distinct (doc-independent) word-3-gram shingles — the key space
+    the filter summarizes (unigrams are too few on this vocabulary to
+    exercise false positives)."""
+    from .dedup import _SPARK_SHINGLES
+
+    return (
+        docs.select(F.filter(F.split("text", " "), lambda t: t != "").alias("toks"))
+        .select(F.explode(F.expr(_SPARK_SHINGLES)).alias("tok"))
+    )
+
+
+def bloom_build(keys: DataFrame, col: str = "tok",
+                m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """The filter as a relation: one row per SET bit (≤ m rows total,
+    regardless of corpus size — the whole point at 100 TB: membership
+    state is ~m bits, built with one map-side-combined groupBy)."""
+    bits = F.array(*[
+        (spark_hash64(F.col(col), BLOOM_SEED + i) % m).cast("int")
+        for i in range(k)
+    ])
+    return keys.select(F.explode(bits).alias("bit")).distinct()
+
+
+def bloom_probe(filter_bits: DataFrame, keys: DataFrame, col: str = "tok",
+                m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """Probe: a key is bloom-positive iff ALL k of its bits are set.
+    The filter is ≤ m rows → broadcast; the probe side streams."""
+    bits = F.array(*[
+        (spark_hash64(F.col(col), BLOOM_SEED + i) % m).cast("int")
+        for i in range(k)
+    ])
+    probed = keys.select(col, F.explode(bits).alias("bit"))
+    hits = (
+        probed.join(F.broadcast(filter_bits), "bit", "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("bits_set"))
+    )
+    return (
+        keys.join(hits, col, "left")
+        .select(col, (F.coalesce(F.col("bits_set"), F.lit(0)) == k).alias("bloom_positive"))
+    )
+
+
+def _duck_bloom_sql() -> str:
+    from .dedup import _DUCK_SHINGLES
+
+    bit_rows = "\nUNION ALL\n".join(
+        f"SELECT tok, CAST({duck_hash64('tok', BLOOM_SEED + i)} % {BLOOM_M} AS INTEGER) AS bit FROM member_keys"
+        for i in range(BLOOM_K)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT tok, CAST({duck_hash64('tok', BLOOM_SEED + i)} % {BLOOM_M} AS INTEGER) AS bit FROM probe_keys"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH shingled AS (
+  SELECT source, s.tok
+  FROM (SELECT source, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents) tokd,
+       unnest({_DUCK_SHINGLES}) AS s(tok)
+), member_keys AS (
+  SELECT DISTINCT tok FROM shingled WHERE source = '{BLOOM_MEMBER_SOURCE}'
+), probe_keys AS (
+  SELECT DISTINCT tok FROM shingled
+), filter_bits AS (
+  SELECT DISTINCT bit FROM ({bit_rows}) b
+), probed AS (
+  SELECT p.tok,
+         COUNT(*) FILTER (WHERE f.bit IS NOT NULL) AS bits_set
+  FROM ({probe_rows}) p LEFT JOIN filter_bits f USING (bit)
+  GROUP BY p.tok
+), verdicts AS (
+  SELECT p.tok,
+         (pr.bits_set = {BLOOM_K}) AS bloom_positive,
+         (m.tok IS NOT NULL) AS is_member
+  FROM probe_keys p
+  JOIN probed pr USING (tok)
+  LEFT JOIN member_keys m USING (tok)
+)
+SELECT is_member, bloom_positive, CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM verdicts GROUP BY is_member, bloom_positive
+"""
+
+
+@query("bloom_membership", _duck_bloom_sql())
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit: build an m-bit/k-hash filter over
+    one source's shingle set, probe the whole corpus's shingles, and
+    report the 2×2 (is_member × bloom_positive) contingency — the
+    false-positive row is the sketch's measured FPR and the
+    (member, negative) row MUST be absent (no false negatives, the Bloom
+    guarantee; the oracle enforces it by hash equality).
+
+    Scale: the filter is ≤ m rows however large the member corpus is,
+    built by one map-side-combined distinct and broadcast to the probe
+    scan — membership tests against 100 TB of history cost a constant-
+    size broadcast, not a join against the history itself.  The classic
+    production use is URL / doc-hash "seen before?" gating on ingest.
+    """
+    from .dedup import _repartition_if_narrow
+
+    docs = _repartition_if_narrow(load_tables(spark, sf_dir)["documents"])
+    shingled = (
+        docs.select("source", F.filter(F.split("text", " "), lambda t: t != "").alias("toks"))
+        .select("source", F.explode(F.expr("{}".format(_spark_shingles_expr()))).alias("tok"))
+    )
+    member_keys = (
+        shingled.filter(F.col("source") == BLOOM_MEMBER_SOURCE).select("tok").distinct()
+    )
+    probe_keys = shingled.select("tok").distinct()
+    bits = bloom_build(member_keys)
+    verdicts = (
+        bloom_probe(bits, probe_keys)
+        .join(member_keys.withColumn("is_member", F.lit(True)), "tok", "left")
+        .select(
+            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+            "bloom_positive",
+        )
+    )
+    return verdicts.groupBy("is_member", "bloom_positive").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    )
+
+
+def _spark_shingles_expr() -> str:
+    from .dedup import _SPARK_SHINGLES
+
+    return _SPARK_SHINGLES

@@ -561,3 +561,73 @@ FROM n
 @query("text_normalize", _DUCK_NORMALIZE)
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(load_tables(spark, sf_dir)["documents"])
+
+
+# ---------------------------------------------------------------------------
+# per-source n-gram novelty (marginal-contribution ordering)
+# ---------------------------------------------------------------------------
+
+def ngram_novelty_by_source(docs: DataFrame) -> DataFrame:
+    """How many distinct word-3-gram shingles each source contributes
+    that NO lexicographically-earlier source has — the greedy marginal
+    value of adding sources to a training mix in a fixed order (the
+    data-curation question "is this crawl slice additive or redundant?").
+
+    Scale design: one distinct over (source, shingle-hash), one groupBy
+    per shingle taking ``min(source)`` (the claiming source), then a
+    per-source count — two shuffles on the uniform 60-bit hash, no join
+    against text, no all-pairs comparison of sources (the naive version
+    is a quadratic source×source overlap matrix; the min-claim trick is
+    linear and gives the same greedy curve)."""
+    from .dedup import _SPARK_SHINGLES
+
+    pairs = (
+        docs.select("source", F.filter(F.split("text", " "), lambda t: t != "").alias("toks"))
+        .select("source", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok"))
+        .select("source", spark_hash64(F.col("tok")).alias("sh"))
+        .distinct()
+    )
+    totals = pairs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("distinct_ngrams"))
+    claimed = pairs.groupBy("sh").agg(F.min("source").alias("source"))
+    novel = claimed.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("novel_ngrams"))
+    return (
+        totals.join(novel, "source", "left")
+        .select(
+            "source",
+            "distinct_ngrams",
+            F.coalesce("novel_ngrams", F.lit(0)).cast("bigint").alias("novel_ngrams"),
+            (F.coalesce("novel_ngrams", F.lit(0)) / F.col("distinct_ngrams")).alias("novelty_frac"),
+        )
+    )
+
+
+def _duck_novelty_sql() -> str:
+    from .dedup import _DUCK_SHINGLES
+
+    return f"""
+WITH tokd AS (
+  SELECT source, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), pairs AS (
+  SELECT DISTINCT source, {duck_hash64("s.tok")} AS sh
+  FROM tokd, unnest({_DUCK_SHINGLES}) AS s(tok)
+), totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS distinct_ngrams FROM pairs GROUP BY source
+), claimed AS (
+  SELECT sh, MIN(source) AS source FROM pairs GROUP BY sh
+), novel AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS novel_ngrams FROM claimed GROUP BY source
+)
+SELECT t.source, t.distinct_ngrams,
+       CAST(COALESCE(n.novel_ngrams, 0) AS BIGINT) AS novel_ngrams,
+       COALESCE(n.novel_ngrams, 0) / t.distinct_ngrams AS novelty_frac
+FROM totals t LEFT JOIN novel n USING (source)
+"""
+
+
+@query("ngram_novelty_by_source", _duck_novelty_sql())
+def ngram_novelty_by_source_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _repartition_if_narrow
+
+    docs = _repartition_if_narrow(load_tables(spark, sf_dir)["documents"])
+    return ngram_novelty_by_source(docs)

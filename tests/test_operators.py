@@ -1101,3 +1101,65 @@ class TestSignatureStore:
         }
         assert {(r.batch_doc, r.corpus_doc) for r in got.collect()} == expect
         assert expect  # fixture guarantees at least one near-dup pair
+
+
+class TestRound5bOperators:
+    """dup-span coverage, Bloom membership, n-gram novelty."""
+
+    def test_dup_span_coverage_semantics(self, spark, docs):
+        from duckdb_extension_kafquack_spark.operators.dedup import dup_span_coverage
+
+        rows = {r.doc_id: r for r in dup_span_coverage(docs).collect()}
+        # docs 1 and 3 are identical → every shingle position duplicated
+        assert rows[1].dup_shingles == rows[1].total_shingles
+        assert rows[3].span_duplicated
+        assert rows[1].dup_frac == 1.0
+        # doc 4 shares no 3-word shingle with anything
+        assert rows[4].dup_shingles == 0 and not rows[4].span_duplicated
+        # doc 2 shares its prefix shingles with 1/3 but not the last ones
+        assert 0 < rows[2].dup_shingles < rows[2].total_shingles
+        # positional counting: a 9-token doc has 7 3-word shingle positions
+        assert rows[5].total_shingles == 7
+
+    def test_bloom_no_false_negatives(self, spark):
+        from duckdb_extension_kafquack_spark.operators.sketch import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        keys = spark.createDataFrame(
+            [(f"key-{i}",) for i in range(200)], "tok string"
+        )
+        probe = spark.createDataFrame(
+            [(f"key-{i}",) for i in range(400)], "tok string"
+        )
+        bits = bloom_build(keys)
+        out = {r.tok: r.bloom_positive for r in bloom_probe(bits, probe).collect()}
+        # every member is positive (Bloom guarantee)
+        assert all(out[f"key-{i}"] for i in range(200))
+        # filter is bounded by m bits
+        assert bits.count() <= 4096
+        # non-members are mostly negative at this fill ratio (~200*4/4096)
+        fp = sum(1 for i in range(200, 400) if out[f"key-{i}"])
+        assert fp < 20
+
+    def test_novelty_partitions_corpus_vocab(self, spark):
+        from duckdb_extension_kafquack_spark.operators.text import (
+            ngram_novelty_by_source,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e", "s1"),
+                (2, "a b c d e", "s2"),      # wholly redundant vs s1
+                (3, "x y z w v u", "s2"),    # new material
+            ],
+            "doc_id long, text string, source string",
+        )
+        rows = {r.source: r for r in ngram_novelty_by_source(docs).collect()}
+        # novel counts sum to the corpus-wide distinct shingle count
+        corpus_distinct = 3 + 4  # "a b c d e" has 3 shingles, "x y z w v u" has 4
+        assert rows["s1"].novel_ngrams + rows["s2"].novel_ngrams == corpus_distinct
+        # s1 claims everything it has; s2's copy of it is not novel
+        assert rows["s1"].novel_ngrams == 3 and rows["s1"].novelty_frac == 1.0
+        assert rows["s2"].novel_ngrams == 4 and rows["s2"].distinct_ngrams == 7
