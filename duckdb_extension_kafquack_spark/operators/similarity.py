@@ -276,6 +276,7 @@ def ivf_topk(
     queries: DataFrame,
     k: int = TOPK,
     n_probe: int = IVF_PROBES,
+    centroid_source: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus assigned to 1 cell each, queries
     probe ``n_probe`` cells; candidates = same-cell rows only.
@@ -313,7 +314,9 @@ def ivf_topk(
         return ids, mat, np.sqrt(_fold_self(mat)) if len(rows) else np.zeros(0)
 
     cent_ids, cent_mat, cent_n = _collect_f64(
-        embeddings.filter(F.col("vec_id") < IVF_CENTROIDS)
+        (embeddings if centroid_source is None else centroid_source).filter(
+            F.col("vec_id") < IVF_CENTROIDS
+        )
     )
     order = np.argsort(cent_ids)  # stable argsort ties → smaller cent_id
     cent_ids, cent_mat, cent_n = cent_ids[order], cent_mat[order], cent_n[order]
@@ -429,6 +432,72 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
     return ivf_topk(_repartition_if_narrow(emb), queries)
+
+
+FILTER_LABEL = 3  # the metadata predicate for filtered ANN
+
+_DUCK_FILTERED_IVF = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
+), corpus AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_emb, cent_id AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.embedding::DOUBLE[], c.cent_emb::DOUBLE[]) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(c.cent_emb::DOUBLE[], c.cent_emb::DOUBLE[]))) DESC,
+             c.cent_id) AS cell_rank
+    FROM embeddings e, cents c
+    WHERE e.label = {FILTER_LABEL}
+  ) WHERE cell_rank = 1
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, cent_id AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.embedding::DOUBLE[], c.cent_emb::DOUBLE[]) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(c.cent_emb::DOUBLE[], c.cent_emb::DOUBLE[]))) DESC,
+             c.cent_id) AS cell_rank
+    FROM embeddings e, cents c
+    WHERE e.vec_id % {QUERY_MOD} = 0
+  ) WHERE cell_rank <= {IVF_PROBES}
+), scored AS (
+  SELECT DISTINCT p.query_id, co.neighbor_id,
+         list_dot_product(p.q_emb::DOUBLE[], co.c_emb::DOUBLE[]) /
+          (sqrt(list_dot_product(p.q_emb::DOUBLE[], p.q_emb::DOUBLE[])) *
+           sqrt(list_dot_product(co.c_emb::DOUBLE[], co.c_emb::DOUBLE[]))) AS cos
+  FROM probes p JOIN corpus co ON p.cell = co.cell AND p.query_id <> co.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+         cos AS cos_sim
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
+@query("ann_filtered_topk", _DUCK_FILTERED_IVF)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED ANN — "nearest neighbors with label = 3", the
+    filtered-search shape every retrieval stack needs (RAG with access
+    control, per-language retrieval, date-bounded search).  Strategy is
+    pre-filter: the label predicate is a plain Catalyst filter on the
+    corpus scan (pushed to parquet — PLANS.md shows ``PushedFilters:
+    [EqualTo(label,3)]``), so the IVF kernel only ever sees, assigns,
+    and scores surviving rows; recall within the filtered subset is the
+    same as unfiltered IVF because cell assignment is per-row.  The
+    post-filter alternative (search first, filter the top-k after)
+    silently under-returns when the predicate is selective — with 10
+    labels, ~90% of unfiltered neighbors would be discarded.  Centroids
+    still come from the FULL table (``centroid_source``): the codebook
+    is corpus-wide state, not per-predicate."""
+    from .dedup import _repartition_if_narrow
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    corpus = _repartition_if_narrow(emb.filter(F.col("label") == FILTER_LABEL))
+    return ivf_topk(corpus, queries, centroid_source=emb)
 
 
 NEAR_DUP_BLOCKS = 8  # block-pair tiling factor for the exact all-pairs scan

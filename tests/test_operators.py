@@ -1163,3 +1163,29 @@ class TestRound5bOperators:
         # s1 claims everything it has; s2's copy of it is not novel
         assert rows["s1"].novel_ngrams == 3 and rows["s1"].novelty_frac == 1.0
         assert rows["s2"].novel_ngrams == 4 and rows["s2"].distinct_ngrams == 7
+
+    def test_filtered_ann_respects_predicate(self, spark):
+        from duckdb_extension_kafquack_spark.operators.similarity import (
+            FILTER_LABEL,
+            ann_filtered_topk,
+        )
+        from duckdb_extension_kafquack_spark.session import load_tables
+
+        out = ann_filtered_topk(spark, SF_DIR)
+        emb = load_tables(spark, SF_DIR)["embeddings"]
+        bad = (
+            out.join(
+                emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+                "neighbor_id",
+            )
+            .filter(F.col("label") != FILTER_LABEL)
+            .count()
+        )
+        assert bad == 0
+        # every query gets ranks 1..n with no gaps
+        import pyspark.sql.functions as SF
+
+        ranks = out.groupBy("query_id").agg(
+            SF.min("rank").alias("lo"), SF.max("rank").alias("hi"), SF.count("*").alias("n")
+        )
+        assert ranks.filter((SF.col("lo") != 1) | (SF.col("hi") != SF.col("n"))).count() == 0
