@@ -49,6 +49,10 @@ HEADLINE = [
     "source_cap",
     "skew_salted_agg",
     "kafka_datasource_batch",
+    "dedup_dup_span_coverage",
+    "bloom_membership",
+    "ngram_novelty_by_source",
+    "ann_filtered_topk",
 ]
 
 

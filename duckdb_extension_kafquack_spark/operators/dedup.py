@@ -353,7 +353,10 @@ def minhash_near_duplicates(
     )
 
 
-def _duck_minhash_sql(threshold: float = JACCARD_THRESHOLD) -> str:
+def _duck_minhash_ctes() -> str:
+    """The shared CTE chain (shingles → signatures → bands → capped
+    bucket join → candidate pairs → exact intersections) reused by the
+    near-dup oracle and the calibration oracle."""
     mh_cols = ",\n         ".join(
         f"min({duck_seeded_md5('tok', s)}) AS mh{s}" for s in range(NUM_HASHES)
     )
@@ -397,7 +400,11 @@ WITH tok AS (
   JOIN tok t1 ON t1.doc_id = c.doc1
   JOIN tok t2 ON t2.doc_id = c.doc2 AND t2.tok = t1.tok
   GROUP BY c.doc1, c.doc2
-)
+)"""
+
+
+def _duck_minhash_sql(threshold: float = JACCARD_THRESHOLD) -> str:
+    return f"""{_duck_minhash_ctes()}
 SELECT i.doc1, i.doc2,
        icnt::DOUBLE / (s1.n + s2.n - icnt) AS jaccard
 FROM inter i
@@ -410,6 +417,71 @@ WHERE icnt::DOUBLE / (s1.n + s2.n - icnt) >= {threshold}
 @query("dedup_minhash_lsh", _duck_minhash_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(load_tables(spark, sf_dir)["documents"])
+
+
+def _duck_minhash_calibration_sql() -> str:
+    matches = " + ".join(
+        f"CASE WHEN m1.mh{s} = m2.mh{s} THEN 1 ELSE 0 END" for s in range(NUM_HASHES)
+    )
+    return f"""{_duck_minhash_ctes()}
+SELECT c.doc1, c.doc2,
+       CAST({matches} AS BIGINT) AS sig_matches,
+       ({matches}) / {NUM_HASHES} AS est_jaccard,
+       COALESCE(i.icnt, 0)::DOUBLE / (s1.n + s2.n - COALESCE(i.icnt, 0)) AS jaccard
+FROM cand c
+JOIN mh m1 ON m1.doc_id = c.doc1
+JOIN mh m2 ON m2.doc_id = c.doc2
+LEFT JOIN inter i ON i.doc1 = c.doc1 AND i.doc2 = c.doc2
+JOIN sizes s1 ON s1.doc_id = c.doc1
+JOIN sizes s2 ON s2.doc_id = c.doc2
+"""
+
+
+@query("dedup_minhash_calibration", _duck_minhash_calibration_sql())
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration for the MinHash family: for EVERY LSH
+    candidate pair (no threshold), the signature-agreement Jaccard
+    estimate (matching minhashes / {NUM_HASHES} — the only similarity a
+    signature-only pipeline has at 100 TB, where shingle sets are too
+    big to keep) next to the exact set Jaccard.  est_jaccard is an
+    int/int quotient and the exact Jaccard a single IEEE division, so
+    both reproduce bit-for-bit in the oracle.  Physical shape is the
+    near-dup pipeline minus the threshold filter: one banded self-join,
+    signatures and shingle sets off the same persisted map-side pass."""
+    from pyspark import StorageLevel
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sig = minhash_sig_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = candidate_pairs(minhash_bands(sig))
+    mh_names = [f"mh{s}" for s in range(NUM_HASHES)]
+    s1 = sig.select(
+        F.col("doc_id").alias("doc1"),
+        F.col("stoks").alias("t1"),
+        F.col("n").alias("n1"),
+        *[F.col(m).alias(f"a{s}") for s, m in enumerate(mh_names)],
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("stoks").alias("t2"),
+        F.col("n").alias("n2"),
+        *[F.col(m).alias(f"b{s}") for s, m in enumerate(mh_names)],
+    )
+    matches = None
+    for s in range(NUM_HASHES):
+        term = F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    icnt = F.size(F.array_intersect("t1", "t2"))
+    return (
+        s1.join(F.broadcast(pairs), "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            matches.cast("bigint").alias("sig_matches"),
+            (matches / F.lit(NUM_HASHES)).alias("est_jaccard"),
+            (icnt / (F.col("n1") + F.col("n2") - icnt)).alias("jaccard"),
+        )
+    )
 
 
 def connected_components(

@@ -1682,3 +1682,91 @@ def int8_ivf_from_store(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding outliers: distance-to-nearest-centroid data-quality audit
+# ---------------------------------------------------------------------------
+
+OUTLIER_COS = 0.2  # a vector whose best cell cosine is below this is "outlying"
+
+
+def embedding_outliers(embeddings: DataFrame) -> DataFrame:
+    """Per-vector nearest-centroid cosine + outlier flag — the embedding
+    data-quality audit (corrupt / zero-ish / off-manifold vectors score
+    low against EVERY cell of the codebook and should be quarantined
+    before they poison ANN cells or dedup thresholds).
+
+    Same physical shape as :func:`ivf_topk`'s assignment half: the
+    16-row codebook is a driver-side closure, the corpus streams through
+    one Arrow-batched numpy kernel (fold-order dots → bit-identical to
+    DuckDB), emitting (vec_id, cell, cell_cos) — map-only, no shuffle at
+    all.  The threshold compare happens on doubles both engines compute
+    bit-identically, so the flag never flips cross-engine."""
+    import numpy as np
+
+    def _collect_f64(df):
+        rows = df.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        mat = (
+            np.array([r["embedding"] for r in rows], dtype=np.float64)
+            if rows
+            else np.zeros((0, DIM))
+        )
+        return ids, mat, np.sqrt(_fold_self(mat)) if len(rows) else np.zeros(0)
+
+    cent_ids, cent_mat, cent_n = _collect_f64(
+        embeddings.filter(F.col("vec_id") < IVF_CENTROIDS)
+    )
+    order = np.argsort(cent_ids)
+    cent_ids, cent_mat, cent_n = cent_ids[order], cent_mat[order], cent_n[order]
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0 or len(cent_ids) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vn = np.sqrt(_fold_self(mat))
+            cos = _fold_dots(mat, cent_mat) / (vn[:, None] * cent_n[None, :])
+            best = np.argsort(-cos, axis=1, kind="stable")[:, 0]
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cell": cent_ids[best],
+                    "cell_cos": cos[np.arange(len(ids)), best],
+                }
+            )
+
+    out = embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, cell long, cell_cos double"
+    )
+    return out.select(
+        "vec_id", "cell", "cell_cos", (F.col("cell_cos") < OUTLIER_COS).alias("is_outlier")
+    )
+
+
+_DUCK_OUTLIERS = f"""
+SELECT vec_id, cell, cell_cos, (cell_cos < {OUTLIER_COS}) AS is_outlier FROM (
+  SELECT e.vec_id, c.vec_id AS cell,
+         list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cell_cos,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+            (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) DESC,
+           c.vec_id) AS rnk
+  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {IVF_CENTROIDS}) c
+) WHERE rnk = 1
+"""
+
+
+@query("embedding_outliers", _DUCK_OUTLIERS)
+def embedding_outliers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _repartition_if_narrow
+
+    return embedding_outliers(_repartition_if_narrow(load_tables(spark, sf_dir)["embeddings"]))

@@ -631,3 +631,65 @@ def ngram_novelty_by_source_query(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = _repartition_if_narrow(load_tables(spark, sf_dir)["documents"])
     return ngram_novelty_by_source(docs)
+
+
+# ---------------------------------------------------------------------------
+# OOV rate vs a learned top-V vocabulary (tokenizer-coverage audit)
+# ---------------------------------------------------------------------------
+
+OOV_VOCAB_K = 20  # the fixture has 31 distinct tokens → ~1/3 are OOV
+
+
+def oov_rates(docs: DataFrame, vocab_k: int = OOV_VOCAB_K) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_k`` token vocabulary — the tokenizer-coverage audit run
+    before committing to a vocab size (docs with high OOV under the
+    candidate vocabulary will fragment into byte-fallback pieces).
+
+    Scale: the vocabulary is a k-row relation (TakeOrderedAndProject,
+    never a full sort) broadcast into the token scan; the per-doc rate
+    is one map-side-combined groupBy.  No shuffle touches the corpus
+    beyond the doc_id agg — word-count shape."""
+    vocab = vocabulary(docs, vocab_k).select("tok", F.lit(1).alias("in_vocab"))
+    toks = docs.select("doc_id", F.explode(_tok_col()).alias("tok"))
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("oov_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "oov_tokens",
+            (F.col("oov_tokens") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )
+
+
+_DUCK_OOV = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS INTEGER) AS rank
+    FROM toks GROUP BY tok
+  ) WHERE rank <= {OOV_VOCAB_K}
+), agg AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens
+  FROM toks t LEFT JOIN vocab v USING (tok)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, oov_tokens, oov_tokens / n_tokens AS oov_rate
+FROM agg
+"""
+
+query("text_oov_rate", _DUCK_OOV)(
+    lambda spark, sf_dir: oov_rates(load_tables(spark, sf_dir)["documents"])
+)

@@ -55,8 +55,12 @@ def replicate_embeddings(emb: DataFrame, k: int) -> DataFrame:
 
 def main() -> None:
     from duckdb_extension_kafquack_spark.operators.dedup import (
+        dup_span_coverage,
         minhash_near_duplicates,
         simhash_signatures,
+    )
+    from duckdb_extension_kafquack_spark.operators.text import (
+        ngram_novelty_by_source,
     )
     from duckdb_extension_kafquack_spark.operators.similarity import (
         cosine_topk,
@@ -128,6 +132,8 @@ def main() -> None:
         bench("simhash_signatures", k, simhash_signatures(docs))
         bench("contamination_check", k, contamination_counts(docs))
         bench("repetition_scores", k, repetition_scores(docs))
+        bench("dup_span_coverage", k, dup_span_coverage(docs))
+        bench("ngram_novelty", k, ngram_novelty_by_source(docs))
         # CMS heavy-hitter path: sketch + estimates over the token stream
         stream = _token_stream(docs)
         bench("cms_sketch_estimates", k, cms_estimate(cms_build(stream), stream.distinct()))
@@ -180,6 +186,13 @@ def main() -> None:
         "  quadratic (48 s at 16×; now ~1.5×).",
         "* `cms_sketch_estimates` — stream linear, sketch CONSTANT (d·w",
         "  counters regardless of corpus).",
+        "* `dup_span_coverage` / `ngram_novelty` — two shuffles each on the",
+        "  uniform 60-bit shingle hash (per-doc position counts / distinct",
+        "  pairs, then a per-shingle reduce + join-back or min-claim);",
+        "  linear in corpus token count, the same profile as word-count —",
+        "  the replica-heavy probe makes every shingle corpus-duplicated",
+        "  and the join-back side one row per distinct shingle, so no",
+        "  quadratic term is possible by construction.",
         "* `ann_cosine_topk` / `ann_ivf_topk` — the probe grows queries AND",
         "  corpus k× each, so brute force is O(k²) by construction; IVF's",
         "  cell pruning keeps the measured growth far below it.",
