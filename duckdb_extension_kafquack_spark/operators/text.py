@@ -693,3 +693,72 @@ FROM agg
 query("text_oov_rate", _DUCK_OOV)(
     lambda spark, sf_dir: oov_rates(load_tables(spark, sf_dir)["documents"])
 )
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM surprisal (conditional-probability fluency signal)
+# ---------------------------------------------------------------------------
+
+def bigram_surprisal_scores(docs: DataFrame) -> DataFrame:
+    """Bigram-LM surprisal proxy: per doc, the mean inverse conditional
+    probability of its bigrams, avg(c(w1)/c(w1,w2)) over bigram
+    positions — the next-word-predictability signal one level up from
+    :func:`surprisal_scores` (a doc of common words in an uncommon ORDER
+    scores high here but low there; word-salad detection).  Terms are
+    exact rational c1/c12 divisions; only the final mean is rounded.
+
+    Scale: bigram counts and prefix counts are two map-side-combined
+    groupBys over the bigram stream; the join back is one row per
+    distinct bigram — word-count shape, linear, no skew beyond natural
+    token frequency (absorbed by partial aggregation)."""
+    bg = (
+        docs.selectExpr("doc_id", "filter(split(text, ' '), t -> t != '') AS toks")
+        .filter(F.expr("size(toks) >= 2"))
+        .selectExpr(
+            "doc_id",
+            "explode(transform(sequence(1, size(toks) - 1), "
+            "i -> array_join(slice(toks, i, 2), ' '))) AS bigram",
+        )
+        .withColumn("prefix", F.element_at(F.split("bigram", " "), 1))
+    )
+    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("prefix").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bg.join(c12, "bigram")
+        .join(c1, "prefix")
+        .select("doc_id", (F.col("c1") / F.col("c12")).alias("inv_p"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("inv_p"), 6).alias("mean_bigram_surprisal"),
+        F.max("inv_p").alias("max_bigram_surprisal"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+    )
+
+
+_DUCK_BIGRAM_SURPRISAL = """
+WITH tokd AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, b.bigram, string_split(b.bigram, ' ')[1] AS prefix
+  FROM (SELECT doc_id, toks FROM tokd WHERE len(toks) >= 2) t,
+       unnest(list_transform(range(1, len(toks)),
+                             i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS b(bigram)
+), c12 AS (
+  SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY bigram
+), c1 AS (
+  SELECT prefix, COUNT(*) AS c1 FROM bg GROUP BY prefix
+), scored AS (
+  SELECT bg.doc_id, c1.c1::DOUBLE / c12.c12 AS inv_p
+  FROM bg JOIN c12 USING (bigram) JOIN c1 USING (prefix)
+)
+SELECT doc_id,
+       ROUND(AVG(inv_p), 6) AS mean_bigram_surprisal,
+       MAX(inv_p) AS max_bigram_surprisal,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams
+FROM scored GROUP BY doc_id
+"""
+
+query("text_bigram_surprisal", _DUCK_BIGRAM_SURPRISAL)(
+    lambda spark, sf_dir: bigram_surprisal_scores(load_tables(spark, sf_dir)["documents"])
+)

@@ -444,3 +444,74 @@ def test_fold_dots_bit_identical_to_jvm_and_duckdb(spark):
         assert D[i, j] == jvm[(i, j)][0], (i, j, "jvm dot")
         assert D[i, j] / (N[i] * N[j]) == jvm[(i, j)][1], (i, j, "jvm cos")
         assert D[i, j] == duck[(i, j)], (i, j, "duckdb dot")
+
+
+doc_texts = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "eee"]),  # tiny vocab → collisions
+        min_size=1,
+        max_size=12,
+    ).map(lambda ws: " ".join(ws)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SLOW
+@given(texts=doc_texts)
+def test_dup_span_coverage_bounds_and_exact_dup(spark, texts):
+    """dup_frac ∈ [0,1] always; an exact duplicate pair has coverage 1
+    on both members (every position's shingle exists in ≥2 docs)."""
+    from duckdb_extension_kafquack_spark.operators.dedup import dup_span_coverage
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    # force one exact duplicate pair
+    rows.append((len(rows), texts[0]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dup_span_coverage(df).collect()}
+    for r in out.values():
+        assert 0 <= r.dup_frac <= 1
+        assert r.dup_shingles <= r.total_shingles
+    assert out[0].dup_frac == 1.0
+    assert out[len(rows) - 1].dup_frac == 1.0
+
+
+@SLOW
+@given(
+    members=st.sets(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=30),
+    probes=st.sets(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=30),
+)
+def test_bloom_never_false_negative(spark, members, probes):
+    """For ANY member/probe sets: every member probe is positive."""
+    from duckdb_extension_kafquack_spark.operators.sketch import bloom_build, bloom_probe
+
+    mdf = spark.createDataFrame([(t,) for t in members], "tok string")
+    pdf = spark.createDataFrame([(t,) for t in probes | members], "tok string")
+    out = {r.tok: r.bloom_positive for r in bloom_probe(bloom_build(mdf), pdf).collect()}
+    assert all(out[t] for t in members)
+
+
+@SLOW
+@given(texts=doc_texts)
+def test_minhash_estimate_bounds(spark, texts):
+    """Calibration output: sig_matches ∈ [0,12], est and exact ∈ [0,1],
+    and identical docs in a candidate pair have est = exact = 1."""
+    from duckdb_extension_kafquack_spark.operators.dedup import (
+        NUM_HASHES,
+        dedup_minhash_calibration,
+    )
+    from duckdb_extension_kafquack_spark.operators.dedup import (
+        candidate_pairs,
+        minhash_bands,
+        minhash_sig_sets,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)] + [(len(texts), texts[0])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_sig_sets(df)
+    pairs = candidate_pairs(minhash_bands(sig))
+    got = pairs.collect()
+    # the exact-dup pair is always an LSH candidate (identical signatures)
+    assert any(r.doc1 == 0 and r.doc2 == len(texts) for r in got) or any(
+        texts[i] == texts[0] for i in range(1, len(texts))
+    )
