@@ -640,3 +640,92 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when((F.col("ex") == 0) & (F.col("nr") == 0), 1)).alias("n_unique"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming Bloom gate: constant-state seen-before filtering on ingest
+# ---------------------------------------------------------------------------
+
+def _duck_bloom_gate_sql() -> str:
+    from ..functions.hashing import duck_hash64
+    from ..operators.sketch import BLOOM_K, BLOOM_M, BLOOM_SEED
+
+    bit_rows = "\nUNION ALL\n".join(
+        f"SELECT h, CAST({duck_hash64('h', BLOOM_SEED + i)} % {BLOOM_M} AS INTEGER) AS bit FROM corpus_keys"
+        for i in range(BLOOM_K)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, CAST({duck_hash64('h', BLOOM_SEED + i)} % {BLOOM_M} AS INTEGER) AS bit FROM batch_keys"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH corpus_keys AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+), batch_keys AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+), filter_bits AS (
+  SELECT DISTINCT bit FROM ({bit_rows}) b
+), probed AS (
+  SELECT p.doc_id, COUNT(*) FILTER (WHERE f.bit IS NOT NULL) AS bits_set
+  FROM ({probe_rows}) p LEFT JOIN filter_bits f USING (bit)
+  GROUP BY p.doc_id
+)
+SELECT b.doc_id,
+       (pr.bits_set = {BLOOM_K}) AS bloom_positive,
+       (c.h IS NOT NULL) AS is_actual_dup
+FROM batch_keys b
+JOIN probed pr USING (doc_id)
+LEFT JOIN corpus_keys c USING (h)
+"""
+
+
+@query("streaming_bloom_gate", _duck_bloom_gate_sql())
+def streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seen-before content gating on a LIVE ingest stream: the corpus's
+    md5(text) keys are folded into an m-bit Bloom filter ONCE (a ≤ m-row
+    static relation — constant state no matter how large the history),
+    and each arriving doc's k bit probes are a stream-static broadcast
+    join + one stateful per-doc count.  ``bloom_positive`` docs route to
+    the expensive exact/near verify; negatives are guaranteed-new (the
+    Bloom no-false-negative invariant, which the oracle enforces by
+    comparing against ``is_actual_dup``).  This is the production shape
+    for "have we crawled this page before?" at 100 TB: the alternative —
+    a stream-static join against the full history — re-reads the corpus
+    per micro-batch, while the filter is a broadcast-sized bitmap
+    rebuilt only on compaction."""
+    from ..operators.sketch import BLOOM_K, BLOOM_M, BLOOM_SEED
+    from ..functions.hashing import spark_hash64
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus_keys = (
+        docs.filter(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("h")).distinct()
+    )
+    bits_arr = F.array(*[
+        (spark_hash64(F.col("h"), BLOOM_SEED + i) % BLOOM_M).cast("int")
+        for i in range(BLOOM_K)
+    ])
+    filter_bits = corpus_keys.select(F.explode(bits_arr).alias("bit")).distinct()
+    corpus_members = corpus_keys.withColumn("_m", F.lit(1))
+
+    stream = (
+        _docs_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", F.md5("text").alias("h"))
+    )
+    probed = (
+        stream.select("doc_id", "h", F.explode(bits_arr).alias("bit"))
+        .join(F.broadcast(filter_bits.withColumn("_b", F.lit(1))), "bit", "left")
+        .join(F.broadcast(corpus_members), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0)).alias("bits_set"),
+            F.max(F.coalesce("_m", F.lit(0))).alias("_is_dup"),
+        )
+    )
+    verdicts = probed.select(
+        "doc_id",
+        (F.col("bits_set") == BLOOM_K).alias("bloom_positive"),
+        (F.col("_is_dup") == 1).alias("is_actual_dup"),
+    )
+    run_stream_to_table(verdicts, "stream_bloom_gate", "complete")
+    return spark.table("stream_bloom_gate")
