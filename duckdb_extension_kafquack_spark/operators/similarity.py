@@ -1770,3 +1770,44 @@ def embedding_outliers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _repartition_if_narrow
 
     return embedding_outliers(_repartition_if_narrow(load_tables(spark, sf_dir)["embeddings"]))
+
+
+# ---------------------------------------------------------------------------
+# retrieval join: ANN results enriched with document metadata
+# ---------------------------------------------------------------------------
+
+_DUCK_RETRIEVAL = f"""
+WITH hits AS (
+{_DUCK_BRUTE_TOPK}
+)
+SELECT h.query_id, h.rank, h.neighbor_id, h.cos_sim,
+       d.source, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM hits h JOIN documents d ON d.doc_id = h.neighbor_id
+"""
+
+
+@query("semantic_retrieval_join", _DUCK_RETRIEVAL)
+def semantic_retrieval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG serving shape end-to-end: ANN top-k (exact brute kernel
+    as the correctness baseline) whose hits feed a relational
+    enrichment join against the ``documents`` table — proving the ANN
+    kernels' output is an ordinary DataFrame that composes with
+    Catalyst planning (the k·|queries|-row hit set broadcasts into the
+    documents join; at 100 TB the documents side is the big one and the
+    tiny hit list is what moves)."""
+    from .dedup import _repartition_if_narrow
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    hits = cosine_topk(_repartition_if_narrow(emb), queries)
+    docs = t["documents"].select(
+        F.col("doc_id").alias("neighbor_id"),
+        "source",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    return (
+        F.broadcast(hits).join(docs, "neighbor_id")
+        .select("query_id", "rank", "neighbor_id", "cos_sim", "source", "lang", "n_chars")
+    )

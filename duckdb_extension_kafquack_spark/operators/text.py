@@ -762,3 +762,57 @@ FROM scored GROUP BY doc_id
 query("text_bigram_surprisal", _DUCK_BIGRAM_SURPRISAL)(
     lambda spark, sf_dir: bigram_surprisal_scores(load_tables(spark, sf_dir)["documents"])
 )
+
+
+# ---------------------------------------------------------------------------
+# per-source rank-normalized quality (cross-source score calibration)
+# ---------------------------------------------------------------------------
+
+def quality_rank_normalized(docs: DataFrame) -> DataFrame:
+    """Percentile-normalize the quality score WITHIN each source — the
+    calibration step before a global quality cutoff: raw scores are not
+    comparable across sources (a crawl slice's 60th percentile may be a
+    curated corpus's 5th), so production filters keep "top X% of each
+    source", not "score ≥ c globally".
+
+    The percentile is the explicit ``(rank-1)/(n-1)`` on a tie-free
+    ordering (score, doc_id) — integer-derived, bit-exact cross-engine —
+    rather than the engines' own PERCENT_RANK tie semantics.  One
+    source-keyed shuffle; at 100 TB the per-source partitions are the
+    natural unit (sources are file-partition keys upstream)."""
+    q = quality_scores(docs).select("doc_id", "quality_score")
+    base = docs.select("doc_id", "source").join(q, "doc_id")
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    n = F.count(F.lit(1)).over(Window.partitionBy("source"))
+    rn = F.row_number().over(w)
+    pct = F.when(n > 1, (rn - 1) / (n - 1)).otherwise(F.lit(1.0))
+    return base.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        rn.alias("src_rank"),
+        pct.alias("pct_rank"),
+    ).withColumn("keep_top_half", F.col("pct_rank") >= 0.5)
+
+
+_DUCK_QUALITY_RANK = f"""
+WITH q AS (
+{_DUCK_QUALITY}
+), base AS (
+  SELECT d.doc_id, d.source, q.quality_score
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+), ranked AS (
+  SELECT doc_id, source, quality_score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality_score, doc_id) AS INTEGER) AS src_rank,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM base
+)
+SELECT doc_id, source, quality_score, src_rank,
+       CASE WHEN n > 1 THEN (src_rank - 1) / (n - 1) ELSE 1.0 END AS pct_rank,
+       (CASE WHEN n > 1 THEN (src_rank - 1) / (n - 1) ELSE 1.0 END) >= 0.5 AS keep_top_half
+FROM ranked
+"""
+
+query("quality_rank_normalized", _DUCK_QUALITY_RANK)(
+    lambda spark, sf_dir: quality_rank_normalized(load_tables(spark, sf_dir)["documents"])
+)
