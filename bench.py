@@ -53,6 +53,12 @@ HEADLINE = [
     "bloom_membership",
     "ngram_novelty_by_source",
     "ann_filtered_topk",
+    "text_oov_rate",
+    "embedding_outliers",
+    "dedup_minhash_calibration",
+    "text_bigram_surprisal",
+    "quality_rank_normalized",
+    "semantic_retrieval_join",
 ]
 
 

@@ -816,3 +816,85 @@ FROM ranked
 query("quality_rank_normalized", _DUCK_QUALITY_RANK)(
     lambda spark, sf_dir: quality_rank_normalized(load_tables(spark, sf_dir)["documents"])
 )
+
+
+# ---------------------------------------------------------------------------
+# pairwise source-overlap matrix (corpus-composition diagnostic)
+# ---------------------------------------------------------------------------
+
+def source_overlap_matrix(docs: DataFrame) -> DataFrame:
+    """Pairwise shingle-set Jaccard between sources — the corpus-mixing
+    diagnostic behind "are these two crawls the same data?" decisions
+    (the aggregate complement of :func:`ngram_novelty_by_source`'s
+    greedy ordering).
+
+    Scale: the join is on the 60-bit shingle hash over the DISTINCT
+    (source, shingle) relation, so a shingle contributes at most
+    C(#sources-it-appears-in, 2) rows — bounded by sources², a
+    dimension-like constant, NOT corpus²; per-source set sizes come off
+    the same relation.  Everything downstream of the distinct is
+    proportional to (#distinct shingles) × sources."""
+    from .dedup import _SPARK_SHINGLES, spark_hash64
+
+    pairs = (
+        docs.select("source", F.filter(F.split("text", " "), lambda t: t != "").alias("toks"))
+        .select("source", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok"))
+        .select("source", spark_hash64(F.col("tok")).alias("sh"))
+        .distinct()
+    )
+    sizes = pairs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = pairs.select(F.col("source").alias("source1"), "sh")
+    b = pairs.select(F.col("source").alias("source2"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("source1") < F.col("source2"))
+        .groupBy("source1", "source2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter_ngrams"))
+    )
+    s1 = sizes.select(F.col("source").alias("source1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("source").alias("source2"), F.col("n").alias("n2"))
+    return (
+        inter.join(F.broadcast(s1), "source1")
+        .join(F.broadcast(s2), "source2")
+        .select(
+            "source1",
+            "source2",
+            "inter_ngrams",
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            (F.col("inter_ngrams") / (F.col("n1") + F.col("n2") - F.col("inter_ngrams"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def _duck_source_overlap_sql() -> str:
+    from .dedup import _DUCK_SHINGLES
+
+    return f"""
+WITH tokd AS (
+  SELECT source, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), pairs AS (
+  SELECT DISTINCT source, {duck_hash64("s.tok")} AS sh
+  FROM tokd, unnest({_DUCK_SHINGLES}) AS s(tok)
+), sizes AS (
+  SELECT source, COUNT(*) AS n FROM pairs GROUP BY source
+), inter AS (
+  SELECT a.source AS source1, b.source AS source2, CAST(COUNT(*) AS BIGINT) AS inter_ngrams
+  FROM pairs a JOIN pairs b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source1, i.source2, i.inter_ngrams,
+       CAST(s1.n AS BIGINT) AS n1, CAST(s2.n AS BIGINT) AS n2,
+       i.inter_ngrams / (s1.n + s2.n - i.inter_ngrams) AS jaccard
+FROM inter i
+JOIN sizes s1 ON s1.source = i.source1
+JOIN sizes s2 ON s2.source = i.source2
+"""
+
+
+query("source_overlap_matrix", _duck_source_overlap_sql())(
+    lambda spark, sf_dir: source_overlap_matrix(load_tables(spark, sf_dir)["documents"])
+)
