@@ -1367,11 +1367,16 @@ def dup_span_coverage(docs: DataFrame) -> DataFrame:
         .select("doc_id", spark_hash64(F.col("tok")).alias("sh"))
     )
     per_doc = pos.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("n_pos"))
-    global_docs = per_doc.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    # n_docs via a count window over the shingle partition: the same
+    # values as a groupBy(sh)+join-back, but ONE shuffle of the
+    # (doc, shingle) relation instead of two (the join re-shuffled the
+    # full relation a second time); no skew — the window does no sort,
+    # and a stop-shingle's partition is bounded by the doc count
+    per_sh = Window.partitionBy("sh")
+    with_counts = per_doc.withColumn("n_docs", F.count(F.lit(1)).over(per_sh))
     dup_pos = F.when(F.col("n_docs") >= 2, F.col("n_pos")).otherwise(F.lit(0))
     return (
-        per_doc.join(global_docs, "sh")
-        .groupBy("doc_id")
+        with_counts.groupBy("doc_id")
         .agg(
             F.sum("n_pos").cast("bigint").alias("total_shingles"),
             F.sum(dup_pos).cast("bigint").alias("dup_shingles"),
