@@ -7,21 +7,29 @@ from . import curation, dedup, events, joins, multimodal, pipeline, similarity, 
 
 from .dedup import (
     connected_components,
+    dup_span_coverage,
     exact_duplicates,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
     simhash_near_pairs,
     simhash_signatures,
 )
+from .similarity import embedding_outliers
+from .sketch import bloom_build, bloom_probe, cms_build, cms_estimate
 from .joins import asof_join, asof_join_pandas, interval_join
 from .multimodal import blobs_from_documents, decode_features
 from .pipeline import curate
 from .similarity import cosine_topk, embedding_near_duplicates, ivf_topk, lsh_topk
 from .skew import salted_agg, salted_join
 from .text import (
+    bigram_surprisal_scores,
     fingerprints,
     language_id,
+    ngram_novelty_by_source,
+    oov_rates,
+    quality_rank_normalized,
     quality_scores,
+    source_overlap_matrix,
     tfidf_top_terms,
     token_counts,
     vocabulary,
@@ -52,4 +60,15 @@ __all__ = [
     "salted_agg",
     "salted_join",
     "curate",
+    "dup_span_coverage",
+    "bloom_build",
+    "bloom_probe",
+    "cms_build",
+    "cms_estimate",
+    "embedding_outliers",
+    "ngram_novelty_by_source",
+    "oov_rates",
+    "bigram_surprisal_scores",
+    "quality_rank_normalized",
+    "source_overlap_matrix",
 ]

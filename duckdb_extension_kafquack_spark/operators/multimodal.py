@@ -337,3 +337,53 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = decode_features(blobs).select("blob_id", "width", "height", "first_byte")
     meta = blobs.select("blob_id", "mime", "n_bytes", "content_hash")
     return meta.join(feats, "blob_id")
+
+
+@query(
+    "multimodal_payload_dedup",
+    """
+WITH blobs AS (
+  SELECT doc_id AS blob_id, 'text/plain' AS mime,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS content_hash
+  FROM documents
+), groups AS (
+  SELECT mime, content_hash,
+         COUNT(*) AS n_copies,
+         MIN(blob_id) AS canonical_blob,
+         MIN(n_bytes) AS n_bytes
+  FROM blobs GROUP BY mime, content_hash
+)
+SELECT mime,
+       CAST(SUM(n_copies) AS BIGINT) AS n_blobs,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_payloads,
+       CAST(SUM(n_copies - 1) AS BIGINT) AS dup_blobs,
+       CAST(SUM((n_copies - 1) * n_bytes) AS BIGINT) AS reclaimable_bytes,
+       CAST(MAX(n_copies) AS BIGINT) AS max_copies
+FROM groups GROUP BY mime
+""",
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload exact dedup accounting by content hash — the
+    multimodal twin of text exact-dedup, and where dedup pays most at
+    100 TB (payload bytes dominate storage; every duplicate image/audio
+    blob is ``n_bytes`` reclaimable).  Per-mime rollup: blob count,
+    distinct payloads, duplicate blobs, and reclaimable bytes.  The
+    plan groups on (mime, content_hash) and NEVER shuffles or even
+    reads payload bytes: the hash and size columns are all that move,
+    and parquet column pruning keeps the payload out of the scan (the
+    metadata-projection invariant the module's tests pin)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    blobs = blobs_from_documents(docs).select("blob_id", "mime", "n_bytes", "content_hash")
+    groups = blobs.groupBy("mime", "content_hash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("blob_id").alias("canonical_blob"),
+        F.min("n_bytes").alias("n_bytes"),
+    )
+    return groups.groupBy("mime").agg(
+        F.sum("n_copies").cast("bigint").alias("n_blobs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_payloads"),
+        F.sum(F.col("n_copies") - 1).cast("bigint").alias("dup_blobs"),
+        F.sum((F.col("n_copies") - 1) * F.col("n_bytes")).cast("bigint").alias("reclaimable_bytes"),
+        F.max("n_copies").cast("bigint").alias("max_copies"),
+    )

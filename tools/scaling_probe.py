@@ -60,7 +60,9 @@ def main() -> None:
         simhash_signatures,
     )
     from duckdb_extension_kafquack_spark.operators.text import (
+        bigram_surprisal_scores,
         ngram_novelty_by_source,
+        source_overlap_matrix,
     )
     from duckdb_extension_kafquack_spark.operators.similarity import (
         cosine_topk,
@@ -134,6 +136,8 @@ def main() -> None:
         bench("repetition_scores", k, repetition_scores(docs))
         bench("dup_span_coverage", k, dup_span_coverage(docs))
         bench("ngram_novelty", k, ngram_novelty_by_source(docs))
+        bench("bigram_surprisal", k, bigram_surprisal_scores(docs))
+        bench("source_overlap", k, source_overlap_matrix(docs))
         # CMS heavy-hitter path: sketch + estimates over the token stream
         stream = _token_stream(docs)
         bench("cms_sketch_estimates", k, cms_estimate(cms_build(stream), stream.distinct()))
@@ -193,6 +197,14 @@ def main() -> None:
         "  the replica-heavy probe makes every shingle corpus-duplicated",
         "  and the join-back side one row per distinct shingle, so no",
         "  quadratic term is possible by construction.",
+        "* `bigram_surprisal` — word-count shape over the bigram stream",
+        "  (two map-side-combined groupBys + a join-back one row per",
+        "  distinct bigram); linear.",
+        "* `source_overlap` — the shingle-hash self-join's fan-out is",
+        "  C(sources-per-shingle, 2) ≤ sources² per shingle — a",
+        "  dimension-like constant (20 sources here), so growth is linear",
+        "  in distinct shingles even though replicas make every shingle",
+        "  cross-source.",
         "* `ann_cosine_topk` / `ann_ivf_topk` — the probe grows queries AND",
         "  corpus k× each, so brute force is O(k²) by construction; IVF's",
         "  cell pruning keeps the measured growth far below it.",
