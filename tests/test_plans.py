@@ -358,3 +358,52 @@ def test_checkpoint_resume_with_rocksdb_state(spark, tmp_path):
     assert any(n.endswith(".changelog") for n in state_files) or any(
         n.endswith(".zip") for n in state_files
     ), f"no RocksDB artifacts in state dir: {state_files[:10]}"
+
+
+def test_dup_span_coverage_shuffle_budget(spark):
+    """The window rewrite's contract: exactly the local spreader + three
+    keyed exchanges — (doc,shingle) pre-agg (the only full-positional
+    mover, combined map-side), the sort-free count window on sh, and the
+    final doc agg of the reduced relation.  The join-back version had a
+    FIFTH exchange (re-shuffling the per-doc relation onto sh for the
+    join); a regression back to it fails here."""
+    df = REGISTRY["dedup_dup_span_coverage"].fn(spark, SF_DIR)
+    assert count_exchanges(df) <= 4
+
+
+def test_bloom_probe_broadcasts_filter_bits(spark):
+    """The Bloom filter relation must broadcast into the probe scan —
+    never shuffle the probe side against it."""
+    df = REGISTRY["bloom_membership"].fn(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+
+
+def test_filtered_ann_pushes_label_predicate(spark):
+    """Pre-filter semantics: the label predicate reaches the parquet
+    scan ahead of the IVF kernel."""
+    df = REGISTRY["ann_filtered_topk"].fn(spark, SF_DIR)
+    assert any("label" in f for f in pushed_filters(df))
+
+
+def test_embedding_outliers_is_map_only(spark):
+    """Nearest-centroid assignment adds no shuffle beyond the local
+    spreader repartition: no aggregation, no join in the plan."""
+    df = REGISTRY["embedding_outliers"].fn(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert count_exchanges(df) <= 1  # the narrow-fixture spreader only
+
+
+def test_payload_dedup_never_reads_payload(spark):
+    """Payload-dedup accounting must not deserialize payload bytes: the
+    documents scan reads only the columns the hash/size need."""
+    df = REGISTRY["multimodal_payload_dedup"].fn(spark, SF_DIR)
+    for schema in read_schemas(df):
+        assert "payload" not in schema
+
+
+def test_retrieval_join_broadcasts_hits(spark):
+    """The tiny ANN hit list broadcasts into the documents join; the
+    documents side must not shuffle."""
+    df = REGISTRY["semantic_retrieval_join"].fn(spark, SF_DIR)
+    assert uses_broadcast_join(df)
