@@ -729,3 +729,61 @@ def streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_table(verdicts, "stream_bloom_gate", "complete")
     return spark.table("stream_bloom_gate")
+
+
+# ---------------------------------------------------------------------------
+# streaming CMS: the frequency sketch as streaming state
+# ---------------------------------------------------------------------------
+
+def _duck_streaming_hh_sql() -> str:
+    from ..operators.sketch import _duck_heavy_hitters_sql
+
+    return _duck_heavy_hitters_sql()
+
+
+@query("streaming_cms_heavy_hitters", _duck_streaming_hh_sql())
+def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch BUILT AS STREAMING STATE: the token stream
+    arrives via readStream, and the sketch is a streaming groupBy over
+    (row, bucket) — d·w counters of bounded state no matter how long the
+    stream runs (the point of sketching a stream at 100 TB: the exact
+    per-token count table grows with the vocabulary, the CMS does not).
+    Heavy hitters are then extracted from the materialized sketch with
+    the CMS-prune → exact-verify pattern, value-equal to the fully-batch
+    :func:`..operators.sketch.heavy_hitters` oracle — proving the
+    incremental sketch converges to the batch sketch exactly."""
+    from ..operators.sketch import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        HH_PHI_PCT,
+        _token_stream,
+        cms_build,
+        cms_estimate,
+    )
+
+    stream_toks = (
+        _docs_stream(spark, sf_dir)
+        .select(F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"))
+    )
+    sketch_stream = cms_build(stream_toks)
+    run_stream_to_table(sketch_stream, "stream_cms_sketch", "complete")
+    sketch = spark.table("stream_cms_sketch")
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    stream0 = _token_stream(docs)
+    total = stream0.agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(sketch, stream0.distinct())
+    candidates = est.join(F.broadcast(total)).filter(
+        100 * F.col("cms_estimate") >= HH_PHI_PCT * F.col("n")
+    )
+    exact = (
+        stream0.join(F.broadcast(candidates.select("tok")), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return candidates.join(exact, "tok").select(
+        "tok",
+        "exact_count",
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (100 * F.col("exact_count") >= HH_PHI_PCT * F.col("n")).alias("is_true_hh"),
+    )
