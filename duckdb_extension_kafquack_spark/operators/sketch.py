@@ -326,3 +326,117 @@ def _spark_shingles_expr() -> str:
     from .dedup import _SPARK_SHINGLES
 
     return _SPARK_SHINGLES
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: engine-exact distinct-count sketch
+# ---------------------------------------------------------------------------
+
+HLL_P = 8                      # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_REM_BITS = 60 - HLL_P      # low 52 bits feed the rank
+_HLL_POW52 = 1 << HLL_REM_BITS
+_HLL_POW53 = 1 << (HLL_REM_BITS + 1)
+# alpha_256 · m² · 2^53 precomputed in Python and inlined as the SAME
+# literal in both engines — the estimate is then literal / S with S an
+# exact integer, so the double is bit-identical cross-engine
+_HLL_ALPHA_NUM = 4.2399330249068963e+20
+_HLL_LC_BOUND = 2.5 * HLL_M    # below this (and with empty registers): linear counting
+
+
+def hll_distinct(keys: DataFrame, col: str = "tok") -> DataFrame:
+    """Engine-exact HyperLogLog over a key column: registers are derived
+    from the cross-engine 60-bit md5 hash (top 8 bits → register index,
+    rank = leading-zero count of the low 52 bits via a string-bits trick
+    both engines evaluate identically), so — unlike the engines' own
+    HLL implementations, which never match each other — the ENTIRE
+    sketch, its harmonic sum, and the final estimate reproduce
+    bit-for-bit in DuckDB.  The harmonic mean is kept in integers:
+    Σ 2^(−M_j) is scaled by 2^53 so it is an exact BIGINT, and the
+    estimate is one double division (+ the standard linear-counting
+    branch for small cardinalities, rounded@4 to absorb the two libm
+    ln() implementations).
+
+    Scale: registers build in ONE map-side-combined groupBy with a
+    256-row result — the mergeable distinct-count state for 100 TB
+    (union sketches = max per register; contrast the exact distinct's
+    full-vocabulary shuffle).  Spark's own approx_count_distinct is the
+    production shortcut; this one exists because it can be ORACLED."""
+    rho = (
+        F.lit(HLL_REM_BITS + 1)
+        - F.length(F.expr(f"trim(LEADING '0' FROM lpad(bin(__hll_rem), {HLL_REM_BITS}, '0'))"))
+    )
+    regs = (
+        keys.select(spark_hash64(F.col(col)).alias("__hll_h"))
+        .select(
+            F.expr(f"__hll_h div {_HLL_POW52}").alias("bucket"),
+            (F.col("__hll_h") % F.lit(_HLL_POW52)).alias("__hll_rem"),
+        )
+        .select("bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("mrho"))
+    )
+    stats = regs.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_REM_BITS + 1} - mrho)"))
+        .cast("long")
+        .alias("present_sum"),
+    )
+    s_col = (
+        F.col("present_sum")
+        + (F.lit(HLL_M) - F.col("n_present")) * F.lit(_HLL_POW53)
+    ).cast("long")
+    raw = F.lit(_HLL_ALPHA_NUM) / s_col.cast("double")
+    v = F.lit(HLL_M) - F.col("n_present")
+    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double"))
+    est = F.when((raw <= F.lit(_HLL_LC_BOUND)) & (v > 0), F.round(lc, 4)).otherwise(
+        F.round(raw, 4)
+    )
+    return stats.select(
+        F.lit(HLL_M).alias("n_registers"),
+        F.col("n_present").cast("bigint").alias("n_present"),
+        s_col.alias("harmonic_s"),
+        est.alias("hll_estimate"),
+    )
+
+
+def _duck_hll_sql() -> str:
+    from .dedup import _DUCK_SHINGLES
+
+    return f"""
+WITH tokd AS (
+  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents
+), keys AS (
+  SELECT DISTINCT s.tok FROM tokd, unnest({_DUCK_SHINGLES}) AS s(tok)
+), hashed AS (
+  SELECT {duck_hash64('tok')} AS h FROM keys
+), ranked AS (
+  SELECT h // {_HLL_POW52} AS bucket,
+         {HLL_REM_BITS + 1} - length(trim(LEADING '0' FROM lpad(bin(h % {_HLL_POW52}), {HLL_REM_BITS}, '0'))) AS rho
+  FROM hashed
+), regs AS (
+  SELECT bucket, MAX(rho) AS mrho FROM ranked GROUP BY bucket
+), stats AS (
+  SELECT COUNT(*) AS n_present,
+         CAST(SUM((1::BIGINT << ({HLL_REM_BITS + 1} - mrho))) AS BIGINT) AS present_sum
+  FROM regs
+), final AS (
+  SELECT n_present,
+         CAST(present_sum + ({HLL_M} - n_present) * {_HLL_POW53} AS BIGINT) AS harmonic_s
+  FROM stats
+)
+SELECT {HLL_M} AS n_registers,
+       CAST(n_present AS BIGINT) AS n_present,
+       harmonic_s,
+       CASE WHEN ({_HLL_ALPHA_NUM} / harmonic_s) <= {_HLL_LC_BOUND} AND ({HLL_M} - n_present) > 0
+            THEN ROUND({float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - n_present)), 4)
+            ELSE ROUND({_HLL_ALPHA_NUM} / harmonic_s, 4) END AS hll_estimate
+FROM final
+"""
+
+
+@query("hll_distinct", _duck_hll_sql())
+def hll_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    keys = _shingle_stream(docs).distinct()
+    return hll_distinct(keys)

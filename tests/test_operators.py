@@ -1189,3 +1189,18 @@ class TestRound5bOperators:
             SF.min("rank").alias("lo"), SF.max("rank").alias("hi"), SF.count("*").alias("n")
         )
         assert ranks.filter((SF.col("lo") != 1) | (SF.col("hi") != SF.col("n"))).count() == 0
+
+    def test_hll_estimate_accuracy_and_determinism(self, spark):
+        from duckdb_extension_kafquack_spark.operators.sketch import hll_distinct
+
+        keys = spark.createDataFrame(
+            [(f"key-{i}",) for i in range(2000)], "tok string"
+        )
+        r1 = hll_distinct(keys).collect()[0]
+        r2 = hll_distinct(keys).collect()[0]
+        # deterministic sketch: identical registers → identical estimate
+        assert r1.harmonic_s == r2.harmonic_s
+        assert r1.hll_estimate == r2.hll_estimate
+        # 256 registers → σ ≈ 6.5%; 3σ bound
+        assert abs(r1.hll_estimate - 2000) / 2000 < 0.2
+        assert r1.n_registers == 256 and 0 < r1.n_present <= 256
