@@ -435,3 +435,64 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_transitions"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# top user journeys: event-type trigram paths
+# ---------------------------------------------------------------------------
+
+PATH_TOP_K = 15
+
+
+@query(
+    "event_path_trigrams",
+    f"""
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events
+), paths AS (
+  SELECT e1, e2, e3, COUNT(*) AS n_paths, COUNT(DISTINCT user_id) AS n_users
+  FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+  GROUP BY e1, e2, e3
+)
+SELECT e1, e2, e3, n_paths, n_users, rank FROM (
+  SELECT e1, e2, e3, n_paths, n_users,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_paths DESC, e1, e2, e3) AS INTEGER) AS rank
+  FROM paths
+) WHERE rank <= {PATH_TOP_K}
+""",
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: the most frequent 3-step event-type sequences
+    across all users — second-order path analysis one level past
+    :func:`event_transitions`' Markov pairs (a funnel you DISCOVER
+    instead of declare).
+
+    One user-keyed window shuffle serves both leads; the path rollup is
+    a partial+final aggregate over a key space bounded by
+    |event_types|³ (dimension-like, not data-like), and the global
+    top-k runs over that tiny rollup — TakeOrderedAndProject shape, no
+    full sort of anything data-sized.  Deterministic (ts, event_id)
+    tie-break and a total (count, path) rank order keep both engines'
+    top lists identical."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    paths = seq.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).alias("n_paths"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    top = paths.orderBy(
+        F.col("n_paths").desc(), "e1", "e2", "e3"
+    ).limit(PATH_TOP_K)
+    wr = Window.orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
+    return top.withColumn("rank", F.row_number().over(wr)).select(
+        "e1", "e2", "e3", "n_paths", "n_users", "rank"
+    )

@@ -440,3 +440,128 @@ def hll_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     keys = _shingle_stream(docs).distinct()
     return hll_distinct(keys)
+
+
+def _hll_registers(keys: DataFrame, col: str = "tok", extra_keys: list[str] | None = None) -> DataFrame:
+    """(group-cols..., bucket, mrho) register relation — the mergeable
+    HLL state (union of sketches = per-register MAX)."""
+    extra = list(extra_keys or [])
+    rho = (
+        F.lit(HLL_REM_BITS + 1)
+        - F.length(F.expr(f"trim(LEADING '0' FROM lpad(bin(__hll_rem), {HLL_REM_BITS}, '0'))"))
+    )
+    return (
+        keys.select(*extra, spark_hash64(F.col(col)).alias("__hll_h"))
+        .select(
+            *extra,
+            F.expr(f"__hll_h div {_HLL_POW52}").alias("bucket"),
+            (F.col("__hll_h") % F.lit(_HLL_POW52)).alias("__hll_rem"),
+        )
+        .select(*extra, "bucket", rho.alias("rho"))
+        .groupBy(*extra, "bucket")
+        .agg(F.max("rho").alias("mrho"))
+    )
+
+
+def _hll_estimate_from_regs(regs: DataFrame) -> DataFrame:
+    """(n_present, harmonic_s, hll_estimate) from a register relation."""
+    stats = regs.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_REM_BITS + 1} - mrho)"))
+        .cast("long")
+        .alias("present_sum"),
+    )
+    s_col = (
+        F.col("present_sum") + (F.lit(HLL_M) - F.col("n_present")) * F.lit(_HLL_POW53)
+    ).cast("long")
+    raw = F.lit(_HLL_ALPHA_NUM) / s_col.cast("double")
+    v = F.lit(HLL_M) - F.col("n_present")
+    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double"))
+    est = F.when((raw <= F.lit(_HLL_LC_BOUND)) & (v > 0), F.round(lc, 4)).otherwise(
+        F.round(raw, 4)
+    )
+    return stats.select(
+        F.col("n_present").cast("bigint").alias("n_present"),
+        s_col.alias("harmonic_s"),
+        est.alias("hll_estimate"),
+    )
+
+
+def _duck_hll_merge_sql() -> str:
+    from .dedup import _DUCK_SHINGLES
+
+    rank = (
+        f"{HLL_REM_BITS + 1} - length(trim(LEADING '0' FROM "
+        f"lpad(bin(h % {_HLL_POW52}), {HLL_REM_BITS}, '0')))"
+    )
+    est = (
+        f"CASE WHEN ({_HLL_ALPHA_NUM} / harmonic_s) <= {_HLL_LC_BOUND} AND ({HLL_M} - n_present) > 0 "
+        f"THEN ROUND({float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - n_present)), 4) "
+        f"ELSE ROUND({_HLL_ALPHA_NUM} / harmonic_s, 4) END"
+    )
+    return f"""
+WITH tokd AS (
+  SELECT source, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents
+), keys AS (
+  SELECT DISTINCT source < 'src2' AS grp, s.tok FROM tokd, unnest({_DUCK_SHINGLES}) AS s(tok)
+), hashed AS (
+  SELECT grp, {duck_hash64('tok')} AS h FROM keys
+), per_group_regs AS (
+  SELECT grp, h // {_HLL_POW52} AS bucket, MAX({rank}) AS mrho
+  FROM hashed GROUP BY grp, bucket
+), merged_regs AS (
+  SELECT bucket, MAX(mrho) AS mrho FROM per_group_regs GROUP BY bucket
+), direct_regs AS (
+  SELECT h // {_HLL_POW52} AS bucket, MAX({rank}) AS mrho
+  FROM hashed GROUP BY bucket
+), m AS (
+  SELECT COUNT(*) AS n_present,
+         CAST(SUM((1::BIGINT << ({HLL_REM_BITS + 1} - mrho))) + ({HLL_M} - COUNT(*)) * {_HLL_POW53} AS BIGINT) AS harmonic_s
+  FROM merged_regs
+), d AS (
+  SELECT COUNT(*) AS n_present,
+         CAST(SUM((1::BIGINT << ({HLL_REM_BITS + 1} - mrho))) + ({HLL_M} - COUNT(*)) * {_HLL_POW53} AS BIGINT) AS harmonic_s
+  FROM direct_regs
+)
+SELECT (SELECT {est} FROM m) AS merged_estimate,
+       (SELECT {est} FROM d) AS direct_estimate,
+       (SELECT harmonic_s FROM m) = (SELECT harmonic_s FROM d) AS sketches_identical
+"""
+
+
+@query("hll_merge_by_source", _duck_hll_merge_sql())
+def hll_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL's merge algebra, verified by value: sketch each half of the
+    corpus separately (per-group registers), union by per-register MAX,
+    and compare against sketching the union directly — identical
+    registers, identical estimate, enforced by the oracle.  THE property
+    that makes HLL the 100 TB distinct-count: per-partition sketches
+    merge with no rescan (daily sketches roll up to monthly for free),
+    which an exact distinct can never do."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    from .dedup import _SPARK_SHINGLES
+
+    keys = (
+        docs.select(
+            (F.col("source") < "src2").alias("grp"),
+            F.filter(F.split("text", " "), lambda t: t != "").alias("toks"),
+        )
+        .select("grp", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok"))
+        .distinct()
+    )
+    per_group = _hll_registers(keys, extra_keys=["grp"])
+    merged = per_group.groupBy("bucket").agg(F.max("mrho").alias("mrho"))
+    direct = _hll_registers(keys.select("tok").distinct())
+    m = _hll_estimate_from_regs(merged).select(
+        F.col("hll_estimate").alias("merged_estimate"),
+        F.col("harmonic_s").alias("ms"),
+    )
+    d = _hll_estimate_from_regs(direct).select(
+        F.col("hll_estimate").alias("direct_estimate"),
+        F.col("harmonic_s").alias("ds"),
+    )
+    return m.crossJoin(d).select(
+        "merged_estimate",
+        "direct_estimate",
+        (F.col("ms") == F.col("ds")).alias("sketches_identical"),
+    )
