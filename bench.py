@@ -59,6 +59,10 @@ HEADLINE = [
     "text_bigram_surprisal",
     "quality_rank_normalized",
     "semantic_retrieval_join",
+    "source_overlap_matrix",
+    "multimodal_payload_dedup",
+    "hll_distinct",
+    "event_path_trigrams",
 ]
 
 

@@ -515,3 +515,50 @@ def test_minhash_estimate_bounds(spark, texts):
     assert any(r.doc1 == 0 and r.doc2 == len(texts) for r in got) or any(
         texts[i] == texts[0] for i in range(1, len(texts))
     )
+
+
+@SLOW
+@given(
+    keys_a=st.sets(st.text(alphabet="abcdefgh", min_size=1, max_size=8), min_size=1, max_size=40),
+    keys_b=st.sets(st.text(alphabet="abcdefgh", min_size=1, max_size=8), min_size=1, max_size=40),
+)
+def test_hll_merge_equals_union_sketch(spark, keys_a, keys_b):
+    """For ANY two key sets: per-register max of the two sketches is
+    identical to the sketch of the union (HLL merge algebra)."""
+    from duckdb_extension_kafquack_spark.operators.sketch import _hll_registers
+
+    df_a = spark.createDataFrame([(t,) for t in keys_a], "tok string")
+    df_b = spark.createDataFrame([(t,) for t in keys_b], "tok string")
+    df_u = spark.createDataFrame([(t,) for t in keys_a | keys_b], "tok string")
+    merged = (
+        _hll_registers(df_a)
+        .unionByName(_hll_registers(df_b))
+        .groupBy("bucket")
+        .agg(F.max("mrho").alias("mrho"))
+    )
+    direct = _hll_registers(df_u)
+    m = {r.bucket: r.mrho for r in merged.collect()}
+    d = {r.bucket: r.mrho for r in direct.collect()}
+    assert m == d
+
+
+@SLOW
+@given(texts=doc_texts)
+def test_bigram_surprisal_bounds(spark, texts):
+    """inv_p = c(w1)/c(w1,w2) ≥ 1 by construction (a bigram count never
+    exceeds its prefix count), so every mean/max ≥ 1; n_bigrams is
+    len(toks)-1 for docs with ≥ 2 tokens."""
+    from duckdb_extension_kafquack_spark.operators.text import bigram_surprisal_scores
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_surprisal_scores(df).collect()}
+    for i, t in rows:
+        n = len([w for w in t.split(" ") if w])
+        if n < 2:
+            assert i not in out
+            continue
+        r = out[i]
+        assert r.n_bigrams == n - 1
+        assert r.mean_bigram_surprisal >= 1.0
+        assert r.max_bigram_surprisal >= r.mean_bigram_surprisal - 1e-6
