@@ -787,3 +787,46 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_estimate").cast("long").alias("cms_estimate"),
         (100 * F.col("exact_count") >= HH_PHI_PCT * F.col("n")).alias("is_true_hh"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming HyperLogLog: distinct-count registers as streaming state
+# ---------------------------------------------------------------------------
+
+def _duck_streaming_hll_sql() -> str:
+    from ..operators.sketch import _duck_hll_sql
+
+    return _duck_hll_sql()
+
+
+@query("streaming_hll_distinct", _duck_streaming_hll_sql())
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HyperLogLog registers built INCREMENTALLY over a live stream:
+    a streaming max-per-register groupBy holds ≤ 256 rows of state no
+    matter how long the stream runs (register max is the streaming-
+    friendly aggregate — monotone, merge = max), then the drained
+    registers produce the estimate with the same integer-scaled
+    harmonic sum as the batch sketch.  Value-equal to the fully-batch
+    :func:`..operators.sketch.hll_distinct_query` oracle — the
+    incremental sketch CONVERGES to the batch sketch exactly, which is
+    the whole claim behind 'count distinct users over an unbounded
+    stream in constant memory'."""
+    from ..operators.dedup import _SPARK_SHINGLES
+    from ..operators.sketch import _hll_estimate_from_regs, _hll_registers
+
+    stream_keys = (
+        _docs_stream(spark, sf_dir)
+        .select(F.filter(F.split("text", " "), lambda t: t != "").alias("toks"))
+        .select(F.explode(F.expr(_SPARK_SHINGLES)).alias("tok"))
+    )
+    regs_stream = _hll_registers(stream_keys)
+    run_stream_to_table(regs_stream, "stream_hll_regs", "complete")
+    regs = spark.table("stream_hll_regs")
+    from ..operators.sketch import HLL_M
+
+    return _hll_estimate_from_regs(regs).select(
+        F.lit(HLL_M).alias("n_registers"),
+        "n_present",
+        "harmonic_s",
+        "hll_estimate",
+    )
