@@ -437,11 +437,10 @@ JOIN sizes s2 ON s2.doc_id = c.doc2
 """
 
 
-@query("dedup_minhash_calibration", _duck_minhash_calibration_sql())
-def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_calibration(docs: DataFrame) -> DataFrame:
     """Estimator calibration for the MinHash family: for EVERY LSH
     candidate pair (no threshold), the signature-agreement Jaccard
-    estimate (matching minhashes / {NUM_HASHES} — the only similarity a
+    estimate (matching minhashes / NUM_HASHES — the only similarity a
     signature-only pipeline has at 100 TB, where shingle sets are too
     big to keep) next to the exact set Jaccard.  est_jaccard is an
     int/int quotient and the exact Jaccard a single IEEE division, so
@@ -450,7 +449,6 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures and shingle sets off the same persisted map-side pass."""
     from pyspark import StorageLevel
 
-    docs = load_tables(spark, sf_dir)["documents"]
     sig = minhash_sig_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = candidate_pairs(minhash_bands(sig))
     mh_names = [f"mh{s}" for s in range(NUM_HASHES)]
@@ -482,6 +480,11 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (icnt / (F.col("n1") + F.col("n2") - icnt)).alias("jaccard"),
         )
     )
+
+
+@query("dedup_minhash_calibration", _duck_minhash_calibration_sql())
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_calibration(load_tables(spark, sf_dir)["documents"])
 
 
 def connected_components(
@@ -1367,16 +1370,20 @@ def dup_span_coverage(docs: DataFrame) -> DataFrame:
         .select("doc_id", spark_hash64(F.col("tok")).alias("sh"))
     )
     per_doc = pos.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("n_pos"))
-    # n_docs via a count window over the shingle partition: the same
-    # values as a groupBy(sh)+join-back, but ONE shuffle of the
-    # (doc, shingle) relation instead of two (the join re-shuffled the
-    # full relation a second time); no skew — the window does no sort,
-    # and a stop-shingle's partition is bounded by the doc count
-    per_sh = Window.partitionBy("sh")
-    with_counts = per_doc.withColumn("n_docs", F.count(F.lit(1)).over(per_sh))
+    # n_docs via groupBy(sh) + join-back, NOT a count window: a window
+    # partitioned on sh inserts a Sort and buffers the entire hot-
+    # shingle partition in ONE task (window partitions cannot be
+    # AQE-split) — a corpus-wide stop-shingle becomes a straggler.
+    # The aggregate collapses hot keys map-side (partial agg) before
+    # the shuffle, and the join's skewed probe side streams (and AQE
+    # can split a skewed hash-join partition).  Costs one extra
+    # exchange of the reduced per-doc relation; at scale that trade is
+    # strictly right.
+    global_docs = per_doc.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
     dup_pos = F.when(F.col("n_docs") >= 2, F.col("n_pos")).otherwise(F.lit(0))
     return (
-        with_counts.groupBy("doc_id")
+        per_doc.join(global_docs, "sh")
+        .groupBy("doc_id")
         .agg(
             F.sum("n_pos").cast("bigint").alias("total_shingles"),
             F.sum(dup_pos).cast("bigint").alias("dup_shingles"),

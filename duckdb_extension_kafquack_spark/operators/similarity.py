@@ -271,6 +271,23 @@ def _fold_self(A):
     return acc
 
 
+def _collect_f64(df: DataFrame):
+    """Driver-side (ids, matrix, fold-order norms) of a SMALL relation
+    (codebook / query batch) — the one collection the ANN kernels close
+    over.  Shared by every kernel so the dtype casts, zero-row guard,
+    and norm fold order can never diverge between them."""
+    import numpy as np
+
+    rows = df.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = (
+        np.array([r["embedding"] for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, DIM))
+    )
+    return ids, mat, np.sqrt(_fold_self(mat)) if rows else np.zeros(0)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -302,16 +319,6 @@ def ivf_topk(
 
     if not 1 <= n_probe <= IVF_PROBES:
         raise ValueError(f"n_probe must be between 1 and {IVF_PROBES}")
-
-    def _collect_f64(df):
-        rows = df.select("vec_id", "embedding").collect()
-        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-        mat = (
-            np.array([r["embedding"] for r in rows], dtype=np.float64)
-            if rows
-            else np.zeros((0, DIM))
-        )
-        return ids, mat, np.sqrt(_fold_self(mat)) if len(rows) else np.zeros(0)
 
     cent_ids, cent_mat, cent_n = _collect_f64(
         (embeddings if centroid_source is None else centroid_source).filter(
@@ -1704,16 +1711,6 @@ def embedding_outliers(embeddings: DataFrame) -> DataFrame:
     all.  The threshold compare happens on doubles both engines compute
     bit-identically, so the flag never flips cross-engine."""
     import numpy as np
-
-    def _collect_f64(df):
-        rows = df.select("vec_id", "embedding").collect()
-        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-        mat = (
-            np.array([r["embedding"] for r in rows], dtype=np.float64)
-            if rows
-            else np.zeros((0, DIM))
-        )
-        return ids, mat, np.sqrt(_fold_self(mat)) if len(rows) else np.zeros(0)
 
     cent_ids, cent_mat, cent_n = _collect_f64(
         embeddings.filter(F.col("vec_id") < IVF_CENTROIDS)

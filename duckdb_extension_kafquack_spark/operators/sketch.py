@@ -138,18 +138,12 @@ FROM verified
 """
 
 
-@query("heavy_hitters", _duck_heavy_hitters_sql())
-def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """φ-heavy hitters (≥1% of the token stream) by sketch-prune →
-    exact-verify.  At 100 TB the exact global top-k over billions of
-    distinct keys is a full-stream shuffle; here the CMS (d·w counters,
-    overestimate-only → NO false negatives) prunes the verify set to the
-    few candidate keys first, so the exact pass counts only candidates.
-    The threshold compares 100·count ≥ φ·N in pure integers — no float
+def heavy_hitters_from_sketch(sketch: DataFrame, stream: DataFrame) -> DataFrame:
+    """The CMS-prune → exact-verify tail, shared by the batch and
+    streaming heavy-hitter queries (one threshold, one output shape —
+    the two queries share one oracle and must never drift).  The
+    threshold compares 100·count ≥ φ·N in pure integers — no float
     frontier cross-engine."""
-    docs = load_tables(spark, sf_dir)["documents"]
-    stream = _token_stream(docs)
-    sketch = cms_build(stream)
     total = stream.agg(F.count(F.lit(1)).alias("n"))
     est = cms_estimate(sketch, stream.distinct())
     candidates = est.join(F.broadcast(total)).filter(
@@ -166,6 +160,18 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_estimate").cast("long").alias("cms_estimate"),
         (100 * F.col("exact_count") >= HH_PHI_PCT * F.col("n")).alias("is_true_hh"),
     )
+
+
+@query("heavy_hitters", _duck_heavy_hitters_sql())
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ-heavy hitters (≥1% of the token stream) by sketch-prune →
+    exact-verify.  At 100 TB the exact global top-k over billions of
+    distinct keys is a full-stream shuffle; here the CMS (d·w counters,
+    overestimate-only → NO false negatives) prunes the verify set to the
+    few candidate keys first, so the exact pass counts only candidates."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    stream = _token_stream(docs)
+    return heavy_hitters_from_sketch(cms_build(stream), stream)
 
 
 @query("cms_frequency_estimates", _duck_cms_sql())
@@ -198,9 +204,9 @@ BLOOM_MEMBER_SOURCE = "src0"  # the member set: shingles of one source
 
 
 def _shingle_stream(docs: DataFrame) -> DataFrame:
-    """Distinct (doc-independent) word-3-gram shingles — the key space
-    the filter summarizes (unigrams are too few on this vocabulary to
-    exercise false positives)."""
+    """Word-3-gram shingles WITH repetition (callers .distinct() as
+    needed) — the key space the filter summarizes (unigrams are too few
+    on this vocabulary to exercise false positives)."""
     from .dedup import _SPARK_SHINGLES
 
     return (
@@ -209,27 +215,29 @@ def _shingle_stream(docs: DataFrame) -> DataFrame:
     )
 
 
+def bloom_bits(col: str = "tok", m: int = BLOOM_M, k: int = BLOOM_K) -> F.Column:
+    """The k bit positions of a key as an array column — the ONE place
+    the (seed, m, k) hash family lives; build, probe, and the streaming
+    gate all derive their bits from here so they can never diverge."""
+    return F.array(*[
+        (spark_hash64(F.col(col), BLOOM_SEED + i) % m).cast("int")
+        for i in range(k)
+    ])
+
+
 def bloom_build(keys: DataFrame, col: str = "tok",
                 m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
     """The filter as a relation: one row per SET bit (≤ m rows total,
     regardless of corpus size — the whole point at 100 TB: membership
     state is ~m bits, built with one map-side-combined groupBy)."""
-    bits = F.array(*[
-        (spark_hash64(F.col(col), BLOOM_SEED + i) % m).cast("int")
-        for i in range(k)
-    ])
-    return keys.select(F.explode(bits).alias("bit")).distinct()
+    return keys.select(F.explode(bloom_bits(col, m, k)).alias("bit")).distinct()
 
 
 def bloom_probe(filter_bits: DataFrame, keys: DataFrame, col: str = "tok",
                 m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
     """Probe: a key is bloom-positive iff ALL k of its bits are set.
     The filter is ≤ m rows → broadcast; the probe side streams."""
-    bits = F.array(*[
-        (spark_hash64(F.col(col), BLOOM_SEED + i) % m).cast("int")
-        for i in range(k)
-    ])
-    probed = keys.select(col, F.explode(bits).alias("bit"))
+    probed = keys.select(col, F.explode(bloom_bits(col, m, k)).alias("bit"))
     hits = (
         probed.join(F.broadcast(filter_bits), "bit", "left_semi")
         .groupBy(col)
@@ -297,12 +305,12 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     size broadcast, not a join against the history itself.  The classic
     production use is URL / doc-hash "seen before?" gating on ingest.
     """
-    from .dedup import _repartition_if_narrow
+    from .dedup import _SPARK_SHINGLES, _repartition_if_narrow
 
     docs = _repartition_if_narrow(load_tables(spark, sf_dir)["documents"])
     shingled = (
         docs.select("source", F.filter(F.split("text", " "), lambda t: t != "").alias("toks"))
-        .select("source", F.explode(F.expr("{}".format(_spark_shingles_expr()))).alias("tok"))
+        .select("source", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok"))
     )
     member_keys = (
         shingled.filter(F.col("source") == BLOOM_MEMBER_SOURCE).select("tok").distinct()
@@ -321,11 +329,6 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_keys")
     )
 
-
-def _spark_shingles_expr() -> str:
-    from .dedup import _SPARK_SHINGLES
-
-    return _SPARK_SHINGLES
 
 
 # ---------------------------------------------------------------------------
@@ -362,41 +365,11 @@ def hll_distinct(keys: DataFrame, col: str = "tok") -> DataFrame:
     (union sketches = max per register; contrast the exact distinct's
     full-vocabulary shuffle).  Spark's own approx_count_distinct is the
     production shortcut; this one exists because it can be ORACLED."""
-    rho = (
-        F.lit(HLL_REM_BITS + 1)
-        - F.length(F.expr(f"trim(LEADING '0' FROM lpad(bin(__hll_rem), {HLL_REM_BITS}, '0'))"))
-    )
-    regs = (
-        keys.select(spark_hash64(F.col(col)).alias("__hll_h"))
-        .select(
-            F.expr(f"__hll_h div {_HLL_POW52}").alias("bucket"),
-            (F.col("__hll_h") % F.lit(_HLL_POW52)).alias("__hll_rem"),
-        )
-        .select("bucket", rho.alias("rho"))
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("mrho"))
-    )
-    stats = regs.agg(
-        F.count(F.lit(1)).alias("n_present"),
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_REM_BITS + 1} - mrho)"))
-        .cast("long")
-        .alias("present_sum"),
-    )
-    s_col = (
-        F.col("present_sum")
-        + (F.lit(HLL_M) - F.col("n_present")) * F.lit(_HLL_POW53)
-    ).cast("long")
-    raw = F.lit(_HLL_ALPHA_NUM) / s_col.cast("double")
-    v = F.lit(HLL_M) - F.col("n_present")
-    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double"))
-    est = F.when((raw <= F.lit(_HLL_LC_BOUND)) & (v > 0), F.round(lc, 4)).otherwise(
-        F.round(raw, 4)
-    )
-    return stats.select(
+    return _hll_estimate_from_regs(_hll_registers(keys, col)).select(
         F.lit(HLL_M).alias("n_registers"),
-        F.col("n_present").cast("bigint").alias("n_present"),
-        s_col.alias("harmonic_s"),
-        est.alias("hll_estimate"),
+        "n_present",
+        "harmonic_s",
+        "hll_estimate",
     )
 
 

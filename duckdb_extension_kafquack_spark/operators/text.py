@@ -567,6 +567,21 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-source n-gram novelty (marginal-contribution ordering)
 # ---------------------------------------------------------------------------
 
+def _source_shingle_hashes(docs: DataFrame) -> DataFrame:
+    """Distinct (source, 60-bit shingle hash) pairs — the corpus-
+    composition relation shared by the novelty ordering and the overlap
+    matrix (one definition so the two diagnostics, documented as
+    complements, can never diverge on tokenization)."""
+    from .dedup import _SPARK_SHINGLES
+
+    return (
+        docs.select("source", F.filter(F.split("text", " "), lambda t: t != "").alias("toks"))
+        .select("source", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok"))
+        .select("source", spark_hash64(F.col("tok")).alias("sh"))
+        .distinct()
+    )
+
+
 def ngram_novelty_by_source(docs: DataFrame) -> DataFrame:
     """How many distinct word-3-gram shingles each source contributes
     that NO lexicographically-earlier source has — the greedy marginal
@@ -579,14 +594,7 @@ def ngram_novelty_by_source(docs: DataFrame) -> DataFrame:
     against text, no all-pairs comparison of sources (the naive version
     is a quadratic source×source overlap matrix; the min-claim trick is
     linear and gives the same greedy curve)."""
-    from .dedup import _SPARK_SHINGLES
-
-    pairs = (
-        docs.select("source", F.filter(F.split("text", " "), lambda t: t != "").alias("toks"))
-        .select("source", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok"))
-        .select("source", spark_hash64(F.col("tok")).alias("sh"))
-        .distinct()
-    )
+    pairs = _source_shingle_hashes(docs)
     totals = pairs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("distinct_ngrams"))
     claimed = pairs.groupBy("sh").agg(F.min("source").alias("source"))
     novel = claimed.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("novel_ngrams"))
@@ -834,14 +842,7 @@ def source_overlap_matrix(docs: DataFrame) -> DataFrame:
     dimension-like constant, NOT corpus²; per-source set sizes come off
     the same relation.  Everything downstream of the distinct is
     proportional to (#distinct shingles) × sources."""
-    from .dedup import _SPARK_SHINGLES, spark_hash64
-
-    pairs = (
-        docs.select("source", F.filter(F.split("text", " "), lambda t: t != "").alias("toks"))
-        .select("source", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok"))
-        .select("source", spark_hash64(F.col("tok")).alias("sh"))
-        .distinct()
-    )
+    pairs = _source_shingle_hashes(docs)
     sizes = pairs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = pairs.select(F.col("source").alias("source1"), "sh")
     b = pairs.select(F.col("source").alias("source2"), "sh")

@@ -693,18 +693,14 @@ def streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a stream-static join against the full history — re-reads the corpus
     per micro-batch, while the filter is a broadcast-sized bitmap
     rebuilt only on compaction."""
-    from ..operators.sketch import BLOOM_K, BLOOM_M, BLOOM_SEED
-    from ..functions.hashing import spark_hash64
+    from ..operators.sketch import BLOOM_K, bloom_bits, bloom_build
 
     docs = load_tables(spark, sf_dir)["documents"]
     corpus_keys = (
         docs.filter(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("h")).distinct()
     )
-    bits_arr = F.array(*[
-        (spark_hash64(F.col("h"), BLOOM_SEED + i) % BLOOM_M).cast("int")
-        for i in range(BLOOM_K)
-    ])
-    filter_bits = corpus_keys.select(F.explode(bits_arr).alias("bit")).distinct()
+    bits_arr = bloom_bits("h")
+    filter_bits = bloom_build(corpus_keys, col="h")
     corpus_members = corpus_keys.withColumn("_m", F.lit(1))
 
     stream = (
@@ -753,12 +749,9 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`..operators.sketch.heavy_hitters` oracle — proving the
     incremental sketch converges to the batch sketch exactly."""
     from ..operators.sketch import (
-        CMS_DEPTH,
-        CMS_WIDTH,
-        HH_PHI_PCT,
         _token_stream,
         cms_build,
-        cms_estimate,
+        heavy_hitters_from_sketch,
     )
 
     stream_toks = (
@@ -770,23 +763,7 @@ def streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = spark.table("stream_cms_sketch")
 
     docs = load_tables(spark, sf_dir)["documents"]
-    stream0 = _token_stream(docs)
-    total = stream0.agg(F.count(F.lit(1)).alias("n"))
-    est = cms_estimate(sketch, stream0.distinct())
-    candidates = est.join(F.broadcast(total)).filter(
-        100 * F.col("cms_estimate") >= HH_PHI_PCT * F.col("n")
-    )
-    exact = (
-        stream0.join(F.broadcast(candidates.select("tok")), "tok", "left_semi")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("exact_count"))
-    )
-    return candidates.join(exact, "tok").select(
-        "tok",
-        "exact_count",
-        F.col("cms_estimate").cast("long").alias("cms_estimate"),
-        (100 * F.col("exact_count") >= HH_PHI_PCT * F.col("n")).alias("is_true_hh"),
-    )
+    return heavy_hitters_from_sketch(sketch, _token_stream(docs))
 
 
 # ---------------------------------------------------------------------------

@@ -360,15 +360,18 @@ def test_checkpoint_resume_with_rocksdb_state(spark, tmp_path):
     ), f"no RocksDB artifacts in state dir: {state_files[:10]}"
 
 
-def test_dup_span_coverage_shuffle_budget(spark):
-    """The window rewrite's contract: exactly the local spreader + three
-    keyed exchanges — (doc,shingle) pre-agg (the only full-positional
-    mover, combined map-side), the sort-free count window on sh, and the
-    final doc agg of the reduced relation.  The join-back version had a
-    FIFTH exchange (re-shuffling the per-doc relation onto sh for the
-    join); a regression back to it fails here."""
+def test_dup_span_coverage_no_window_sort(spark):
+    """Shuffle budget AND straggler guard: the spreader + at most four
+    keyed exchanges, and NO window over the shingle key — a count
+    window partitioned on sh sorts and buffers the entire hot-shingle
+    partition in one un-splittable task (the regression a code-review
+    pass caught); hot keys must instead collapse through the map-side
+    partial aggregate and stream through the join probe."""
     df = REGISTRY["dedup_dup_span_coverage"].fn(spark, SF_DIR)
-    assert count_exchanges(df) <= 4
+    # 6 in the pre-AQE plan: the shared per-doc subtree prints twice
+    # (join side + count side) until runtime exchange reuse collapses it
+    assert count_exchanges(df) <= 6
+    assert "Window" not in executed_plan(df)
 
 
 def test_bloom_probe_broadcasts_filter_bits(spark):

@@ -494,27 +494,30 @@ def test_bloom_never_false_negative(spark, members, probes):
 @SLOW
 @given(texts=doc_texts)
 def test_minhash_estimate_bounds(spark, texts):
-    """Calibration output: sig_matches ∈ [0,12], est and exact ∈ [0,1],
-    and identical docs in a candidate pair have est = exact = 1."""
+    """Calibration output on ARBITRARY corpora: sig_matches ∈
+    [0, NUM_HASHES], est and exact Jaccard ∈ [0, 1], and the planted
+    exact-duplicate pair is an LSH candidate with est = exact = 1."""
     from duckdb_extension_kafquack_spark.operators.dedup import (
         NUM_HASHES,
-        dedup_minhash_calibration,
-    )
-    from duckdb_extension_kafquack_spark.operators.dedup import (
-        candidate_pairs,
-        minhash_bands,
-        minhash_sig_sets,
+        minhash_calibration,
     )
 
-    rows = [(i, t) for i, t in enumerate(texts)] + [(len(texts), texts[0])]
+    dup_id = len(texts)
+    rows = [(i, t) for i, t in enumerate(texts)] + [(dup_id, texts[0])]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    sig = minhash_sig_sets(df)
-    pairs = candidate_pairs(minhash_bands(sig))
-    got = pairs.collect()
-    # the exact-dup pair is always an LSH candidate (identical signatures)
-    assert any(r.doc1 == 0 and r.doc2 == len(texts) for r in got) or any(
-        texts[i] == texts[0] for i in range(1, len(texts))
-    )
+    out = minhash_calibration(df).collect()
+    for r in out:
+        assert 0 <= r.sig_matches <= NUM_HASHES
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.jaccard <= 1.0
+    # identical docs always collide in every band → candidate with 1.0/1.0
+    dup_rows = [
+        r for r in out
+        if (r.doc1 == 0 and r.doc2 == dup_id)
+        or (texts[r.doc1] == texts[0] and r.doc2 == dup_id)
+    ]
+    assert dup_rows
+    assert all(r.sig_matches == NUM_HASHES and r.jaccard == 1.0 for r in dup_rows)
 
 
 @SLOW
