@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import spark_hash64
 from ..session import load_tables
 from ..suite import query
 
@@ -948,4 +949,71 @@ def robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.drop("__mad_exact")
         .join(out, "event_type")
         .select("event_type", "n", "median_value", "mad", "n_outliers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-shard manifest: deterministic output sharding + balance audit
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+
+
+@query(
+    "shard_manifest",
+    f"""
+WITH assigned AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % {N_SHARDS} AS shard,
+         doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+  FROM documents
+), per_shard AS (
+  SELECT shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+  FROM assigned GROUP BY shard
+), tot AS (
+  SELECT SUM(n_tokens) AS total_tokens FROM per_shard
+)
+SELECT p.shard, p.n_docs, p.n_tokens, p.min_doc, p.max_doc,
+       p.n_tokens * {N_SHARDS} / t.total_tokens AS balance_ratio
+FROM per_shard p, tot t
+""",
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment + balance audit: docs map
+    to one of {N_SHARDS} output shards by the 60-bit md5 of their id (the
+    SAME assignment on any engine, any cluster size, any run — the
+    property that makes shard contents reproducible across rebuilds),
+    and the manifest reports per-shard doc/token totals plus the
+    token-balance ratio (ideal = 1.0; the md5 scatter keeps worst-case
+    skew ~√(1/n) so no shard straggles the data-loader).  At scale this
+    is the accounting side of `df.write.partitionBy(shard)` — the
+    manifest a training job reads instead of listing files.  One rollup
+    over a {N_SHARDS}-row key space; balance_ratio is int·int / int —
+    a single IEEE division, bit-exact cross-engine."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    assigned = docs.select(
+        (spark_hash64(F.col("doc_id").cast("string")) % N_SHARDS).alias("shard"),
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("toks"),
+    )
+    per_shard = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    tot = per_shard.agg(F.sum("n_tokens").alias("total_tokens"))
+    return (
+        per_shard.join(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            "min_doc",
+            "max_doc",
+            (F.col("n_tokens") * N_SHARDS / F.col("total_tokens")).alias("balance_ratio"),
+        )
     )

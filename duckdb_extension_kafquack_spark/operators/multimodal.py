@@ -387,3 +387,61 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("n_copies") - 1) * F.col("n_bytes")).cast("bigint").alias("reclaimable_bytes"),
         F.max("n_copies").cast("bigint").alias("max_copies"),
     )
+
+
+@query(
+    "crossmodal_label_purity",
+    """
+WITH joined AS (
+  SELECT d.lang, e.label
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+), counts AS (
+  SELECT lang, label, COUNT(*) AS n FROM joined GROUP BY lang, label
+), ranked AS (
+  SELECT lang, label, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, label) AS INTEGER) AS rnk,
+         SUM(n) OVER (PARTITION BY lang) AS lang_total
+  FROM counts
+)
+SELECT lang,
+       CAST(lang_total AS BIGINT) AS n_docs,
+       label AS majority_label,
+       CAST(n AS BIGINT) AS majority_n,
+       n / lang_total AS purity
+FROM ranked WHERE rnk = 1
+""",
+)
+def crossmodal_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality consistency audit: join each document to its
+    embedding row (doc_id = vec_id — the multimodal alignment key) and
+    measure, per language, how concentrated the embedding-cluster
+    labels are (majority label + purity).  A language whose embeddings
+    scatter across clusters signals an embedding-model or alignment
+    problem BEFORE it poisons semantic dedup — the audit a multimodal
+    pipeline runs after every re-embedding.
+
+    Scale: one equi-join on the id key (both sides bucketable on it at
+    scale → zero-exchange SMJ), a (lang,label) rollup bounded by
+    |langs|·|labels| (dimension-like), and a per-lang top-1 over that
+    tiny relation."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    joined = t["documents"].select("doc_id", "lang").join(
+        t["embeddings"].select(F.col("vec_id").alias("doc_id"), "label"), "doc_id"
+    )
+    counts = joined.groupBy("lang", "label").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "label")
+    tot = Window.partitionBy("lang")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .withColumn("lang_total", F.sum("n").over(tot))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "lang",
+            F.col("lang_total").cast("bigint").alias("n_docs"),
+            F.col("label").alias("majority_label"),
+            F.col("n").cast("bigint").alias("majority_n"),
+            (F.col("n") / F.col("lang_total")).alias("purity"),
+        )
+    )
