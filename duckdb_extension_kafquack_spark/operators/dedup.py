@@ -1429,3 +1429,38 @@ FROM agg
 def dedup_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _repartition_if_narrow(load_tables(spark, sf_dir)["documents"])
     return dup_span_coverage(docs)
+
+
+def _duck_cluster_histogram_sql() -> str:
+    return f"""
+WITH comp_summary AS (
+{_duck_clusters_sql()}
+)
+SELECT CAST(n_docs AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) * (n_docs - 1) AS BIGINT) AS docs_droppable
+FROM comp_summary GROUP BY n_docs
+"""
+
+
+@query("dedup_cluster_histogram", _duck_cluster_histogram_sql())
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the near-dup graph — the dedup
+    impact report (how many k-plets exist, how many docs a
+    keep-one-per-cluster pass drops at each size).  A long tail of
+    large clusters here is the signature of template/boilerplate
+    content and the empirical justification for the LSH bucket cap.
+    Rolls up the per-cluster summary (itself the CC output) into a
+    histogram bounded by the largest cluster size — dimension-like."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = minhash_near_duplicates(docs).select("doc1", "doc2")
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.count(F.lit(1)) * (F.col("cluster_size") - 1)).cast("bigint").alias("docs_droppable"),
+    ).select(
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "docs_droppable",
+    )
