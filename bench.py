@@ -63,6 +63,9 @@ HEADLINE = [
     "multimodal_payload_dedup",
     "hll_distinct",
     "event_path_trigrams",
+    "crossmodal_label_purity",
+    "shard_manifest",
+    "dedup_cluster_histogram",
 ]
 
 

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import spark_hash64
+from ..functions.hashing import duck_hash64, spark_hash64
 from ..session import load_tables
 from ..suite import query
 
@@ -323,7 +323,7 @@ def mixture_resample(docs: DataFrame, rates: dict[str, float] | None = None) -> 
     md5-derived bucket (0..999) < rate·1000.  Hash sampling (vs ``rand``)
     is reproducible across engines, retries, and cluster sizes — the
     property a training-data pipeline needs for auditability."""
-    from ..functions.hashing import spark_hash64
+    from ..functions.hashing import duck_hash64, spark_hash64
 
     rates = MIXTURE_RATES if rates is None else rates
     rate = None
@@ -772,7 +772,7 @@ def dataset_split(docs: DataFrame) -> DataFrame:
     data order, so a doc NEVER migrates between splits when the corpus
     is re-processed (the leakage guarantee a rand()-based split cannot
     give).  Map-only + one tiny rollup."""
-    from ..functions.hashing import spark_hash64
+    from ..functions.hashing import duck_hash64, spark_hash64
 
     bucket = spark_hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % SPLIT_BUCKETS
     split = (
@@ -833,7 +833,7 @@ def token_budget_sample(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFram
     100 TB the window is per-language (bounded groups); a hot language
     can additionally shard on a hash prefix with per-shard sub-budgets
     (the sequence_packing pattern)."""
-    from ..functions.hashing import spark_hash64
+    from ..functions.hashing import duck_hash64, spark_hash64
 
     sized = docs.select(
         "doc_id",
@@ -963,7 +963,7 @@ N_SHARDS = 16
     "shard_manifest",
     f"""
 WITH assigned AS (
-  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % {N_SHARDS} AS shard,
+  SELECT {duck_hash64("doc_id::VARCHAR")} % {N_SHARDS} AS shard,
          doc_id,
          len(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
   FROM documents
@@ -983,7 +983,7 @@ FROM per_shard p, tot t
 )
 def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard assignment + balance audit: docs map
-    to one of {N_SHARDS} output shards by the 60-bit md5 of their id (the
+    to one of N_SHARDS (=16) output shards by the 60-bit md5 of their id (the
     SAME assignment on any engine, any cluster size, any run — the
     property that makes shard contents reproducible across rebuilds),
     and the manifest reports per-shard doc/token totals plus the
@@ -991,7 +991,7 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew ~√(1/n) so no shard straggles the data-loader).  At scale this
     is the accounting side of `df.write.partitionBy(shard)` — the
     manifest a training job reads instead of listing files.  One rollup
-    over a {N_SHARDS}-row key space; balance_ratio is int·int / int —
+    over an N_SHARDS-row key space; balance_ratio is int·int / int —
     a single IEEE division, bit-exact cross-engine."""
     docs = load_tables(spark, sf_dir)["documents"]
     assigned = docs.select(

@@ -609,11 +609,12 @@ FROM comp GROUP BY cluster_id
 """
 
 
-@query("dedup_clusters", _duck_clusters_sql())
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cluster_summary(docs: DataFrame) -> DataFrame:
     """Near-dup pairs → connected components → per-cluster summary
-    (cluster_id = canonical keeper, n_docs = copies to drop)."""
-    docs = load_tables(spark, sf_dir)["documents"]
+    (cluster_id = canonical keeper, n_docs = copies to drop) — shared
+    by the clusters query and the impact histogram so the two can
+    never diverge on the derivation (their oracles already share
+    :func:`_duck_clusters_sql`)."""
     pairs = minhash_near_duplicates(docs).select("doc1", "doc2")
     comp = connected_components(pairs)
     return comp.groupBy("cluster_id").agg(
@@ -621,6 +622,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@query("dedup_clusters", _duck_clusters_sql())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cluster_summary(load_tables(spark, sf_dir)["documents"])
 
 
 # ---------------------------------------------------------------------------
@@ -1453,9 +1459,7 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rolls up the per-cluster summary (itself the CC output) into a
     histogram bounded by the largest cluster size — dimension-like."""
     docs = load_tables(spark, sf_dir)["documents"]
-    pairs = minhash_near_duplicates(docs).select("doc1", "doc2")
-    comp = connected_components(pairs)
-    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    sizes = cluster_summary(docs).select(F.col("n_docs").alias("cluster_size"))
     return sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
         (F.count(F.lit(1)) * (F.col("cluster_size") - 1)).cast("bigint").alias("docs_droppable"),

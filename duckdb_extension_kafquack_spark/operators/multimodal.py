@@ -23,7 +23,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -425,8 +425,6 @@ def crossmodal_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     |langs|·|labels| (dimension-like), and a per-lang top-1 over that
     tiny relation."""
     t = load_tables(spark, sf_dir)
-    from pyspark.sql import Window
-
     joined = t["documents"].select("doc_id", "lang").join(
         t["embeddings"].select(F.col("vec_id").alias("doc_id"), "label"), "doc_id"
     )
