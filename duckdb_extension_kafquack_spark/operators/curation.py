@@ -323,7 +323,7 @@ def mixture_resample(docs: DataFrame, rates: dict[str, float] | None = None) -> 
     md5-derived bucket (0..999) < rate·1000.  Hash sampling (vs ``rand``)
     is reproducible across engines, retries, and cluster sizes — the
     property a training-data pipeline needs for auditability."""
-    from ..functions.hashing import duck_hash64, spark_hash64
+    from ..functions.hashing import spark_hash64
 
     rates = MIXTURE_RATES if rates is None else rates
     rate = None
@@ -772,7 +772,7 @@ def dataset_split(docs: DataFrame) -> DataFrame:
     data order, so a doc NEVER migrates between splits when the corpus
     is re-processed (the leakage guarantee a rand()-based split cannot
     give).  Map-only + one tiny rollup."""
-    from ..functions.hashing import duck_hash64, spark_hash64
+    from ..functions.hashing import spark_hash64
 
     bucket = spark_hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % SPLIT_BUCKETS
     split = (
@@ -833,7 +833,7 @@ def token_budget_sample(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFram
     100 TB the window is per-language (bounded groups); a hot language
     can additionally shard on a hash prefix with per-shard sub-budgets
     (the sequence_packing pattern)."""
-    from ..functions.hashing import duck_hash64, spark_hash64
+    from ..functions.hashing import spark_hash64
 
     sized = docs.select(
         "doc_id",

@@ -187,6 +187,27 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFra
     return minhash_sig_sets(docs, num_hashes).drop("stoks", "n")
 
 
+def _persisted_sig_sets(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """Shared persisted signature relation for the pipelines that
+    consume it more than once (near-dup, calibration, incremental).
+
+    The persisted plan is a DERIVED projection — columns reordered to
+    (doc_id, n, stoks, mh...) — not the verbatim
+    :func:`minhash_sig_sets` fragment: Spark's CacheManager substitutes
+    a cached fragment into ANY session plan with the same result
+    (``sameResult`` on canonicalized plans), so persisting the verbatim
+    fragment would silently rewrite the unpersisted
+    :func:`minhash_signatures` builders (signature_store) and make
+    plan-shape tests order-dependent.  A different column order is a
+    different result, so the substitution can never fire; consumers
+    select by name and never notice."""
+    from pyspark import StorageLevel
+
+    sig = minhash_sig_sets(docs, num_hashes)
+    cols = ["doc_id", "n", "stoks"] + [f"mh{s}" for s in range(num_hashes)]
+    return sig.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def minhash_bands(sigs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
     """(doc_id, band, band_sig): md5 of the band's concatenated minhashes."""
     band_rows = []
@@ -225,9 +246,24 @@ def _with_bucket_sub(bands_df: DataFrame, max_bucket_size: int) -> DataFrame:
     ``ceil``, the 60-bit md5 hash, and the modulo reproduce
     bit-identically in the DuckDB mirrors.
 
+    Round-6 constant shave: the hot map is materialized driver-side
+    (``collect``) instead of left as a force-broadcast plan fragment.
+    A broadcast build side transits the driver anyway, so this moves no
+    extra data — but it (a) lets the common no-oversized-bucket case
+    skip the join entirely (``sub ≡ 0`` as one literal column: no second
+    evaluation of the band relation, no broadcast exchange — this was
+    ~2× on every minhash-consuming bench query at sf0.1, where no bucket
+    is ever hot), and (b) in the hot case feeds the join a
+    pre-materialized local relation instead of re-evaluating
+    ``bands_df`` on the build side.  The hot list is bounded at
+    n/cap rows ONLY for degenerate corpora (see the broadcast-overflow
+    argument above) — in practice it is the handful of boilerplate
+    buckets.
+
     NOTE: callers must hand in a ``bands_df`` derived from a persisted /
-    cheap relation — it is evaluated twice (sizes + rows)."""
-    hot = (
+    cheap relation — the size pass evaluates it once ahead of the main
+    pipeline."""
+    sizes = (
         bands_df.groupBy("band", "band_sig")
         .agg(F.count(F.lit(1)).alias("_bn"))
         .filter(F.col("_bn") > max_bucket_size)
@@ -237,6 +273,10 @@ def _with_bucket_sub(bands_df: DataFrame, max_bucket_size: int) -> DataFrame:
             F.ceil(F.col("_bn") / F.lit(float(max_bucket_size))).alias("_nsub"),
         )
     )
+    hot_rows = sizes.collect()
+    if not hot_rows:
+        return bands_df.withColumn("sub", F.lit(0).cast("bigint"))
+    hot = bands_df.sparkSession.createDataFrame(hot_rows, sizes.schema)
     return (
         bands_df.join(F.broadcast(hot), ["band", "band_sig"], "left")
         .withColumn(
@@ -322,9 +362,7 @@ def minhash_near_duplicates(
     counts ``array_intersect`` per pair — no re-shuffle of the shingle
     relation at all.
     """
-    from pyspark import StorageLevel
-
-    sig = minhash_sig_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _persisted_sig_sets(docs)
     pairs = candidate_pairs(minhash_bands(sig))
     s1 = sig.select(
         F.col("doc_id").alias("doc1"), F.col("stoks").alias("t1"), F.col("n").alias("n1")
@@ -447,9 +485,7 @@ def minhash_calibration(docs: DataFrame) -> DataFrame:
     both reproduce bit-for-bit in the oracle.  Physical shape is the
     near-dup pipeline minus the threshold filter: one banded self-join,
     signatures and shingle sets off the same persisted map-side pass."""
-    from pyspark import StorageLevel
-
-    sig = minhash_sig_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _persisted_sig_sets(docs)
     pairs = candidate_pairs(minhash_bands(sig))
     mh_names = [f"mh{s}" for s in range(NUM_HASHES)]
     s1 = sig.select(
@@ -1034,8 +1070,6 @@ def incremental_dedup_report(docs: DataFrame) -> DataFrame:
     (corpus band signatures are precomputable and reusable across
     nightly runs; only candidate pairs are exact-verified).  Precedence
     exact > near matches what a real pipeline stores."""
-    from pyspark import StorageLevel
-
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     corpus_hashes = (
         docs.filter(F.col("doc_id") % 2 == 0)
@@ -1057,7 +1091,7 @@ def incremental_dedup_report(docs: DataFrame) -> DataFrame:
     # bucket sub-split is computed over the FULL band relation first, so
     # sub groups — and therefore the candidate set — are exactly the
     # oracle's self-join-then-filter-parity set.
-    sig = minhash_sig_sets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _persisted_sig_sets(docs)
     bands = _with_bucket_sub(minhash_bands(sig), MAX_LSH_BUCKET)
     cand = (
         bands.filter(F.col("doc_id") % 2 == 1)
