@@ -1445,11 +1445,17 @@ def ann_recall(
     hits = approx.join(
         exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
     )
-    n_queries = exact.select("query_id").distinct().count()
-    return hits.agg(
-        F.count(F.lit(1)).alias("n_hits"),
-        F.lit(n_queries).cast("long").alias("n_queries"),
-        (F.count(F.lit(1)) / F.lit(k * n_queries)).alias("recall_at_k"),
+    # query count in-plan (1-row agg broadcast, the oracle's nq CTE) —
+    # a driver-side .count() here was an extra job per compared method
+    nq = exact.select("query_id").distinct().agg(F.count(F.lit(1)).alias("_nq"))
+    return (
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "n_hits",
+            F.col("_nq").cast("long").alias("n_queries"),
+            (F.col("n_hits") / (F.lit(k) * F.col("_nq"))).alias("recall_at_k"),
+        )
     )
 
 

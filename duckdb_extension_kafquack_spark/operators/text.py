@@ -274,15 +274,18 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_TERMS) -> DataFrame:
     monotone-identical ranking, and (unlike libm ln) bit-identical
     across engines, so the score itself is oracle-checkable."""
     toks = docs.select("doc_id", F.explode(_tok_col()).alias("tok"))
-    n_docs = docs.count()  # scalar: corpus size (driver-side constant, not data)
+    # corpus size as a 1-row aggregate broadcast INTO the plan (the
+    # oracle's CROSS JOIN n shape) — a driver-side docs.count() here
+    # would cost an extra full corpus scan before the main job
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_ = toks.select("doc_id", "tok").distinct().groupBy("tok").agg(
         F.count(F.lit(1)).alias("df")
     )
-    scored = tf.join(df_, "tok").select(
+    scored = tf.join(df_, "tok").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "tok",
-        ((F.col("tf") * F.lit(n_docs)) / F.col("df")).alias("tfidf"),
+        ((F.col("tf") * F.col("n_docs")) / F.col("df")).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
     return (
@@ -326,9 +329,12 @@ def surprisal_scores(docs: DataFrame) -> DataFrame:
     float sum → rounded."""
     toks = docs.select("doc_id", F.explode(_tok_col()).alias("tok"))
     tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
-    total = toks.count()
-    scored = toks.join(tf, "tok").select(
-        "doc_id", (F.lit(total) / F.col("tf")).alias("inv_p")
+    # total token count in-plan (1-row agg, broadcast NLJ — the oracle's
+    # CROSS JOIN total), not a driver-side toks.count() that would
+    # re-explode every token in a separate job first
+    total = toks.agg(F.count(F.lit(1)).alias("t"))
+    scored = toks.join(tf, "tok").crossJoin(F.broadcast(total)).select(
+        "doc_id", (F.col("t") / F.col("tf")).alias("inv_p")
     )
     return scored.groupBy("doc_id").agg(
         F.round(F.avg("inv_p"), 6).alias("mean_surprisal"),

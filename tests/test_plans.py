@@ -410,3 +410,25 @@ def test_retrieval_join_broadcasts_hits(spark):
     documents side must not shuffle."""
     df = REGISTRY["semantic_retrieval_join"].fn(spark, SF_DIR)
     assert uses_broadcast_join(df)
+
+
+def test_scalar_totals_are_in_plan_not_driver_jobs(spark):
+    """text_tfidf / text_surprisal corpus totals are 1-row aggregates
+    broadcast into the plan (the oracles' CROSS JOIN n shape), not
+    eager driver-side .count() calls: BUILDING the DataFrame must
+    launch zero Spark jobs, and the plan must carry the 1-row
+    broadcast (BroadcastNestedLoopJoin — benign scalar broadcast)."""
+    sc = spark.sparkContext
+    group = "plan-build-probe"
+    # warm the table-load path first: the very first parquet load runs
+    # driver file-listing/schema jobs that are not the eager-count smell
+    # this test guards against
+    REGISTRY["text_tfidf"].fn(spark, SF_DIR)
+    sc.setJobGroup(group, "no jobs expected while building the plan")
+    try:
+        dfs = [REGISTRY[n].fn(spark, SF_DIR) for n in ("text_tfidf", "text_surprisal")]
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+    for df in dfs:
+        assert "BroadcastNestedLoopJoin" in executed_plan(df)
