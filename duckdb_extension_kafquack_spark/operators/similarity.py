@@ -115,7 +115,9 @@ def cosine_topk(
     codegen dot spent more time compiling than scoring."""
     import numpy as np
 
-    q_rows = queries.select("vec_id", "embedding").collect()
+    q_rows = _bounded_collect(
+        queries.select("vec_id", "embedding"), "ANN query batch"
+    )
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = (
         np.array([r["embedding"] for r in q_rows], dtype=np.float64)
@@ -271,14 +273,45 @@ def _fold_self(A):
     return acc
 
 
+MAX_QUERY_BATCH = 65536
+"""Hard cap on rows any ANN kernel may close over driver-side.
+
+The kernels (brute / LSH / IVF / int8 / store-served) collect the query
+batch (and the ≤16-row codebook) to the driver inside the UDF closure.
+Real lookups are lookup-sized; a query set accidentally proportional to
+the corpus (the registered demos use ``vec_id % 100 == 0`` — 1% OF THE
+CORPUS, i.e. ~1 TB at 100 TB) would otherwise OOM the driver.  The
+guard transfers at most MAX_QUERY_BATCH+1 rows (``limit`` caps the
+collect itself — the driver never materializes the oversized set) and
+raises with the alternative named.  64k × 64 dims × 8 B ≈ 32 MB —
+comfortably a closure, never a corpus."""
+
+
+def _bounded_collect(df: DataFrame, what: str):
+    """Collect a relation the kernels will close over, enforcing
+    :data:`MAX_QUERY_BATCH`.  Raises ``ValueError`` instead of letting a
+    corpus-sized set reach the driver."""
+    rows = df.limit(MAX_QUERY_BATCH + 1).collect()
+    if len(rows) > MAX_QUERY_BATCH:
+        raise ValueError(
+            f"{what} exceeds MAX_QUERY_BATCH={MAX_QUERY_BATCH} rows; the "
+            "ANN kernels close over a driver-side copy of the query "
+            "batch, which must stay lookup-sized. Score a corpus-scale "
+            "query set in bounded chunks, or express it as a join "
+            "(broadcast the smaller side) instead of a kernel closure."
+        )
+    return rows
+
+
 def _collect_f64(df: DataFrame):
     """Driver-side (ids, matrix, fold-order norms) of a SMALL relation
     (codebook / query batch) — the one collection the ANN kernels close
     over.  Shared by every kernel so the dtype casts, zero-row guard,
-    and norm fold order can never diverge between them."""
+    and norm fold order can never diverge between them.  Bounded by
+    :data:`MAX_QUERY_BATCH` via :func:`_bounded_collect`."""
     import numpy as np
 
-    rows = df.select("vec_id", "embedding").collect()
+    rows = _bounded_collect(df.select("vec_id", "embedding"), "ANN kernel closure")
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = (
         np.array([r["embedding"] for r in rows], dtype=np.float64)
@@ -761,7 +794,9 @@ def int8_topk(embeddings: DataFrame, queries: DataFrame, k: int = TOPK) -> DataF
     import numpy as np
 
     mn, mx = _sq_minmax_np(embeddings)
-    q_rows = queries.select("vec_id", "embedding").collect()
+    q_rows = _bounded_collect(
+        queries.select("vec_id", "embedding"), "ANN query batch"
+    )
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = _np_quantize(
         np.array([r["embedding"] for r in q_rows], dtype=np.float64)
@@ -938,7 +973,9 @@ def int8_ivf_topk(
     mn, mx = _sq_minmax_np(embeddings)
 
     def _collect_codes(df):
-        rows = df.select("vec_id", "embedding").collect()
+        rows = _bounded_collect(
+            df.select("vec_id", "embedding"), "IVF kernel closure"
+        )
         ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
         mat = _np_quantize(
             np.array([r["embedding"] for r in rows], dtype=np.float64)
@@ -1136,11 +1173,16 @@ def kmeans_codebook_train(
     Physical shape per iteration: ONE numpy pass over the corpus scan
     (``mapInPandas``) emitting per-batch per-cell partial sums — ≤
     |cells| rows per batch leave each task (the classic map-side combine
-    of distributed k-means); partials are folded driver-side (≤ batches
-    × cells tiny integer rows, same class as the codebook collect).
-    Returns ``(cell_ids, counts, cents)`` numpy state after ``iters``
-    rounds: ids, final-round member counts, and the updated integer
-    centroids."""
+    of distributed k-means); partials are then reduced IN-PLAN by a
+    ``groupBy(cell_id)`` with one integer ``sum`` per dimension (its own
+    partial aggregation collapses them executor-side), and only the
+    ≤ |cells| final rows reach the driver.  (Round 5 folded the
+    per-batch partials in a driver dict — ~batches × cells rows through
+    the driver per iteration, a bottleneck at 100 TB; exact integer
+    sums reduce in any order, so moving the fold in-plan is
+    bit-identical.)  Returns ``(cell_ids, counts, cents)`` numpy state
+    after ``iters`` rounds: ids, final-round member counts, and the
+    updated integer centroids."""
     import numpy as np
 
     if iters < 1:
@@ -1203,12 +1245,20 @@ def kmeans_codebook_train(
     for _ in range(iters):
         parts = corpus.mapInPandas(
             make_pass(cent_ids, cents), "cell_id long, n long, s array<long>"
-        ).collect()
-        counts, sums = {}, {}
-        for r in parts:
-            counts[r["cell_id"]] = counts.get(r["cell_id"], 0) + r["n"]
-            sv = np.array(r["s"], dtype=np.int64)
-            sums[r["cell_id"]] = sums.get(r["cell_id"], 0) + sv
+        )
+        final = (
+            parts.groupBy("cell_id")
+            .agg(
+                F.sum("n").alias("n"),
+                *[F.sum(F.col("s")[i]).alias(f"s{i}") for i in range(DIM)],
+            )
+            .collect()
+        )
+        counts = {r["cell_id"]: r["n"] for r in final}
+        sums = {
+            r["cell_id"]: np.array([r[f"s{i}"] for i in range(DIM)], dtype=np.int64)
+            for r in final
+        }
         if not counts:
             raise ValueError(
                 "assignment pass produced no members (empty or all-zero corpus)"
@@ -1625,7 +1675,9 @@ def int8_ivf_from_store(
     )
     sqrt_cn = np.sqrt((cents * cents).sum(axis=1))
 
-    q_rows = queries.select("vec_id", "embedding").collect()
+    q_rows = _bounded_collect(
+        queries.select("vec_id", "embedding"), "ANN query batch"
+    )
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = _np_quantize(
         np.array([r["embedding"] for r in q_rows], dtype=np.float64)

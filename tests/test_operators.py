@@ -127,6 +127,23 @@ class TestSimilarity:
         out = embedding_near_duplicates(tables["embeddings"], threshold=0.45).collect()
         assert all(r.id1 < r.id2 and r.cos_sim >= 0.45 for r in out)
 
+    def test_oversized_query_batch_is_rejected(self, spark, tables, monkeypatch):
+        """The ANN kernels close over a driver-side copy of the query
+        batch; a corpus-proportional query set must fail fast with the
+        guard's error, not OOM the driver.  The limit inside
+        _bounded_collect also caps the TRANSFER — only cap+1 rows ever
+        move — which this test can't see but the code path exercises."""
+        import pytest
+
+        from duckdb_extension_kafquack_spark.operators import similarity
+
+        emb = tables["embeddings"]
+        monkeypatch.setattr(similarity, "MAX_QUERY_BATCH", 5)
+        with pytest.raises(ValueError, match="MAX_QUERY_BATCH"):
+            similarity.cosine_topk(emb, emb.limit(10), k=3)
+        # at or under the cap: builds fine
+        similarity.cosine_topk(emb, emb.limit(5), k=3)
+
 
 class TestText:
     def test_quality_bounds(self, spark, tables):
