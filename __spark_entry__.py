@@ -49,8 +49,9 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-def _latest_driver_verdicts() -> dict[str, dict]:
-    """Latest per-query verdict across every committed CORRECTNESS_r*.json.
+def _latest_driver_verdicts() -> dict[str, tuple[dict, str]]:
+    """Latest per-query (verdict, source CORRECTNESS file) across every
+    committed CORRECTNESS_r*.json.
 
     The driver gate caps at 50 queries/round; ordering the driver-facing
     dicts by verdict freshness means every registered query gets a
@@ -59,36 +60,107 @@ def _latest_driver_verdicts() -> dict[str, dict]:
     import json
 
     here = os.path.dirname(os.path.abspath(__file__))
-    latest: dict[str, dict] = {}
+    latest: dict[str, tuple[dict, str]] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                latest.update(json.load(f))
+                for name, verdict in json.load(f).items():
+                    latest[name] = (verdict, path)
         except Exception:  # noqa: BLE001 — a malformed file must not break the gate
             continue
     return latest
+
+
+def _git_commit_times(paths: list[str]) -> dict[str, int | None]:
+    """Unix time of the last commit touching each path; ``None`` when the
+    path has UNCOMMITTED working-tree changes (treat as 'just changed').
+    Any git failure degrades to an empty dict — ordering falls back to
+    verdict tiers alone, never breaks the gate."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out: dict[str, int | None] = {}
+    try:
+        dirty = subprocess.run(
+            ["git", "-C", here, "status", "--porcelain", "--"] + paths,
+            capture_output=True, text=True, timeout=15,
+        ).stdout
+        dirty_files = {line[3:].strip() for line in dirty.splitlines() if line}
+        for p in paths:
+            rel = os.path.relpath(p, here)
+            if rel in dirty_files:
+                out[p] = None
+                continue
+            r = subprocess.run(
+                ["git", "-C", here, "log", "-1", "--format=%ct", "--", p],
+                capture_output=True, text=True, timeout=15,
+            ).stdout.strip()
+            out[p] = int(r) if r else None
+    except Exception:  # noqa: BLE001
+        return {}
+    return out
 
 
 def _driver_order() -> list[str]:
     """Three tiers from the committed driver verdicts:
 
     0. never driver-sampled (no verdict in any CORRECTNESS file);
-    1. latest verdict red (err, or any *_match false) — re-check fixes;
-    2. latest verdict green — re-verify last, only if budget remains.
+    1. latest verdict red (err, or any *_match false) — re-check fixes —
+       or latest verdict green but STALE: the query's implementing
+       module was committed (or edited) after the CORRECTNESS file that
+       recorded the verdict, so this round's driver sample re-covers
+       what the round actually touched instead of re-verifying greens
+       nothing changed under;
+    2. latest verdict green and current — re-verify last, only if
+       budget remains.
     """
     verdicts = _latest_driver_verdicts()
     names = list(suite.REGISTRY)
+
+    fn_file = {
+        n: getattr(suite.REGISTRY[n].fn, "__code__", None)
+        and suite.REGISTRY[n].fn.__code__.co_filename
+        for n in names
+    }
+    tracked = sorted(
+        {p for p in fn_file.values() if p}
+        | {path for _, path in verdicts.values()}
+    )
+    ctimes = _git_commit_times(tracked)
+
+    def stale(n: str) -> bool:
+        if n not in verdicts:
+            return False
+        _, vpath = verdicts[n]
+        mod = fn_file.get(n)
+        if not mod or not ctimes:
+            return False
+        mod_ct, verdict_ct = ctimes.get(mod), ctimes.get(vpath)
+        if mod_ct is None:  # dirty or never committed: changed right now
+            return True
+        return verdict_ct is not None and mod_ct > verdict_ct
 
     def tier(n: str) -> int:
         v = verdicts.get(n)
         if v is None:
             return 0
-        green = v.get("err") is None and all(
-            v.get(k) is not False for k in ("rows_match", "schema_match", "hash_match")
+        green = v[0].get("err") is None and all(
+            v[0].get(k) is not False
+            for k in ("rows_match", "schema_match", "hash_match")
         )
-        return 2 if green else 1
+        return 2 if green and not stale(n) else 1
 
-    return sorted(names, key=lambda n: (tier(n), names.index(n)))
+    def recency(n: str) -> float:
+        """Most-recently-changed module first WITHIN a tier, so when the
+        stale set exceeds the driver's 50-query cap, this round's edits
+        outrank last round's."""
+        mod = fn_file.get(n)
+        ct = ctimes.get(mod) if mod else 0
+        if mod and mod in ctimes and ctimes[mod] is None:
+            return float("inf")  # dirty working tree: changed right now
+        return float(ct or 0)
+
+    return sorted(names, key=lambda n: (tier(n), -recency(n), names.index(n)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

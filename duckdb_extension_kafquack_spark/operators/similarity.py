@@ -1749,6 +1749,32 @@ def int8_ivf_from_store(
     )
 
 
+@query("ann_int8_store_topk", _duck_sq_ivf_sql())
+def ann_int8_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN serving lifecycle end-to-end: materialize the
+    cell-partitioned int8 code store (one corpus encode pass +
+    partitioned write), then serve the standard query batch FROM the
+    store — partition pruning on ``cell`` replaces per-batch
+    re-assignment, so serving touches only probed cells' files and
+    never the float vectors.  Bit-identical to :func:`int8_ivf_topk`
+    computing everything from raw floats, hence the shared oracle.
+
+    The store lands in the session warehouse dir (same convention as
+    the minhash signature store) and is rewritten per call — the
+    registered query measures the full build+serve lifecycle, which is
+    what a nightly index rebuild pays."""
+    import os
+
+    from .dedup import _repartition_if_narrow
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    path = os.path.join(warehouse.removeprefix("file:"), "kafquack_int8_store")
+    store_quantized_codes(_repartition_if_narrow(emb), path)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return int8_ivf_from_store(spark, path, queries)
+
+
 # ---------------------------------------------------------------------------
 # embedding outliers: distance-to-nearest-centroid data-quality audit
 # ---------------------------------------------------------------------------
