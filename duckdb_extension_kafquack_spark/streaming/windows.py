@@ -442,7 +442,10 @@ def streaming_kafka_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources don't support availableNow — Spark falls back to single-batch
     execution, which (with no maxOffsetsPerTrigger) drains the whole
     replay in batch 0, giving the bounded-read parity the reference's
-    interactive scan has (kafquack_extension.cpp:145-157)."""
+    interactive scan has (kafquack_extension.cpp:145-157).  Since round 6
+    that batch is served by the partition-parallel
+    ``KafquackStreamReader``: offsets planned driver-side from footer
+    metadata, rows read executor-side across >1 task."""
     from ..session import ensure_session_conf
     from ..sources.datasource import read_kafquack
 

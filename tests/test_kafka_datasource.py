@@ -224,6 +224,88 @@ class TestStreamRead:
         assert rows2 == [] and end2 == end
 
 
+class TestParallelStreamReader:
+    """The full DataSourceStreamReader (round 6): micro-batches planned
+    driver-side from footer metadata, read executor-side in >1 task."""
+
+    def _reader(self, **opts):
+        from duckdb_extension_kafquack_spark.sources.datasource import (
+            KafquackStreamReader,
+        )
+
+        return KafquackStreamReader({"fixture_dir": SF_DIR, "topic": "events", **opts})
+
+    def test_micro_batch_fans_out_to_multiple_partitions(self):
+        """VERDICT r5 item 1's done-condition: >1 input partition per
+        micro-batch, planned with the batch reader's split math."""
+        r = self._reader()
+        start, end = r.initialOffset(), r.latestOffset()
+        parts = r.partitions(start, end)
+        assert len(parts) > 1
+        # disjoint, ordered, and complete over [start, end)
+        bounds = [(p.start, p.end) for p in parts]
+        assert bounds == sorted(bounds)
+        assert bounds[0][0] == start["index"] and bounds[-1][1] == end["index"]
+        assert all(a[1] == b[0] for a, b in zip(bounds, bounds[1:]))
+
+    def test_partitioned_reads_cover_the_batch_exactly(self, spark):
+        """Union of executor-side reads over the planned partitions ==
+        the whole micro-batch projection: nothing lost, nothing doubled."""
+        import pyarrow as pa
+
+        from duckdb_extension_kafquack_spark.sources.datasource import (
+            _read_replay_split,
+        )
+
+        r = self._reader(max_offsets_per_trigger="700")
+        start, end = r.initialOffset(), r.latestOffset()
+        parts = r.partitions(start, end)
+        got = pa.Table.from_batches(
+            [b for p in parts for b in _read_replay_split(p)]
+        )
+        assert len(got) == end["index"] - start["index"] == 700
+        offsets = got["offset"].to_pylist()
+        assert len(set(offsets)) == 700
+
+    def test_rate_limit_and_monotone_offsets(self):
+        r = self._reader(max_offsets_per_trigger="300")
+        r.initialOffset()
+        first = r.latestOffset()
+        assert first == {"index": 300}
+        second = r.latestOffset()
+        assert second == {"index": 600}
+        # commit never moves the position backwards
+        r.commit({"index": 500})
+        assert r.latestOffset() == {"index": 900}
+        # restart with no recovered state: full catch-up, never backwards
+        r2 = self._reader(max_offsets_per_trigger="300")
+        total = r2._rg_index()[-1]
+        assert r2.latestOffset() == {"index": total}
+
+    def test_empty_range_plans_no_partitions(self):
+        r = self._reader()
+        assert r.partitions({"index": 10}, {"index": 10}) == []
+
+    def test_simple_reader_optin_falls_back(self):
+        """simple_stream_reader=true raises the API's NOT_IMPLEMENTED
+        marker from streamReader, which is exactly what makes Spark's
+        _streamReader dispatch use simpleStreamReader instead."""
+        from pyspark.errors import PySparkNotImplementedError
+
+        ds = KafquackDataSource(
+            {
+                "brokers": "b",
+                "topic": "t",
+                "group_id": "g",
+                "fixture_dir": SF_DIR,
+                "simple_stream_reader": "true",
+            }
+        )
+        with pytest.raises(PySparkNotImplementedError):
+            ds.streamReader(schema=None)
+        assert ds.simpleStreamReader(schema=None) is not None
+
+
 class TestSqlRoute:
     def test_create_view_using_kafquack(self, spark):
         """The reference's pure-SQL idiom, end-to-end: CREATE VIEW USING
