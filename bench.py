@@ -42,6 +42,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_int8_topk",
     "ann_int8_ivf_topk",
+    "ann_int8_store_topk",
     "ivf_kmeans_codebook",
     "dedup_embedding_cosine",
     "dedup_incremental",

@@ -1215,6 +1215,12 @@ def kmeans_codebook_train(
             import numpy as np
             import pandas as pd
 
+            # accumulate across ALL of this task's Arrow batches and emit
+            # ONE ≤|cells|-row frame per task: the map-side combine runs
+            # inside the kernel, so the in-plan reduce shuffles at most
+            # tasks × cells tiny rows regardless of batch count
+            p_n = {}
+            p_s = {}
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -1230,13 +1236,17 @@ def kmeans_codebook_train(
                     np.sqrt((mat * mat).sum(axis=1))[:, None] * cn[None, :]
                 )
                 assign = np.argsort(-cos, axis=1, kind="stable")[:, 0]
-                rows = []
                 for j in np.unique(assign):
                     sub = mat[assign == j]
-                    rows.append(
-                        (int(cid[j]), len(sub), sub.sum(axis=0).astype(np.int64).tolist())
-                    )
-                yield pd.DataFrame(rows, columns=["cell_id", "n", "s"])
+                    c = int(cid[j])
+                    p_n[c] = p_n.get(c, 0) + len(sub)
+                    s = sub.sum(axis=0).astype(np.int64)
+                    p_s[c] = s if c not in p_s else p_s[c] + s
+            if p_n:
+                yield pd.DataFrame(
+                    [(c, p_n[c], p_s[c].tolist()) for c in sorted(p_n)],
+                    columns=["cell_id", "n", "s"],
+                )
 
         return go
 

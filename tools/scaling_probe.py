@@ -70,6 +70,7 @@ def main() -> None:
         int8_ivf_topk,
         int8_topk,
         ivf_topk,
+        kmeans_codebook_train,
     )
     from duckdb_extension_kafquack_spark.operators.dedup import (
         incremental_dedup_report,
@@ -96,15 +97,36 @@ def main() -> None:
 
     results: dict[str, dict[int, float]] = {}
 
-    def bench(name: str, k: int, df: DataFrame) -> None:
+    def bench(name: str, k: int, make_df) -> None:
         # min-of-2: a single run can catch one-off JIT/codegen/Python-
-        # worker spin-up and report a 5-10x outlier as "growth"
+        # worker spin-up and report a 5-10x outlier as "growth".
+        # make_df is a THUNK: plan construction happens inside the
+        # timing (some pipelines run an eager bounded job at build time,
+        # e.g. the LSH hot-bucket size map) — same methodology as
+        # bench.py's headline loop.
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
+            make_df().write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         results.setdefault(name, {})[k] = round(best, 2)
+        # the pipelines persist their signature relations and never
+        # unpersist (library code can't know the caller is done);
+        # without this, ~50 cached relations accumulate by the 16× loop
+        # and storage-memory eviction thrash reads as operator "growth"
+        # (round 6 measured minhash 18.6s dirty vs 4.9s clean at 16×)
+        spark.catalog.clearCache()
+
+    def bench_call(name: str, k: int, fn) -> None:
+        """min-of-2 for operators whose product is driver-side state
+        (the k-means trainer returns numpy arrays, not a DataFrame)."""
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        results.setdefault(name, {})[k] = round(best, 2)
+        spark.catalog.clearCache()
 
     events0 = read_table(spark, sf_dir, "events")
     n_users = events0.agg(F.max("user_id")).collect()[0][0] + 1
@@ -129,30 +151,31 @@ def main() -> None:
 
     for k in (1, 4, 16):
         docs = replicate_docs(docs0, k).localCheckpoint()
-        bench("quality_scores", k, quality_scores(docs))
-        bench("minhash_lsh_dedup", k, minhash_near_duplicates(docs))
-        bench("simhash_signatures", k, simhash_signatures(docs))
-        bench("contamination_check", k, contamination_counts(docs))
-        bench("repetition_scores", k, repetition_scores(docs))
-        bench("dup_span_coverage", k, dup_span_coverage(docs))
-        bench("ngram_novelty", k, ngram_novelty_by_source(docs))
-        bench("bigram_surprisal", k, bigram_surprisal_scores(docs))
-        bench("source_overlap", k, source_overlap_matrix(docs))
+        bench("quality_scores", k, lambda: quality_scores(docs))
+        bench("minhash_lsh_dedup", k, lambda: minhash_near_duplicates(docs))
+        bench("simhash_signatures", k, lambda: simhash_signatures(docs))
+        bench("contamination_check", k, lambda: contamination_counts(docs))
+        bench("repetition_scores", k, lambda: repetition_scores(docs))
+        bench("dup_span_coverage", k, lambda: dup_span_coverage(docs))
+        bench("ngram_novelty", k, lambda: ngram_novelty_by_source(docs))
+        bench("bigram_surprisal", k, lambda: bigram_surprisal_scores(docs))
+        bench("source_overlap", k, lambda: source_overlap_matrix(docs))
         # CMS heavy-hitter path: sketch + estimates over the token stream
         stream = _token_stream(docs)
-        bench("cms_sketch_estimates", k, cms_estimate(cms_build(stream), stream.distinct()))
+        bench("cms_sketch_estimates", k, lambda: cms_estimate(cms_build(stream), stream.distinct()))
         emb = replicate_embeddings(emb0, k).localCheckpoint()
         queries = emb.filter(F.col("vec_id") % 500 == 0)
-        bench("ann_cosine_topk", k, cosine_topk(emb, queries))
-        bench("ann_ivf_topk", k, ivf_topk(emb, queries))
-        bench("ann_int8_topk", k, int8_topk(emb, queries))
-        bench("ann_int8_ivf_topk", k, int8_ivf_topk(emb, queries))
-        bench("incremental_dedup", k, incremental_dedup_report(docs))
+        bench("ann_cosine_topk", k, lambda: cosine_topk(emb, queries))
+        bench("ann_ivf_topk", k, lambda: ivf_topk(emb, queries))
+        bench("ann_int8_topk", k, lambda: int8_topk(emb, queries))
+        bench("ann_int8_ivf_topk", k, lambda: int8_ivf_topk(emb, queries))
+        bench_call("ivf_kmeans_train", k, lambda: kmeans_codebook_train(emb))
+        bench("incremental_dedup", k, lambda: incremental_dedup_report(docs))
         # block-pair tiled exact all-pairs: O(n²) compute by design, but
         # distributed (tiles scale with n_blocks²) — probe all k
-        bench("embedding_near_dup", k, embedding_near_duplicates(emb))
+        bench("embedding_near_dup", k, lambda: embedding_near_duplicates(emb))
         ev = replicate_events(k).localCheckpoint()
-        bench("funnel_stages", k, funnel_stages(ev))
+        bench("funnel_stages", k, lambda: funnel_stages(ev))
         print(f"k={k}: " + ", ".join(f"{n}={t[k]}s" for n, t in results.items() if k in t))
 
     n_docs = docs0.count()
@@ -163,9 +186,11 @@ def main() -> None:
         f"Base: `{sf_dir}` ({n_docs} docs, {n_emb} vectors), replicated k× as",
         "near-duplicates (worst case for dedup: every replica group is a",
         "real near-dup cluster).  local[32]; times in seconds (min of 2,",
-        "~±20% scheduler noise).  The question is the GROWTH SHAPE: banded",
-        "LSH joins and map-only scoring should scale ~linearly in rows —",
-        "a quadratic term would explode at 16×.",
+        "~±20% scheduler noise; plan-build included in the timing; cache",
+        "cleared between operators so persisted-relation eviction thrash",
+        "can't masquerade as growth).  The question is the GROWTH SHAPE:",
+        "banded LSH joins and map-only scoring should scale ~linearly in",
+        "rows — a quadratic term would explode at 16×.",
         "",
         "| operator | 1× | 4× | 16× | 16×/1× ratio |",
         "|---|---|---|---|---|",
@@ -214,11 +239,23 @@ def main() -> None:
         "  int8 scan.  All four ANN rows run the late-round-5 fused",
         "  kernels (fold-order / exact-integer numpy over the corpus scan,",
         "  per-batch partial top-k).",
-        "* `minhash_lsh_dedup` — the round-5 bucket sub-split",
-        "  (MAX_LSH_BUCKET=64, hashed-modulo scatter, no ranking-window",
-        "  exchange) bounds expected within-bucket pairs at O(b·64) and",
-        "  spreads a hot bucket across join partitions: the replica-heavy",
-        "  probe that previously grew 4.0× at 16× is now flat.",
+        "* `ivf_kmeans_train` — two Lloyd rounds = two linear corpus",
+        "  passes in code space; the per-round reduce is an in-plan",
+        "  groupBy(cell) with map-side partial aggregation, so reduce",
+        "  output is ≤ |cells| rows REGARDLESS of corpus size (round 6 —",
+        "  the round-5 driver-side fold grew with Arrow-batch count).",
+        "  Expected growth: linear in rows.",
+        "* `minhash_lsh_dedup` — the bucket sub-split (MAX_LSH_BUCKET=64,",
+        "  hashed-modulo scatter, no ranking-window exchange) bounds",
+        "  within-bucket pair candidates at O(rows·64) — LINEAR scan +",
+        "  banding work.  But the probe's OUTPUT is quadratic in k BY",
+        "  CONSTRUCTION: each replica group has k mutual near-dups, so",
+        "  true pairs ∝ n·C(k,2) — 0 extra pairs at 1×, ~120·n at 16× —",
+        "  and the verify join + result materialization pay for each.",
+        "  The measured 16×/1× ratio is therefore expected to sit ABOVE",
+        "  linear-in-rows but far below the unbanded quadratic (which the",
+        "  pre-cap probe measured as runaway); judge the row against the",
+        "  pair-output model, not against flatness.",
         "* `embedding_near_dup` is the block-pair tiled EXACT all-pairs scan:",
         "  inherently O(n²) work, but fully distributed — per-tile BLAS with",
         "  only candidate ids leaving each tile, no driver collect, no",
