@@ -3,6 +3,7 @@ from .explain import (
     executed_plan,
     has_partial_aggregation,
     optimized_plan,
+    partition_filters,
     pushed_filters,
     read_schemas,
     uses_broadcast_join,
@@ -14,6 +15,7 @@ __all__ = [
     "optimized_plan",
     "read_schemas",
     "pushed_filters",
+    "partition_filters",
     "count_exchanges",
     "uses_broadcast_join",
     "has_partial_aggregation",

@@ -39,6 +39,20 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters of every scan — partition-PRUNING evidence (a
+    filter on a partitionBy column skips whole directories before any
+    byte is read; distinct from PushedFilters, which prune row groups
+    inside the files that survive)."""
+    out = []
+    for line in executed_plan(df).splitlines():
+        if "PartitionFilters:" in line:
+            out.append(
+                line.split("PartitionFilters:")[1].split("]", 1)[0].strip() + "]"
+            )
+    return out
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges — the quantity to minimize at scale."""
     plan = executed_plan(df)
