@@ -1580,7 +1580,10 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def store_quantized_codes(
-    embeddings: DataFrame, path: str, n_centroids: int = IVF_CENTROIDS
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = IVF_CENTROIDS,
+    files_per_cell: int = 1,
 ) -> None:
     """Materialize the scalar-quantized code store PARTITIONED BY IVF
     CELL — the production artifact every int8/IVF docstring above refers
@@ -1646,6 +1649,21 @@ def store_quantized_codes(
 
     codes = embeddings.select("vec_id", "embedding").mapInPandas(
         encode, "vec_id long, qv array<double>, nrm double, cell long"
+    )
+    # cluster by cell BEFORE the partitioned write: a raw
+    # partitionBy("cell") writes one file per (task × cell) — at 100 TB
+    # with 10⁵ tasks that's the small-files explosion that kills the
+    # serving scan.  Repartitioning on (cell, salt) bounds output at
+    # ~cells × files_per_cell files while keeping write parallelism;
+    # raise files_per_cell as the corpus grows so a file stays
+    # executor-sized.
+    fpc = max(1, int(files_per_cell))
+    from ..functions.hashing import spark_hash64
+
+    codes = codes.repartition(
+        n_centroids * fpc,
+        F.col("cell"),
+        spark_hash64(F.col("vec_id").cast("string")) % fpc,
     )
     codes.write.mode("overwrite").partitionBy("cell").parquet(path)
     meta = spark.createDataFrame(
