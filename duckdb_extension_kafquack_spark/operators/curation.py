@@ -1017,3 +1017,95 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_tokens") * N_SHARDS / F.col("total_tokens")).alias("balance_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus version diff (snapshot comparison by content hash)
+# ---------------------------------------------------------------------------
+
+# deterministic synthetic "v2" of the corpus for the registered demo:
+# doc_id % 7 == 0 removed; surviving doc_id % 11 == 0 edited;
+# doc_id % 13 == 0 re-added as a new doc at doc_id + 10^9
+VERSION_DROP_MOD, VERSION_EDIT_MOD, VERSION_ADD_MOD = 7, 11, 13
+VERSION_ADD_OFFSET = 1_000_000_000
+
+
+def corpus_version_diff(v1: DataFrame, v2: DataFrame) -> DataFrame:
+    """Snapshot diff between two corpus versions by CONTENT hash — the
+    audit a training pipeline runs before retraining on a refreshed
+    crawl: how many docs were added / removed / changed / unchanged,
+    per language.  Diffing by md5(text) (not by row equality) means a
+    re-crawl that re-orders or re-partitions the corpus reports zero
+    churn, and an edited doc counts as changed, not as one add plus one
+    remove.
+
+    Physical shape: one doc_id-keyed full-outer join (sort-merge at
+    scale; both sides project to (doc_id, md5, lang) map-side first, so
+    the shuffle carries ~50 bytes/doc, never text) and a langs×4-row
+    rollup.  For nightly diffs at 100 TB, store both snapshots bucketed
+    by doc_id and the join is shuffle-free."""
+    a = v1.select(
+        "doc_id", F.md5("text").alias("h1"), F.col("lang").alias("lang1")
+    )
+    b = v2.select(
+        "doc_id", F.md5("text").alias("h2"), F.col("lang").alias("lang2")
+    )
+    status = (
+        F.when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        a.join(b, "doc_id", "full_outer")
+        .select(F.coalesce("lang1", "lang2").alias("lang"), status.alias("status"))
+        .groupBy("lang", "status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+def synthetic_v2(docs: DataFrame) -> DataFrame:
+    """The deterministic refreshed-corpus stand-in the registered demo
+    diffs against (drop %7, edit %11, add %13 at +10^9)."""
+    survivors = docs.filter(F.col("doc_id") % VERSION_DROP_MOD != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % VERSION_EDIT_MOD == 0,
+            F.concat(F.col("text"), F.lit(" rev2")),
+        ).otherwise(F.col("text")).alias("text"),
+        "lang",
+    )
+    added = docs.filter(F.col("doc_id") % VERSION_ADD_MOD == 0).select(
+        (F.col("doc_id") + VERSION_ADD_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" new")).alias("text"),
+        "lang",
+    )
+    return survivors.unionByName(added)
+
+
+_DUCK_VERSION_DIFF = f"""
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {VERSION_EDIT_MOD} = 0 THEN text || ' rev2' ELSE text END AS text,
+         lang
+  FROM documents WHERE doc_id % {VERSION_DROP_MOD} <> 0
+  UNION ALL
+  SELECT doc_id + {VERSION_ADD_OFFSET}, text || ' new', lang
+  FROM documents WHERE doc_id % {VERSION_ADD_MOD} = 0
+), a AS (SELECT doc_id, md5(text) AS h1, lang AS lang1 FROM documents),
+b AS (SELECT doc_id, md5(text) AS h2, lang AS lang2 FROM v2)
+SELECT COALESCE(lang1, lang2) AS lang,
+       CASE WHEN h2 IS NULL THEN 'removed'
+            WHEN h1 IS NULL THEN 'added'
+            WHEN h1 <> h2 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM a FULL OUTER JOIN b USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+@query("corpus_version_diff", _DUCK_VERSION_DIFF)
+def corpus_version_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return corpus_version_diff(docs, synthetic_v2(docs))

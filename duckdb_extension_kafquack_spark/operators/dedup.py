@@ -523,6 +523,59 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_calibration(load_tables(spark, sf_dir)["documents"])
 
 
+SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def threshold_sweep(docs: DataFrame) -> DataFrame:
+    """Operating-point sweep for the dedup threshold: for each candidate
+    threshold, how many LSH candidate pairs the EXACT Jaccard keeps
+    (``exact_pairs``), how many the signature ESTIMATE would keep
+    (``est_pairs``), and their agreement (``agree_pairs``) — the
+    precision/recall table a pipeline reads BEFORE committing to a
+    threshold, because at 100 TB only the estimate exists (shingle sets
+    are too big to keep; see :func:`minhash_calibration`).
+
+    Physical shape: the calibration relation is the expensive part (one
+    banded join); the sweep itself is a 5-way explode of that SMALL pair
+    relation plus one ≤5-row rollup — free at any scale.  All counts are
+    integers, and both engines compare the same IEEE divisions against
+    the same decimal literals, so no boundary pair can flip."""
+    cal = minhash_calibration(docs)
+    t = F.explode(
+        F.array(*[F.lit(float(x)) for x in SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    keep_exact = F.when(F.col("jaccard") >= F.col("threshold"), 1).otherwise(0)
+    keep_est = F.when(F.col("est_jaccard") >= F.col("threshold"), 1).otherwise(0)
+    return (
+        cal.select("est_jaccard", "jaccard", t)
+        .groupBy("threshold")
+        .agg(
+            F.sum(keep_exact).cast("bigint").alias("exact_pairs"),
+            F.sum(keep_est).cast("bigint").alias("est_pairs"),
+            F.sum(keep_exact * keep_est).cast("bigint").alias("agree_pairs"),
+        )
+    )
+
+
+def _duck_threshold_sweep_sql() -> str:
+    tlist = ", ".join(str(t) for t in SWEEP_THRESHOLDS)
+    return f"""
+SELECT t.threshold,
+       CAST(SUM(CASE WHEN cal.jaccard >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS exact_pairs,
+       CAST(SUM(CASE WHEN cal.est_jaccard >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS est_pairs,
+       CAST(SUM(CASE WHEN cal.jaccard >= t.threshold AND cal.est_jaccard >= t.threshold
+                 THEN 1 ELSE 0 END) AS BIGINT) AS agree_pairs
+FROM ({_duck_minhash_calibration_sql()}) cal
+CROSS JOIN (SELECT UNNEST(CAST([{tlist}] AS DOUBLE[])) AS threshold) t
+GROUP BY t.threshold
+"""
+
+
+@query("dedup_threshold_sweep", _duck_threshold_sweep_sql())
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return threshold_sweep(load_tables(spark, sf_dir)["documents"])
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc1",

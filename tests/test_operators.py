@@ -1221,3 +1221,57 @@ class TestRound5bOperators:
         # 256 registers → σ ≈ 6.5%; 3σ bound
         assert abs(r1.hll_estimate - 2000) / 2000 < 0.2
         assert r1.n_registers == 256 and 0 < r1.n_present <= 256
+
+
+class TestThresholdSweep:
+    def test_counts_monotone_and_bounded(self, spark, tables):
+        """Raising the threshold can only shrink every kept-pair count,
+        and agreement is bounded by both marginals."""
+        from duckdb_extension_kafquack_spark.operators.dedup import threshold_sweep
+
+        rows = sorted(
+            threshold_sweep(tables["documents"]).collect(),
+            key=lambda r: r.threshold,
+        )
+        assert [r.threshold for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
+        for a, b in zip(rows, rows[1:]):
+            assert a.exact_pairs >= b.exact_pairs
+            assert a.est_pairs >= b.est_pairs
+        for r in rows:
+            assert r.agree_pairs <= min(r.exact_pairs, r.est_pairs)
+
+
+class TestVersionDiff:
+    def test_statuses_partition_both_versions(self, spark, tables):
+        """Every v1 doc is removed/changed/unchanged; every v2 doc is
+        added/changed/unchanged — the diff must tie out to both corpus
+        sizes exactly."""
+        from duckdb_extension_kafquack_spark.operators.curation import (
+            corpus_version_diff,
+            synthetic_v2,
+        )
+
+        docs = tables["documents"]
+        v2 = synthetic_v2(docs)
+        by_status = {}
+        for r in corpus_version_diff(docs, v2).collect():
+            by_status[r.status] = by_status.get(r.status, 0) + r.n_docs
+        n1, n2 = docs.count(), v2.count()
+        assert by_status.get("removed", 0) + by_status.get("changed", 0) + by_status.get("unchanged", 0) == n1
+        assert by_status.get("added", 0) + by_status.get("changed", 0) + by_status.get("unchanged", 0) == n2
+        assert by_status.get("removed", 0) > 0 and by_status.get("added", 0) > 0
+        assert by_status.get("changed", 0) > 0
+
+    def test_reordered_corpus_reports_zero_churn(self, spark, tables):
+        """Content-hash diffing: a reshuffled identical corpus is 100%
+        unchanged (row order and partitioning must not read as churn)."""
+        from duckdb_extension_kafquack_spark.operators.curation import (
+            corpus_version_diff,
+        )
+        from pyspark.sql import functions as F
+
+        docs = tables["documents"]
+        shuffled = docs.repartition(7).sortWithinPartitions(F.col("n_chars"))
+        out = corpus_version_diff(docs, shuffled).collect()
+        assert {r.status for r in out} == {"unchanged"}
+        assert sum(r.n_docs for r in out) == docs.count()
