@@ -173,6 +173,44 @@ def run_stream_to_table(df: DataFrame, name: str, mode: str = "complete") -> Non
         q.awaitTermination()
 
 
+def run_paced_stream_to_table(
+    df: DataFrame,
+    name: str,
+    done,
+    mode: str = "complete",
+    timeout_s: float = 120.0,
+) -> None:
+    """Drain a RATE-LIMITED stream through real repeating micro-batches
+    (processingTime trigger) until ``done(spark)`` reports the sink has
+    caught up, then stop.  availableNow can't exercise pacing for Python
+    sources (the fallback is one batch), so this is the harness that
+    proves multi-micro-batch offset management end-to-end."""
+    import time as _time
+
+    spark = df.sparkSession
+    with tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_") as ckpt:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+        try:
+            deadline = _time.time() + timeout_s
+            while _time.time() < deadline:
+                if done(spark):
+                    break
+                _time.sleep(0.5)
+            else:
+                raise TimeoutError(
+                    f"paced stream {name!r} did not catch up in {timeout_s}s"
+                )
+        finally:
+            q.stop()
+
+
 @query(
     "hierarchical_rollup",
     """
@@ -461,6 +499,57 @@ def streaming_kafka_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_table(agg, "kafka_datasource_stream", "complete")
     return spark.table("kafka_datasource_stream")
+
+
+@query(
+    "streaming_kafka_paced",
+    """
+SELECT CAST(user_id % 4 AS INTEGER) AS "partition",
+       CAST(COUNT(*) AS BIGINT) AS messages,
+       CAST(MIN(event_id) AS BIGINT) AS min_offset,
+       CAST(MAX(event_id) AS BIGINT) AS max_offset,
+       CAST(COUNT(*) FILTER (WHERE event_id % 10 = 0) AS BIGINT) AS keyless
+FROM events
+GROUP BY 1
+""",
+)
+def streaming_kafka_paced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATE-LIMITED multi-micro-batch replay through the
+    partition-parallel ``KafquackStreamReader``: max_offsets_per_trigger
+    forces ≥4 micro-batches (each planned driver-side from footer
+    metadata and fanned out to executor tasks), a processingTime trigger
+    runs them for real, and the complete-mode aggregate must equal the
+    batch oracle once the stream catches up — proving offset pacing,
+    monotone progression, and per-batch partition planning end-to-end,
+    which the availableNow single-batch fallback cannot."""
+    from ..session import ensure_session_conf, read_table
+    from ..sources.datasource import read_kafquack
+
+    ensure_session_conf(spark)
+    total = read_table(spark, sf_dir, "events").count()
+    stream = read_kafquack(
+        spark, "localhost:9092", "events", "graft-group",
+        stream=True, fixture_dir=sf_dir,
+        max_offsets_per_trigger=max(1, total // 4),
+    )
+    agg = stream.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("messages"),
+        F.min("offset").alias("min_offset"),
+        F.max("offset").alias("max_offset"),
+        F.count(F.when(F.col("key").isNull(), 1)).alias("keyless"),
+    )
+
+    def caught_up(s: SparkSession) -> bool:
+        try:
+            row = s.table("kafka_paced_stream").agg(
+                F.sum("messages").alias("n")
+            ).collect()
+            return bool(row) and row[0]["n"] == total
+        except Exception:  # sink table not materialized yet
+            return False
+
+    run_paced_stream_to_table(agg, "kafka_paced_stream", caught_up)
+    return spark.table("kafka_paced_stream")
 
 
 def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -565,3 +565,44 @@ def test_bigram_surprisal_bounds(spark, texts):
         assert r.n_bigrams == n - 1
         assert r.mean_bigram_surprisal >= 1.0
         assert r.max_bigram_surprisal >= r.mean_bigram_surprisal - 1e-6
+
+
+FAST = settings(max_examples=200, deadline=None)
+
+
+@FAST
+@given(
+    rg_sizes=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=12),
+    lo_frac=st.floats(min_value=0.0, max_value=1.0),
+    hi_frac=st.floats(min_value=0.0, max_value=1.0),
+    n_splits=st.integers(min_value=1, max_value=8),
+)
+def test_range_splits_cover_exactly(rg_sizes, lo_frac, hi_frac, n_splits):
+    """The stream/batch split math (`_range_splits`): for ANY row-group
+    layout and ANY [lo, hi) offset range, the planned splits are
+    disjoint, ordered, cover the clamped range exactly, and each
+    split's row-group span contains its index range — no row can be
+    read twice or dropped by a micro-batch.  Pure math, no Spark."""
+    from duckdb_extension_kafquack_spark.sources.datasource import _range_splits
+
+    starts = [0]
+    for n in rg_sizes:
+        starts.append(starts[-1] + n)
+    total = starts[-1]
+    lo = int(lo_frac * total)
+    hi = int(hi_frac * total)
+    splits = _range_splits("p", "t", lo, hi, n_splits, starts)
+    clo, chi = max(0, lo), min(hi, total)
+    if chi <= clo:
+        assert splits == []
+        return
+    bounds = [(s.start, s.end) for s in splits]
+    assert bounds == sorted(bounds)
+    assert bounds[0][0] == clo and bounds[-1][1] == chi
+    assert all(a[1] == b[0] for a, b in zip(bounds, bounds[1:]))
+    assert len(splits) <= n_splits
+    for s in splits:
+        # the row-group span covers the index range; offsets consistent
+        assert starts[s.rg_start] <= s.start
+        assert starts[s.rg_end] >= s.end
+        assert s.rg_offset == starts[s.rg_start]
