@@ -57,6 +57,12 @@ NGRAM_THRESHOLD = 0.7
 # in the DuckDB oracles.
 MAX_LSH_BUCKET = 64
 
+#: Cap on driver-materialized oversized-bucket rows in
+#: :func:`_with_bucket_sub`; beyond it the sub-split degrades to a
+#: shuffled join (1M × ~50 B ≈ 50 MB — a comfortable broadcast, never a
+#: corpus).
+MAX_HOT_BUCKETS = 1_000_000
+
 # 60 bits (the full width of the cross-engine md5 hash): 16/32-bit
 # signatures collide heavily on this shared-vocabulary corpus (25k/4.3k
 # Hamming≤1 pairs at sf0.01); at 60 bits the 627 surviving pairs are
@@ -256,9 +262,12 @@ def _with_bucket_sub(bands_df: DataFrame, max_bucket_size: int) -> DataFrame:
     is ever hot), and (b) in the hot case feeds the join a
     pre-materialized local relation instead of re-evaluating
     ``bands_df`` on the build side.  The hot list is bounded at
-    n/cap rows ONLY for degenerate corpora (see the broadcast-overflow
-    argument above) — in practice it is the handful of boilerplate
-    buckets.
+    n/cap rows ONLY for degenerate corpora — and a corpus whose
+    hot-bucket count exceeds :data:`MAX_HOT_BUCKETS` degrades to a
+    plain shuffled left join on the uniform md5 key (no broadcast, no
+    driver materialization: the ``limit`` caps the transfer itself), so
+    no input can OOM the driver here.  In practice the hot list is the
+    handful of boilerplate buckets.
 
     NOTE: callers must hand in a ``bands_df`` derived from a persisted /
     cheap relation — the size pass evaluates it once ahead of the main
@@ -273,12 +282,19 @@ def _with_bucket_sub(bands_df: DataFrame, max_bucket_size: int) -> DataFrame:
             F.ceil(F.col("_bn") / F.lit(float(max_bucket_size))).alias("_nsub"),
         )
     )
-    hot_rows = sizes.collect()
+    hot_rows = sizes.limit(MAX_HOT_BUCKETS + 1).collect()
     if not hot_rows:
         return bands_df.withColumn("sub", F.lit(0).cast("bigint"))
-    hot = bands_df.sparkSession.createDataFrame(hot_rows, sizes.schema)
+    if len(hot_rows) > MAX_HOT_BUCKETS:
+        # degenerate corpus (≳ cap·MAX_HOT_BUCKETS boilerplate band
+        # rows): shuffled join on the uniform md5 key — slower, never OOM
+        hot = sizes
+    else:
+        hot = F.broadcast(
+            bands_df.sparkSession.createDataFrame(hot_rows, sizes.schema)
+        )
     return (
-        bands_df.join(F.broadcast(hot), ["band", "band_sig"], "left")
+        bands_df.join(hot, ["band", "band_sig"], "left")
         .withColumn(
             "sub",
             F.when(F.col("_nsub").isNull(), F.lit(0).cast("bigint")).otherwise(

@@ -1275,3 +1275,18 @@ class TestVersionDiff:
         out = corpus_version_diff(docs, shuffled).collect()
         assert {r.status for r in out} == {"unchanged"}
         assert sum(r.n_docs for r in out) == docs.count()
+
+
+class TestHotBucketDegrade:
+    def test_overflow_degrades_to_shuffled_join(self, spark, monkeypatch):
+        """More oversized buckets than MAX_HOT_BUCKETS: the sub-split
+        must still produce the exact same scatter via a shuffled join
+        instead of a driver-materialized broadcast."""
+        from duckdb_extension_kafquack_spark.operators import dedup
+
+        rows = [(d, b, "hot") for b in range(3) for d in range(100)]
+        bands = spark.createDataFrame(rows, "doc_id long, band int, band_sig string")
+        normal = {(r.doc_id, r.band): r.sub for r in dedup._with_bucket_sub(bands, 64).collect()}
+        monkeypatch.setattr(dedup, "MAX_HOT_BUCKETS", 2)
+        degraded = {(r.doc_id, r.band): r.sub for r in dedup._with_bucket_sub(bands, 64).collect()}
+        assert normal == degraded and len(normal) == 300
