@@ -286,6 +286,60 @@ class TestParallelStreamReader:
         r = self._reader()
         assert r.partitions({"index": 10}, {"index": 10}) == []
 
+    def test_checkpoint_restart_exactly_once(self, spark):
+        """Kill a paced stream mid-replay, restart from the same
+        checkpoint into the same FILE sink: the final output holds every
+        offset exactly once — the reader's deterministic [start, end)
+        replay composes with the file sink's commit log into end-to-end
+        exactly-once (the guarantee the reference's at-most-once
+        per-message commit cannot give, SURVEY §3.4).  (A memory sink
+        can't test this: it does not support checkpoint recovery.)"""
+        import tempfile
+        import time
+
+        ckpt = tempfile.mkdtemp()
+        out = tempfile.mkdtemp() + "/out"
+        total = spark.read.parquet(EVENTS).count()
+        batch = 300
+
+        def rows_out():
+            try:
+                return spark.read.parquet(out).count()
+            except Exception:
+                return 0
+
+        def run(stop_after_rows):
+            stream = read_kafquack(
+                spark, "localhost:9092", "events", "g",
+                stream=True, fixture_dir=SF_DIR,
+                max_offsets_per_trigger=batch,
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="100 milliseconds")
+                .start()
+            )
+            try:
+                deadline = time.time() + 90
+                while time.time() < deadline:
+                    if rows_out() >= stop_after_rows:
+                        break
+                    time.sleep(0.2)
+            finally:
+                q.stop()
+
+        run(3 * batch)
+        n_first = rows_out()
+        assert n_first >= 3 * batch
+        run(total)
+        got = sorted(r.offset for r in spark.read.parquet(out).collect())
+        want = sorted(
+            r.event_id for r in spark.read.parquet(EVENTS).select("event_id").collect()
+        )
+        assert got == want  # every offset exactly once, no dupes, no gaps
+
     def test_simple_reader_optin_falls_back(self):
         """simple_stream_reader=true raises the API's NOT_IMPLEMENTED
         marker from streamReader, which is exactly what makes Spark's
