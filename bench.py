@@ -67,6 +67,7 @@ HEADLINE = [
     "crossmodal_label_purity",
     "shard_manifest",
     "dedup_cluster_histogram",
+    "corpus_version_diff",
 ]
 
 
