@@ -1,10 +1,18 @@
 """Text-analysis operators: language-ID, quality scoring, token counting,
-document fingerprinting — over the ``documents`` table.
+document fingerprinting, and the corpus-statistics family (vocabulary,
+TF-IDF, surprisal, OOV rate, bigram LM, novelty, source overlap) — over
+the ``documents`` table.
 
-Everything is a single-pass column expression (whole-stage codegen, no
-UDF, no shuffle except the optional per-language rollups): at 100 TB
-these are embarrassingly parallel map stages whose cost is the parquet
-scan itself.
+The per-doc scores are single-pass column expressions (whole-stage
+codegen, no UDF, no shuffle except the optional per-language rollups):
+at 100 TB they are embarrassingly parallel map stages whose cost is the
+parquet scan itself.  The corpus-statistics family is word-count shaped
+— map-side-combined groupBys plus a join-back of one row per distinct
+token/bigram — and any corpus-wide scalar (doc count, token total) is
+computed IN-PLAN as a 1-row aggregate broadcast (the oracles' CROSS
+JOIN shape; round 6 removed the eager driver-side ``.count()`` jobs —
+``tests/test_plans.py::test_scalar_totals_are_in_plan_not_driver_jobs``
+pins that building these DataFrames launches zero Spark jobs).
 """
 
 from __future__ import annotations
