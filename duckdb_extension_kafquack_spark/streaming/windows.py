@@ -502,6 +502,44 @@ def streaming_kafka_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_kafka_windowed",
+    """
+SELECT time_bucket(INTERVAL '1 day', ts) AS day_start,
+       CAST(user_id % 4 AS INTEGER) AS "partition",
+       CAST(COUNT(*) AS BIGINT) AS messages
+FROM events
+WHERE event_id % 97 <> 0
+GROUP BY 1, 2
+""",
+)
+def streaming_kafka_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time machinery COMPOSED with the kafquack stream source:
+    the source's ``timestamp`` column (µs-floored; ~1% null per the
+    errors-as-data projection) drives a watermarked 1-day tumbling
+    window per Kafka partition — the shape of every production
+    "messages per topic-partition per day" dashboard.  Null timestamps
+    are dropped explicitly (an event-time aggregate cannot place them);
+    the oracle mirrors that with ``event_id % 97 <> 0``."""
+    from ..session import ensure_session_conf
+    from ..sources.datasource import read_kafquack
+
+    ensure_session_conf(spark)
+    stream = read_kafquack(
+        spark, "localhost:9092", "events", "graft-group",
+        stream=True, fixture_dir=sf_dir,
+    )
+    agg = (
+        stream.filter(F.col("timestamp").isNotNull())
+        .withWatermark("timestamp", "1 day")
+        .groupBy(F.window("timestamp", "1 day").alias("w"), "partition")
+        .agg(F.count(F.lit(1)).alias("messages"))
+        .select(F.col("w.start").alias("day_start"), "partition", "messages")
+    )
+    run_stream_to_table(agg, "kafka_windowed_stream", "complete")
+    return spark.table("kafka_windowed_stream")
+
+
+@query(
     "streaming_kafka_paced",
     """
 SELECT CAST(user_id % 4 AS INTEGER) AS "partition",
