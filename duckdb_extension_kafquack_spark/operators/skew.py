@@ -106,3 +106,76 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return salted.join(exploded, [key, "__salt"]).drop("__salt")
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostics (the audit you run BEFORE choosing a mitigation)
+# ---------------------------------------------------------------------------
+
+
+def key_skew_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-key-space skew metrics for candidate shuffle keys: key count,
+    row count, the hottest key's row count, its share of all rows
+    (``top_share``), and ``imbalance`` = max·n_keys/n_rows (1.0 when
+    perfectly uniform; ≫1 when one key dominates).  This is the report a
+    pipeline reads BEFORE picking a strategy — imbalance ≈ 1 → plain
+    groupBy; moderate → AQE skew join; extreme → salting
+    (:func:`salted_agg`).
+
+    Physical shape per column: one map-side-combined count aggregation
+    (shuffle carries one row per distinct key per map task) and a 1-row
+    rollup — two stages, no corpus re-shuffle, nothing driver-side.
+    Both ratios are single int/int IEEE divisions (never rounded,
+    bit-exact cross-engine)."""
+    out = None
+    for c in cols:
+        counts = df.groupBy(F.col(c).cast("string").alias("k")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        stats = counts.agg(
+            F.lit(c).alias("key_column"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.max("n").cast("bigint").alias("max_key_rows"),
+        ).select(
+            "key_column",
+            "n_keys",
+            "n_rows",
+            "max_key_rows",
+            (F.col("max_key_rows") / F.col("n_rows")).alias("top_share"),
+            (F.col("max_key_rows") * F.col("n_keys") / F.col("n_rows")).alias(
+                "imbalance"
+            ),
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
+def _duck_skew_report_sql() -> str:
+    parts = []
+    for table, col in (
+        ("events", "user_id"),
+        ("events", "event_type"),
+        ("documents", "lang"),
+        ("documents", "source"),
+    ):
+        parts.append(f"""
+SELECT '{col}' AS key_column,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MAX(n) AS BIGINT) AS max_key_rows,
+       MAX(n)::DOUBLE / SUM(n) AS top_share,
+       MAX(n)::DOUBLE * COUNT(*) / SUM(n) AS imbalance
+FROM (SELECT CAST({col} AS VARCHAR) AS k, COUNT(*) AS n FROM {table} GROUP BY 1)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("skew_key_report", _duck_skew_report_sql())
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew audit of the fixture's four natural shuffle keys (two
+    event-side, two document-side) — the decision input for
+    :func:`salted_agg` vs AQE vs plain groupBy."""
+    t = load_tables(spark, sf_dir)
+    ev = key_skew_report(t["events"], ["user_id", "event_type"])
+    dc = key_skew_report(t["documents"], ["lang", "source"])
+    return ev.unionByName(dc)
