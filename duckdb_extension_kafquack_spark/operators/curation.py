@@ -1109,3 +1109,63 @@ GROUP BY 1, 2
 def corpus_version_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     return corpus_version_diff(docs, synthetic_v2(docs))
+
+
+# ---------------------------------------------------------------------------
+# Small-files compaction roundtrip (table maintenance, lossless by oracle)
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_ROWS = 100_000
+_CHECKSUM_MOD = 1_000_000_007
+
+
+def _content_checksum_cols():
+    """Per-group (n_docs, content_checksum): the checksum is a SUM of
+    60-bit md5 hashes mod a prime — exact integer math both engines, and
+    any lost/duplicated/altered doc changes it."""
+    from ..functions.hashing import spark_hash64
+
+    return [
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(spark_hash64(F.col("text")) % _CHECKSUM_MOD)
+        .cast("bigint")
+        .alias("content_checksum"),
+    ]
+
+
+_DUCK_COMPACTION_SQL = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % {_CHECKSUM_MOD}) AS BIGINT)
+         AS content_checksum
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("compaction_roundtrip", _DUCK_COMPACTION_SQL)
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction, proven LOSSLESS end-to-end: scatter the
+    documents table into 64 deliberately-tiny files (the accreted
+    streaming-sink state), compact with
+    :func:`..sources.files.compact_parquet`, then report per-language
+    counts and content checksums FROM THE COMPACTED COPY — the oracle
+    computes the same from the original table, so any row lost,
+    duplicated, or corrupted by the rewrite hash-mismatches.  The file
+    counts themselves are pinned by ``TestCompaction``."""
+    import os
+
+    from ..sources.files import compact_parquet
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text", "lang")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    base = os.path.join(warehouse.removeprefix("file:"), "kafquack_compaction")
+    small = os.path.join(base, "small")
+    compacted = os.path.join(base, "compacted")
+    docs.repartition(64).write.mode("overwrite").parquet(small)
+    compact_parquet(spark.read.parquet(small), compacted, COMPACT_TARGET_ROWS)
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("lang")
+        .agg(*_content_checksum_cols())
+    )

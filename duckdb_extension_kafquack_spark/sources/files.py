@@ -114,3 +114,20 @@ def stream_foreach_batch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_parquet(
+    df: "DataFrame", path: str, target_rows_per_file: int = 1_000_000
+) -> int:
+    """Small-files compaction: rewrite ``df`` as ``ceil(rows/target)``
+    parquet files — the table-maintenance job every long-lived 100 TB
+    dataset needs (streaming sinks and over-parallel writers accrete
+    thousands of KB-sized files whose open/footer cost eventually
+    dominates scans).  The row count is one extra aggregate pass — a
+    deliberate job-level scalar (a maintenance job runs rarely and must
+    size its output exactly), not a per-row driver dependency.  Returns
+    the file count written."""
+    n = df.count()
+    files = max(1, -(-n // target_rows_per_file))
+    df.repartition(files).write.mode("overwrite").parquet(path)
+    return files

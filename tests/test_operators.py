@@ -1290,3 +1290,27 @@ class TestHotBucketDegrade:
         monkeypatch.setattr(dedup, "MAX_HOT_BUCKETS", 2)
         degraded = {(r.doc_id, r.band): r.sub for r in dedup._with_bucket_sub(bands, 64).collect()}
         assert normal == degraded and len(normal) == 300
+
+
+class TestCompaction:
+    def test_file_count_and_rows_preserved(self, spark, tables, tmp_path):
+        """64 tiny files compact to ceil(rows/target) files with every
+        row intact; a target larger than the table gives one file."""
+        import glob
+
+        from duckdb_extension_kafquack_spark.sources.files import compact_parquet
+
+        docs = tables["documents"].select("doc_id", "text")
+        n = docs.count()
+        small = str(tmp_path / "small")
+        docs.repartition(64).write.parquet(small)
+        assert len(glob.glob(small + "/*.parquet")) == 64
+        out = str(tmp_path / "compacted")
+        target = max(1, n // 3)
+        files = compact_parquet(spark.read.parquet(small), out, target)
+        assert files == -(-n // target)
+        assert len(glob.glob(out + "/*.parquet")) == files
+        assert spark.read.parquet(out).count() == n
+        one = str(tmp_path / "one")
+        assert compact_parquet(spark.read.parquet(small), one, n + 1) == 1
+        assert len(glob.glob(one + "/*.parquet")) == 1
