@@ -1920,3 +1920,73 @@ def semantic_retrieval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(hits).join(docs, "neighbor_id")
         .select("query_id", "rank", "neighbor_id", "cos_sim", "source", "lang", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-dimension embedding statistics (quantizer calibration audit)
+# ---------------------------------------------------------------------------
+
+
+def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension corpus statistics — the quantizer-calibration /
+    embedding-drift audit run before (re)training an int8 codebook:
+    a dimension whose min/max spread collapsed, whose mean wandered, or
+    whose quantizer step blew up signals an upstream embedding-model or
+    normalization change that would silently degrade every stored code.
+
+    Physical shape: ONE partial+final aggregate pass over the corpus —
+    4·DIM (=256) min/max/sum/count expressions reduce map-side to a
+    single row per task, exactly :func:`_sq_minmax`'s plan with two more
+    moments — then the 1-row result is `inline`d into DIM rows.  No
+    explode of the corpus (a posexplode→groupBy would shuffle 64× the
+    scan), no UDF, no driver collect.  At 100 TB this costs the parquet
+    scan of one column.
+
+    Float rules: min/max are order-independent (exact); the quantizer
+    step (vmax-vmin)/255 is one deterministic IEEE op on exact inputs
+    (bit-identical cross-engine, unrounded); the mean's SUM is
+    order-dependent so it is rounded to 6 dp on both sides.
+    """
+    aggs = []
+    for i in range(DIM):
+        e = F.expr(f"CAST(embedding[{i}] AS DOUBLE)")
+        aggs += [
+            F.min(e).alias(f"mn{i}"),
+            F.max(e).alias(f"mx{i}"),
+            F.sum(e).alias(f"sm{i}"),
+            F.count(e).alias(f"ct{i}"),
+        ]
+    row = embeddings.agg(*aggs)
+    structs = ", ".join(
+        f"struct({i} AS dim, ct{i} AS n, mn{i} AS vmin, mx{i} AS vmax, sm{i} AS vsum)"
+        for i in range(DIM)
+    )
+    return row.selectExpr(f"inline(array({structs}))").selectExpr(
+        "CAST(dim AS INT) AS dim",
+        "CAST(n AS BIGINT) AS n",
+        "vmin",
+        "vmax",
+        "(vmax - vmin) / 255.0D AS q_step",
+        "ROUND(vsum / n, 6) AS mean_r",
+    )
+
+
+_DUCK_DIM_STATS = f"""
+WITH pd AS (
+  SELECT r.range AS dim,
+         CAST(list_extract(embedding, CAST(r.range + 1 AS INT)) AS DOUBLE) AS v
+  FROM embeddings, range({DIM}) r
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+       CAST(COUNT(v) AS BIGINT) AS n,
+       MIN(v) AS vmin,
+       MAX(v) AS vmax,
+       (MAX(v) - MIN(v)) / 255.0 AS q_step,
+       ROUND(SUM(v) / COUNT(v), 6) AS mean_r
+FROM pd GROUP BY dim
+"""
+
+
+@query("embedding_dim_stats", _DUCK_DIM_STATS)
+def embedding_dim_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_dim_stats(load_tables(spark, sf_dir)["embeddings"])

@@ -913,3 +913,73 @@ JOIN sizes s2 ON s2.source = i.source2
 query("source_overlap_matrix", _duck_source_overlap_sql())(
     lambda spark, sf_dir: source_overlap_matrix(load_tables(spark, sf_dir)["documents"])
 )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate phrase mining: top repeated word-5-grams by document frequency
+# ---------------------------------------------------------------------------
+
+PHRASE_WORDS = 5
+PHRASE_TOP_K = 20
+
+
+def boilerplate_phrases(docs: DataFrame, top_k: int = PHRASE_TOP_K) -> DataFrame:
+    """Top word-5-gram phrases by document frequency — boilerplate
+    mining (cookie banners, license headers, nav bars): the phrases a
+    curation pipeline strips BEFORE near-dup detection, so boilerplate
+    doesn't glue unrelated documents into one LSH cluster.
+
+    Shape is ``text_vocabulary`` on phrases: per-doc DISTINCT 5-grams
+    built map-side with one HOF transform (no token shuffle), one
+    explode into the word-count groupBy (map-side combined — the
+    shuffle carries one row per distinct (doc, phrase)), then two-phase
+    top-k (TakeOrderedAndProject; the full phrase table never funnels
+    through one reducer).  ``n_sources`` rides the same aggregate.
+    Docs shorter than 5 tokens contribute nothing by definition."""
+    shingles = (
+        "CASE WHEN size(toks) >= {n} THEN "
+        "array_distinct(transform(sequence(1, size(toks) - {m}), "
+        "i -> array_join(slice(toks, i, {n}), ' '))) "
+        "ELSE array() END"
+    ).format(n=PHRASE_WORDS, m=PHRASE_WORDS - 1)
+    ph = docs.select(
+        "doc_id", "source", F.filter(F.split("text", " "), lambda t: t != "").alias("toks")
+    ).select("doc_id", "source", F.explode(F.expr(shingles)).alias("phrase"))
+    stats = ph.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    top = stats.orderBy(F.col("df").desc(), F.col("phrase")).limit(top_k)
+    w = Window.orderBy(F.col("df").desc(), F.col("phrase"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "phrase", "df", "n_sources"
+    )
+
+
+_DUCK_PHRASES = f"""
+WITH tokd AS (
+  SELECT doc_id, source, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), ph AS (
+  SELECT doc_id, source, unnest(
+    CASE WHEN len(toks) >= {PHRASE_WORDS} THEN
+      list_distinct(list_transform(range(1, len(toks) - {PHRASE_WORDS - 2}),
+        i -> array_to_string(list_slice(toks, i, i + {PHRASE_WORDS - 1}), ' ')))
+    ELSE []::VARCHAR[] END) AS phrase
+  FROM tokd
+), ag AS (
+  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+  FROM ph GROUP BY phrase
+)
+SELECT * FROM (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY df DESC, phrase) AS INTEGER) AS rank,
+         phrase, df, n_sources
+  FROM ag
+) WHERE rank <= {PHRASE_TOP_K}
+"""
+
+
+query("boilerplate_phrases", _DUCK_PHRASES)(
+    lambda spark, sf_dir: boilerplate_phrases(load_tables(spark, sf_dir)["documents"])
+)
