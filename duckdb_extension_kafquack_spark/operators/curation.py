@@ -1169,3 +1169,67 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(*_content_checksum_cols())
     )
+
+
+# ---------------------------------------------------------------------------
+# Padding-efficiency report: pad-to-context waste vs packed lower bound
+# ---------------------------------------------------------------------------
+
+PAD_CONTEXT = 64  # fixture docs are 8-80 tokens; real pipelines use 512-8192
+
+
+@query(
+    "padding_efficiency",
+    f"""
+WITH sized AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n,
+         CAST((len(list_filter(string_split(text, ' '), t -> t <> '')) + {PAD_CONTEXT - 1})
+              // {PAD_CONTEXT} AS BIGINT) AS chunks
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(chunks) AS BIGINT) AS padded_chunks,
+       CAST(SUM(chunks) * {PAD_CONTEXT} - SUM(n) AS BIGINT) AS padding_tokens,
+       (SUM(chunks) * {PAD_CONTEXT} - SUM(n)) / (SUM(chunks) * {PAD_CONTEXT}) AS pad_frac,
+       CAST((SUM(n) + {PAD_CONTEXT - 1}) // {PAD_CONTEXT} AS BIGINT) AS packed_chunks,
+       CAST(SUM(chunks) - (SUM(n) + {PAD_CONTEXT - 1}) // {PAD_CONTEXT} AS BIGINT) AS saved_chunks
+FROM sized GROUP BY lang
+""",
+)
+def padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pad-to-context waste audit: per language, the padding bill of
+    one-doc-per-sequence batching (each doc padded up to the next
+    PAD_CONTEXT multiple) against the concatenate-and-pack lower bound
+    (``sequence_packing``'s layout) — the report that justifies turning
+    packing on, and sizes the token budget either way.
+
+    All-integer arithmetic (ceil via ``(n + L-1) DIV L``); the single
+    ``pad_frac`` quotient is one exact BIGINT/BIGINT IEEE division,
+    bit-identical cross-engine unrounded.  Physical shape: one map-side
+    token count per doc + one partial+final groupBy on ~languages keys
+    — the cost is the parquet scan at any corpus size."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    L = PAD_CONTEXT
+    sized = docs.selectExpr(
+        "lang",
+        "CAST(size(filter(split(text, ' '), t -> t != '')) AS BIGINT) AS n",
+        f"CAST((size(filter(split(text, ' '), t -> t != '')) + {L - 1}) DIV {L} AS BIGINT) AS chunks",
+    )
+    agg = sized.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.sum("chunks").alias("padded_chunks"),
+    )
+    return agg.selectExpr(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "padded_chunks",
+        f"padded_chunks * {L} - total_tokens AS padding_tokens",
+        f"(padded_chunks * {L} - total_tokens) / (padded_chunks * {L}) AS pad_frac",
+        f"(total_tokens + {L - 1}) DIV {L} AS packed_chunks",
+        f"padded_chunks - (total_tokens + {L - 1}) DIV {L} AS saved_chunks",
+    )

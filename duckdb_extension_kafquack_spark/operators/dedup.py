@@ -1571,3 +1571,61 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clusters",
         "docs_droppable",
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication matrix: who copies whom, on verified near-dups
+# ---------------------------------------------------------------------------
+
+
+def cross_source_dup_matrix(docs: DataFrame) -> DataFrame:
+    """Near-duplicate pair counts per (unordered) source pair — the
+    provenance report behind a mixture decision: a source whose docs
+    are mostly near-copies of another source adds tokens but no
+    diversity, and the off-diagonal of this matrix is what catches
+    mirror sites / scraped re-posts before they double-count in the mix.
+
+    Composes the verified MinHash-LSH pair relation (the ONLY
+    data-sized shuffle; pairs are small by LSH construction) with two
+    broadcast joins of the pair ids into the documents scan — the
+    corpus never re-shuffles — then a rollup bounded by sources², never
+    corpus².  ``max_jaccard`` is an order-independent MAX over
+    bit-identical doubles (unrounded by the float rules)."""
+    pairs = minhash_near_duplicates(docs)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc1"), F.col("source").alias("s1"))
+    b = src.select(F.col("doc_id").alias("doc2"), F.col("source").alias("s2"))
+    tagged = (
+        a.join(F.broadcast(pairs), "doc1")
+        .join(F.broadcast(b), "doc2")
+        .select(
+            F.least("s1", "s2").alias("source_a"),
+            F.greatest("s1", "s2").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return tagged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+def _duck_cross_source_sql() -> str:
+    return f"""
+WITH pairs AS (
+{_duck_minhash_sql()}
+)
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MAX(p.jaccard) AS max_jaccard
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc1
+JOIN documents db ON db.doc_id = p.doc2
+GROUP BY 1, 2
+"""
+
+
+@query("cross_source_dup_matrix", _duck_cross_source_sql())
+def cross_source_dup_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cross_source_dup_matrix(load_tables(spark, sf_dir)["documents"])

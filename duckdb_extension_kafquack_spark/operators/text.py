@@ -983,3 +983,70 @@ SELECT * FROM (
 query("boilerplate_phrases", _DUCK_PHRASES)(
     lambda spark, sf_dir: boilerplate_phrases(load_tables(spark, sf_dir)["documents"])
 )
+
+
+# ---------------------------------------------------------------------------
+# source→corpus token-distribution KL divergence (mixture skew audit)
+# ---------------------------------------------------------------------------
+
+
+def source_token_kl(docs: DataFrame) -> DataFrame:
+    """KL(source ‖ corpus) over unigram token distributions — the
+    mixture-skew audit: a source whose token distribution diverges hard
+    from the corpus either carries genuinely novel content (keep,
+    up-weight) or is off-domain noise (inspect); a near-zero KL source
+    adds volume but little distributional information.
+
+    Word-count shape end-to-end: one (source, token) groupBy off the
+    token explode, corpus token totals RE-AGGREGATED from that relation
+    (no second corpus scan), per-source totals (≈ sources rows) and the
+    corpus total (1 row) broadcast back in-plan.  Every count stays an
+    exact integer until the final per-term expression; each division is
+    exact-int IEEE (bit-identical cross-engine), ``ln`` is libm-vs-JVM
+    ulp-stable, and the ONLY order-dependent float sum is the per-source
+    term sum — rounded to 6 dp on both sides per the float rules."""
+    toks = docs.select("source", F.explode(_tok_col()).alias("tok"))
+    cst = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ct = cst.groupBy("tok").agg(F.sum("c").alias("ctot"))
+    ns = cst.groupBy("source").agg(F.sum("c").alias("nsrc"))
+    n = cst.agg(F.sum("c").alias("ntot"))
+    joined = (
+        cst.join(ct, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    term = F.expr("(c / nsrc) * LN((c / nsrc) / (ctot / ntot))")
+    return (
+        joined.groupBy("source", "nsrc")
+        .agg(F.round(F.sum(term), 6).alias("kl_r"))
+        .select("source", F.col("nsrc").cast("bigint").alias("n_tokens"), "kl_r")
+    )
+
+
+_DUCK_SOURCE_KL = """
+WITH tok AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+), cst AS (
+  SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), ct AS (
+  SELECT tok, SUM(c) AS ctot FROM cst GROUP BY 1
+), ns AS (
+  SELECT source, SUM(c) AS nsrc FROM cst GROUP BY 1
+), n AS (
+  SELECT SUM(c) AS ntot FROM cst
+)
+SELECT cst.source,
+       CAST(ns.nsrc AS BIGINT) AS n_tokens,
+       ROUND(SUM((cst.c / ns.nsrc) * LN((cst.c / ns.nsrc) / (ct.ctot / n.ntot))), 6) AS kl_r
+FROM cst
+JOIN ct USING (tok)
+JOIN ns USING (source)
+CROSS JOIN n
+GROUP BY cst.source, ns.nsrc
+"""
+
+
+query("source_token_kl", _DUCK_SOURCE_KL)(
+    lambda spark, sf_dir: source_token_kl(load_tables(spark, sf_dir)["documents"])
+)
