@@ -1050,3 +1050,115 @@ GROUP BY cst.source, ns.nsrc
 query("source_token_kl", _DUCK_SOURCE_KL)(
     lambda spark, sf_dir: source_token_kl(load_tables(spark, sf_dir)["documents"])
 )
+
+
+# ---------------------------------------------------------------------------
+# per-doc token entropy (lexical-diversity / gibberish signal)
+# ---------------------------------------------------------------------------
+
+
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """Per-doc Shannon entropy of the unigram token distribution,
+    H = ln(n) − (Σ c·ln c)/n over within-doc token counts — the
+    lexical-diversity score that separates word-salad (max-entropy),
+    natural text (mid), and looped boilerplate (low), complementing
+    ``text_repetition``'s hard-threshold fractions with a continuous
+    signal.
+
+    Map-only and shuffle-free: within-doc counts come from a sorted
+    run-length HOF fold (array_sort → run starts → run lengths →
+    aggregate), never an explode→groupBy of the corpus token relation —
+    the per-doc work is O(tokens·log tokens) inside one codegen'd
+    projection, so at 100 TB this is the parquet scan.  The per-doc Σ
+    is a short order-dependent float fold, rounded to 6 dp both sides."""
+    return (
+        docs.select(
+            "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("toks")
+        )
+        .selectExpr(
+            "doc_id",
+            "size(toks) AS n",
+            "array_sort(toks) AS s",
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(n AS BIGINT) AS n_tokens",
+            "filter(sequence(1, n), i -> i = 1 OR element_at(s, i) != element_at(s, i - 1)) AS starts",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "transform(sequence(1, size(starts)), j -> "
+            "IF(j < size(starts), element_at(starts, j + 1), CAST(n_tokens + 1 AS INT)) "
+            "- element_at(starts, j)) AS runs",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "ROUND(LN(CAST(n_tokens AS DOUBLE)) - "
+            "aggregate(runs, CAST(0.0 AS DOUBLE), (acc, c) -> acc + c * LN(CAST(c AS DOUBLE))) "
+            "/ n_tokens, 6) AS entropy_r",
+        )
+    )
+
+
+_DUCK_TOKEN_ENTROPY = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       ROUND(LN(CAST(SUM(c) AS DOUBLE)) - SUM(c * LN(CAST(c AS DOUBLE))) / SUM(c), 6)
+         AS entropy_r
+FROM cnt GROUP BY doc_id
+"""
+
+
+query("text_token_entropy", _DUCK_TOKEN_ENTROPY)(
+    lambda spark, sf_dir: token_entropy(load_tables(spark, sf_dir)["documents"])
+)
+
+
+# ---------------------------------------------------------------------------
+# language-label mismatch rate per source (mislabeled-source audit)
+# ---------------------------------------------------------------------------
+
+
+def lang_mismatch_by_source(docs: DataFrame) -> DataFrame:
+    """Per-source rate of language-ID disagreement with the recorded
+    ``lang`` label — the audit that catches a source whose metadata
+    labels are wrong wholesale (a crawler tagging everything ``en``)
+    before those labels steer the mixture.  Composes the map-only
+    classifier with one broadcast-free rollup on ~sources keys; the
+    mismatch fraction is an exact int/int quotient (unrounded)."""
+    pred = language_id(docs).select("doc_id", "labeled_lang", "predicted_lang")
+    tagged = docs.select("doc_id", "source").join(pred, "doc_id")
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("predicted_lang") != F.col("labeled_lang"), 1)).alias(
+            "n_mismatch"
+        ),
+    ).selectExpr("source", "n_docs", "n_mismatch", "n_mismatch / n_docs AS mismatch_frac")
+
+
+def _duck_lang_mismatch_sql() -> str:
+    return f"""
+WITH pred AS (
+{_duck_langid_sql()}
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE p.predicted_lang <> p.labeled_lang) AS BIGINT) AS n_mismatch,
+       CAST(COUNT(*) FILTER (WHERE p.predicted_lang <> p.labeled_lang) AS BIGINT)
+         / CAST(COUNT(*) AS BIGINT) AS mismatch_frac
+FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY d.source
+"""
+
+
+query("lang_mismatch_by_source", _duck_lang_mismatch_sql())(
+    lambda spark, sf_dir: lang_mismatch_by_source(load_tables(spark, sf_dir)["documents"])
+)
