@@ -100,6 +100,22 @@ query("text_langid", _duck_langid_sql())(
 )
 
 
+def quality_score_col() -> F.Column:
+    """The blended quality score as a standalone Column over ``text`` —
+    shared by :func:`quality_scores` and the streaming ingest gate so
+    the keep/drop decision is the same expression everywhere.  A single
+    IEEE division of exact integers → bit-identical cross-engine."""
+    toks = _tok_col()
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    net_chars = F.length("text") - (n_tok - 1)
+    score_num = (
+        60 * n_uniq + 36 * (n_tok - n_stop) + F.least(3 * net_chars, 24 * n_tok)
+    )
+    return score_num / (120.0 * n_tok)
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Length / type-token-ratio / stopword-ratio quality features and a
     blended score — the standard cheap pre-filter for LLM corpora.
@@ -115,9 +131,6 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     n_uniq = F.size(F.array_distinct(toks))
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     net_chars = F.length("text") - (n_tok - 1)  # chars net of separators
-    score_num = (
-        60 * n_uniq + 36 * (n_tok - n_stop) + F.least(3 * net_chars, 24 * n_tok)
-    )
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
@@ -126,7 +139,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         (n_uniq / n_tok).alias("type_token_ratio"),
         (n_stop / n_tok).alias("stopword_ratio"),
         (net_chars / n_tok).alias("avg_token_len"),
-        (score_num / (120.0 * n_tok)).alias("quality_score"),
+        quality_score_col().alias("quality_score"),
     )
 
 

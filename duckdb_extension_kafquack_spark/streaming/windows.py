@@ -937,3 +937,62 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "harmonic_s",
         "hll_estimate",
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming quality gate: the ingest-time pre-filter as a live stream
+# ---------------------------------------------------------------------------
+
+
+def _duck_quality_gate_sql() -> str:
+    from ..operators.pipeline import QUALITY_CUTOFF
+    from ..operators.text import _DUCK_QUALITY
+
+    return f"""
+WITH q AS (
+{_DUCK_QUALITY}
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE q.quality_score >= {QUALITY_CUTOFF}) AS BIGINT)
+         AS n_accepted,
+       CAST(COALESCE(SUM(d.n_chars) FILTER (WHERE q.quality_score >= {QUALITY_CUTOFF}), 0)
+            AS BIGINT) AS accepted_chars
+FROM q JOIN documents d ON d.doc_id = q.doc_id
+GROUP BY d.source
+"""
+
+
+@query("streaming_quality_gate", _duck_quality_gate_sql())
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality pre-filter AT INGEST TIME: documents arrive as a
+    live ``readStream``, each micro-batch scores its docs with the SAME
+    column expression as the batch operator (map-only within the batch
+    — scoring needs no state), and a streaming groupBy keeps ~sources
+    rows of accept/reject accounting as the permanent gate dashboard.
+    State is bounded by the source count regardless of stream length,
+    and the drained table equals the fully-batch oracle — gating at
+    ingest loses nothing vs re-scoring the corpus offline.
+
+    The accept threshold compares :func:`..operators.text
+    .quality_score_col`'s bit-identical single-division double, so a
+    doc never flips keep/drop between the stream, the batch operator,
+    and the oracle."""
+    from ..operators.pipeline import QUALITY_CUTOFF
+    from ..operators.text import quality_score_col
+
+    accept = quality_score_col() >= QUALITY_CUTOFF
+    gated = (
+        _docs_stream(spark, sf_dir)
+        .select("source", "n_chars", accept.alias("ok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("ok"), 1)).alias("n_accepted"),
+            F.coalesce(
+                F.sum(F.when(F.col("ok"), F.col("n_chars"))), F.lit(0)
+            ).alias("accepted_chars"),
+        )
+    )
+    run_stream_to_table(gated, "stream_quality_gate", "complete")
+    return spark.table("stream_quality_gate")
