@@ -432,3 +432,58 @@ def test_scalar_totals_are_in_plan_not_driver_jobs(spark):
     assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
     for df in dfs:
         assert "BroadcastNestedLoopJoin" in executed_plan(df)
+
+
+def test_embedding_dim_stats_single_pass_no_explode(spark):
+    """Per-dim stats must be ONE partial+final aggregate over the scan —
+    no Generate (posexplode) multiplying the corpus 64x, no join; the
+    only exchange is the 1-row partial->final agg."""
+    from duckdb_extension_kafquack_spark.plans import has_partial_aggregation
+
+    df = REGISTRY["embedding_dim_stats"].fn(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert has_partial_aggregation(df)
+    # the corpus-side explode would appear as Generate BELOW the agg;
+    # the only Generate allowed is the 64-row inline of the 1-row result
+    agg_part = plan.split("HashAggregate")[-1]
+    assert "Generate" not in agg_part
+    assert "Join" not in plan
+    assert count_exchanges(df) == 1
+
+
+def test_boilerplate_phrases_topk_before_shuffle(spark):
+    """Phrase top-k must plan as TakeOrderedAndProject (per-partition
+    partial top-k), never a global sort of the full phrase table."""
+    df = REGISTRY["boilerplate_phrases"].fn(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_cross_source_dup_matrix_broadcasts_pairs(spark):
+    """The near-dup pair relation (small by LSH construction) must
+    broadcast into the documents joins — the corpus never re-shuffles
+    for the source tagging."""
+    df = REGISTRY["cross_source_dup_matrix"].fn(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+
+
+def test_token_entropy_is_map_only(spark):
+    """Per-doc entropy is a sorted run-length HOF fold inside one
+    projection: no explode of the token relation, no join, no shuffle."""
+    df = REGISTRY["text_token_entropy"].fn(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Generate" not in plan
+    assert "Join" not in plan
+    assert count_exchanges(df) == 0
+
+
+def test_padding_efficiency_partial_agg(spark):
+    """The padding report reduces map-side: partial+final aggregate on
+    ~languages keys, one exchange, no join."""
+    from duckdb_extension_kafquack_spark.plans import has_partial_aggregation
+
+    df = REGISTRY["padding_efficiency"].fn(spark, SF_DIR)
+    assert has_partial_aggregation(df)
+    assert "Join" not in executed_plan(df)
+    assert count_exchanges(df) == 1
