@@ -68,6 +68,12 @@ HEADLINE = [
     "shard_manifest",
     "dedup_cluster_histogram",
     "corpus_version_diff",
+    "embedding_dim_stats",
+    "boilerplate_phrases",
+    "cross_source_dup_matrix",
+    "source_token_kl",
+    "text_token_entropy",
+    "padding_efficiency",
 ]
 
 

@@ -61,8 +61,14 @@ def main() -> None:
     )
     from duckdb_extension_kafquack_spark.operators.text import (
         bigram_surprisal_scores,
+        boilerplate_phrases,
         ngram_novelty_by_source,
         source_overlap_matrix,
+        source_token_kl,
+        token_entropy,
+    )
+    from duckdb_extension_kafquack_spark.operators.dedup import (
+        cross_source_dup_matrix,
     )
     from duckdb_extension_kafquack_spark.operators.similarity import (
         cosine_topk,
@@ -160,6 +166,10 @@ def main() -> None:
         bench("ngram_novelty", k, lambda: ngram_novelty_by_source(docs))
         bench("bigram_surprisal", k, lambda: bigram_surprisal_scores(docs))
         bench("source_overlap", k, lambda: source_overlap_matrix(docs))
+        bench("boilerplate_phrases", k, lambda: boilerplate_phrases(docs))
+        bench("source_token_kl", k, lambda: source_token_kl(docs))
+        bench("token_entropy", k, lambda: token_entropy(docs))
+        bench("cross_source_dup_matrix", k, lambda: cross_source_dup_matrix(docs))
         # CMS heavy-hitter path: sketch + estimates over the token stream
         stream = _token_stream(docs)
         bench("cms_sketch_estimates", k, lambda: cms_estimate(cms_build(stream), stream.distinct()))
@@ -262,6 +272,18 @@ def main() -> None:
         "  whole-corpus broadcast; `n_blocks` grows with the corpus so a",
         "  tile stays executor-sized.  The sub-quadratic rows above are the",
         "  LSH paths used at scale.",
+        "* `boilerplate_phrases` / `source_token_kl` — word-count shape",
+        "  (map-side-combined groupBy on the phrase/token relation; the",
+        "  phrase top-k is TakeOrderedAndProject, the KL join-back is one",
+        "  row per distinct (source, token)); linear in token count.",
+        "* `token_entropy` — per-doc sorted run-length HOF fold inside one",
+        "  projection, no shuffle at all; linear (flat rows = scheduling",
+        "  floor).",
+        "* `cross_source_dup_matrix` — the verified LSH pair relation",
+        "  (quadratic in k by the same pair-output model as",
+        "  `minhash_lsh_dedup`) plus two broadcast joins of the pair ids",
+        "  into the corpus scan and a sources²-bounded rollup; growth",
+        "  tracks the minhash row, not corpus².",
     ]
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
