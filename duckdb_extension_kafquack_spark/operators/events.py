@@ -496,3 +496,74 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(wr)).select(
         "e1", "e2", "e3", "n_paths", "n_users", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# behavioral-signal enrichment: event engagement joined onto the corpus
+# ---------------------------------------------------------------------------
+
+ENGAGE_W_CLICK = 5
+ENGAGE_W_PURCHASE = 20
+
+
+@query(
+    "doc_engagement_join",
+    f"""
+WITH ref AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS doc_id, event_type
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), eng AS (
+  SELECT doc_id,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_views,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_clicks,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases
+  FROM ref GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang, d.source,
+       e.n_views, e.n_clicks, e.n_purchases,
+       e.n_views + {ENGAGE_W_CLICK} * e.n_clicks + {ENGAGE_W_PURCHASE} * e.n_purchases
+         AS engagement_score
+FROM eng e JOIN documents d ON d.doc_id = e.doc_id
+""",
+)
+def doc_engagement_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-signal enrichment: engagement counts mined from the
+    event log (view/click/purchase referencing a doc id in the JSON
+    props) joined onto the corpus — the upstream half of
+    engagement-weighted sampling, where a curation pipeline upweights
+    documents users actually engage with.
+
+    Physical shape: the event relation reduces FIRST (partial+final
+    groupBy on doc_id — the only data-sized shuffle, and the filter +
+    JSON field prune ride the scan), then the ≤|docs-touched| aggregate
+    joins the documents table on its key.  All-integer accounting and
+    an integer weighted score — no float anywhere."""
+    t = load_tables(spark, sf_dir)
+    ref = (
+        t["events"]
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            F.get_json_object("props", "$.k").cast("bigint").alias("doc_id"),
+            "event_type",
+        )
+    )
+    eng = ref.groupBy("doc_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_views"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+    )
+    docs = t["documents"].select("doc_id", "lang", "source")
+    return eng.join(docs, "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_views",
+        "n_clicks",
+        "n_purchases",
+        (
+            F.col("n_views")
+            + ENGAGE_W_CLICK * F.col("n_clicks")
+            + ENGAGE_W_PURCHASE * F.col("n_purchases")
+        ).alias("engagement_score"),
+    )
