@@ -74,6 +74,7 @@ HEADLINE = [
     "source_token_kl",
     "text_token_entropy",
     "padding_efficiency",
+    "doc_engagement_join",
 ]
 
 
