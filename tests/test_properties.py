@@ -606,3 +606,38 @@ def test_range_splits_cover_exactly(rg_sizes, lo_frac, hi_frac, n_splits):
         assert starts[s.rg_start] <= s.start
         assert starts[s.rg_end] >= s.end
         assert s.rg_offset == starts[s.rg_start]
+
+
+texts_for_entropy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "eee"]),
+        min_size=1,
+        max_size=30,
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@SLOW
+@given(texts=texts_for_entropy)
+def test_token_entropy_matches_reference_and_bounds(spark, texts):
+    """The sorted run-length HOF entropy equals a direct Python
+    computation (to the same rounding) and respects 0 ≤ H ≤ ln(n)."""
+    import collections
+
+    from duckdb_extension_kafquack_spark.operators.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.entropy_r) for r in token_entropy(docs).collect()}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split(" ") if w]
+        n = len(toks)
+        cnt = collections.Counter(toks)
+        ref = round(math.log(n) - sum(c * math.log(c) for c in cnt.values()) / n, 6)
+        n_got, h_got = got[i]
+        assert n_got == n
+        assert abs(h_got - ref) <= 1e-6
+        assert -1e-9 <= h_got <= math.log(n) + 1e-9
