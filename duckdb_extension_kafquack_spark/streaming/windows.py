@@ -178,7 +178,7 @@ def run_paced_stream_to_table(
     name: str,
     done,
     mode: str = "complete",
-    timeout_s: float = 120.0,
+    timeout_s: float = 300.0,
 ) -> None:
     """Drain a RATE-LIMITED stream through real repeating micro-batches
     (processingTime trigger) until ``done(spark)`` reports the sink has

@@ -153,7 +153,7 @@ class TestBatchRead:
 
 
 class TestStreamRead:
-    def _drain(self, spark, stream, name, timeout=90):
+    def _drain(self, spark, stream, name, timeout=240):
         q = (
             stream.writeStream.format("memory")
             .queryName(name)
