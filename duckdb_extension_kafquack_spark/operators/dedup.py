@@ -1629,3 +1629,100 @@ GROUP BY 1, 2
 @query("cross_source_dup_matrix", _duck_cross_source_sql())
 def cross_source_dup_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_source_dup_matrix(load_tables(spark, sf_dir)["documents"])
+
+
+# ---------------------------------------------------------------------------
+# quality-aware canonicalization: keep the BEST cluster member, not the first
+# ---------------------------------------------------------------------------
+
+
+def _duck_keep_best_sql() -> str:
+    from .text import _DUCK_QUALITY
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc1, doc2 FROM ({_duck_minhash_sql()})
+), sym AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION
+  SELECT doc2 AS a, doc1 AS b FROM pairs
+), verts AS (
+  SELECT DISTINCT a AS v FROM sym
+), reach(v, r) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT re.v, s.b FROM reach re JOIN sym s ON re.r = s.a
+), comp AS (
+  SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
+), qual AS (
+{_DUCK_QUALITY}
+), ranked AS (
+  SELECT c.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality_score DESC, c.doc_id) AS rn
+  FROM comp c JOIN qual q ON q.doc_id = c.doc_id
+), drop_ids AS (
+  SELECT doc_id FROM ranked WHERE rn > 1
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(*) FILTER (WHERE x.doc_id IS NOT NULL) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) FILTER (WHERE x.doc_id IS NULL) AS BIGINT) AS n_kept,
+       ROUND(COALESCE(SUM(q.quality_score) FILTER (WHERE x.doc_id IS NULL), 0), 6)
+         AS kept_quality_r
+FROM documents d
+JOIN qual q ON q.doc_id = d.doc_id
+LEFT JOIN drop_ids x ON d.doc_id = x.doc_id
+GROUP BY d.source
+"""
+
+
+@query("dedup_keep_best_quality", _duck_keep_best_sql())
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonicalization: within each near-dup cluster keep
+    the HIGHEST-quality member (ties → smaller doc_id) instead of the
+    arbitrary min-id representative — what production dedup actually
+    ships, since the retained token budget should spend on the best
+    copy, not the first-crawled one.
+
+    Composes three existing primitives with no new shuffle classes: the
+    verified LSH pair relation → pointer-doubled connected components →
+    a per-cluster ranking window over the (small, clusters-only) member
+    relation joined to the map-only quality scores.  The ranking
+    partition key is ``cluster_id`` — bounded by cluster size, never a
+    corpus-wide window.  The keep/drop decision orders by the
+    bit-identical single-division quality score, so representative
+    choice never flips cross-engine; the per-source kept-quality SUM is
+    the one order-dependent float reduction (rounded@6)."""
+    from .text import quality_scores
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = minhash_near_duplicates(docs).select("doc1", "doc2")
+    comp = connected_components(pairs)
+    qual = quality_scores(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    drop = (
+        comp.join(qual, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", F.lit(1).alias("is_dup"))
+    )
+    flagged = (
+        docs.select("doc_id", "source")
+        .join(qual, "doc_id")
+        .join(F.broadcast(drop), "doc_id", "left")
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.col("is_dup")).alias("n_dropped"),
+        F.count(F.when(F.col("is_dup").isNull(), 1)).alias("n_kept"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("is_dup").isNull(), F.col("quality_score"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("kept_quality_r"),
+    )

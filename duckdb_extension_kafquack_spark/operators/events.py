@@ -506,6 +506,24 @@ ENGAGE_W_CLICK = 5
 ENGAGE_W_PURCHASE = 20
 
 
+def engagement_counts(events: DataFrame) -> DataFrame:
+    """Per-doc view/click/purchase counts mined from the event log's
+    JSON doc refs — the shared reduce feeding the enrichment join and
+    the weighted sampler.  Partial+final groupBy on doc_id; the
+    event-type filter and the single JSON field prune ride the scan."""
+    ref = events.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        F.get_json_object("props", "$.k").cast("bigint").alias("doc_id"),
+        "event_type",
+    )
+    return ref.groupBy("doc_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_views"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+    )
+
+
 @query(
     "doc_engagement_join",
     f"""
@@ -540,19 +558,7 @@ def doc_engagement_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins the documents table on its key.  All-integer accounting and
     an integer weighted score — no float anywhere."""
     t = load_tables(spark, sf_dir)
-    ref = (
-        t["events"]
-        .filter(F.col("event_type").isin("view", "click", "purchase"))
-        .select(
-            F.get_json_object("props", "$.k").cast("bigint").alias("doc_id"),
-            "event_type",
-        )
-    )
-    eng = ref.groupBy("doc_id").agg(
-        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_views"),
-        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
-        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
-    )
+    eng = engagement_counts(t["events"])
     docs = t["documents"].select("doc_id", "lang", "source")
     return eng.join(docs, "doc_id").select(
         "doc_id",
@@ -566,4 +572,93 @@ def doc_engagement_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ENGAGE_W_CLICK * F.col("n_clicks")
             + ENGAGE_W_PURCHASE * F.col("n_purchases")
         ).alias("engagement_score"),
+    )
+
+
+EW_SEED = 7
+EW_BUCKETS = 100
+EW_BASE = 10   # percent kept at zero engagement
+EW_CAP = 90    # max percent kept
+
+
+def _duck_engagement_sample_sql() -> str:
+    from ..functions.hashing import duck_hash64
+
+    return f"""
+WITH ref AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS doc_id, event_type
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), eng AS (
+  SELECT doc_id,
+         COUNT(*) FILTER (WHERE event_type = 'view')
+           + {ENGAGE_W_CLICK} * COUNT(*) FILTER (WHERE event_type = 'click')
+           + {ENGAGE_W_PURCHASE} * COUNT(*) FILTER (WHERE event_type = 'purchase')
+           AS score
+  FROM ref GROUP BY doc_id
+), tagged AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         LEAST({EW_CAP}, {EW_BASE} + COALESCE(e.score, 0) // 2) AS cutoff,
+         {duck_hash64("CAST(d.doc_id AS VARCHAR)", EW_SEED)} % {EW_BUCKETS} AS bucket
+  FROM documents d LEFT JOIN eng e ON e.doc_id = d.doc_id
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS total_docs,
+       CAST(SUM(cutoff) AS BIGINT) AS expected_pct_sum,
+       CAST(COUNT(*) FILTER (WHERE bucket < cutoff) AS BIGINT) AS kept_docs,
+       CAST(COALESCE(SUM(n_chars) FILTER (WHERE bucket < cutoff), 0) AS BIGINT)
+         AS kept_chars
+FROM tagged GROUP BY lang
+"""
+
+
+@query("engagement_weighted_sample", _duck_engagement_sample_sql())
+def engagement_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-weighted deterministic sampling: each doc's keep
+    probability scales with its behavioral engagement score (base
+    EW_BASE=10%, +1 point per 2 score, capped at EW_CAP=90%), decided by
+    the seeded md5 bucket — so the sample is reproducible across
+    engines, runs, and cluster sizes (the property `rand()` sampling
+    can never give), yet favors documents users actually engage with.
+
+    The event relation reduces first (:func:`engagement_counts`), the
+    small per-doc score aggregate joins the corpus scan, and the
+    keep decision is integer bucket < integer cutoff — no float
+    anywhere.  One data-sized shuffle (the event groupBy); the rollup
+    is partial+final on ~languages keys."""
+    from ..functions.hashing import spark_hash64
+
+    t = load_tables(spark, sf_dir)
+    eng = engagement_counts(t["events"]).select(
+        "doc_id",
+        (
+            F.col("n_views")
+            + ENGAGE_W_CLICK * F.col("n_clicks")
+            + ENGAGE_W_PURCHASE * F.col("n_purchases")
+        ).alias("score"),
+    )
+    tagged = (
+        t["documents"]
+        .select("doc_id", "lang", "n_chars")
+        .join(eng, "doc_id", "left")
+        .select(
+            "lang",
+            "n_chars",
+            F.least(
+                F.lit(EW_CAP),
+                F.lit(EW_BASE) + F.expr("COALESCE(score, 0) DIV 2"),
+            ).alias("cutoff"),
+            (
+                spark_hash64(F.col("doc_id").cast("string"), EW_SEED) % EW_BUCKETS
+            ).alias("bucket"),
+        )
+    )
+    kept = F.col("bucket") < F.col("cutoff")
+    return tagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum("cutoff").cast("bigint").alias("expected_pct_sum"),
+        F.count(F.when(kept, 1)).alias("kept_docs"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_chars"))), F.lit(0))
+        .cast("bigint")
+        .alias("kept_chars"),
     )
