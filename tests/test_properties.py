@@ -641,3 +641,43 @@ def test_token_entropy_matches_reference_and_bounds(spark, texts):
         assert n_got == n
         assert abs(h_got - ref) <= 1e-6
         assert -1e-9 <= h_got <= math.log(n) + 1e-9
+
+
+def test_round6b_ops_handle_empty_and_degenerate_input(spark):
+    """The round-6b text/dedup operators flow empty tables through, and
+    the HOF shingle/run-length folds never emit bogus values on docs
+    shorter than their window."""
+    from duckdb_extension_kafquack_spark.operators.dedup import (
+        cross_source_dup_matrix,
+    )
+    from duckdb_extension_kafquack_spark.operators.text import (
+        boilerplate_phrases,
+        source_token_kl,
+        token_entropy,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert boilerplate_phrases(empty).count() == 0
+    assert source_token_kl(empty).count() == 0
+    assert token_entropy(empty).count() == 0
+    assert cross_source_dup_matrix(empty).count() == 0
+
+    short = spark.createDataFrame(
+        [(0, "a b c", "en", "s0", 5), (1, "x", "en", "s1", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # no doc has a 5-gram -> no phrases at all
+    assert boilerplate_phrases(short).count() == 0
+    # single-token doc: H = 0 exactly, n = 1
+    ent = {r.doc_id: r for r in token_entropy(short).collect()}
+    assert ent[1].n_tokens == 1 and ent[1].entropy_r == 0.0
+    assert ent[0].n_tokens == 3 and abs(ent[0].entropy_r - round(math.log(3), 6)) < 1e-9
+    # a single-source corpus has KL(source||corpus) = 0 by definition
+    one_src = spark.createDataFrame(
+        [(0, "a b b", "en", "s0", 5), (1, "a c", "en", "s0", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    kl = source_token_kl(one_src).collect()
+    assert len(kl) == 1 and kl[0].kl_r == 0.0 and kl[0].n_tokens == 5
