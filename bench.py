@@ -75,6 +75,8 @@ HEADLINE = [
     "text_token_entropy",
     "padding_efficiency",
     "doc_engagement_join",
+    "dedup_keep_best_quality",
+    "engagement_weighted_sample",
 ]
 
 
