@@ -1595,14 +1595,15 @@ def cross_source_dup_matrix(docs: DataFrame) -> DataFrame:
     src = docs.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("doc1"), F.col("source").alias("s1"))
     b = src.select(F.col("doc_id").alias("doc2"), F.col("source").alias("s2"))
-    tagged = (
-        a.join(F.broadcast(pairs), "doc1")
-        .join(F.broadcast(b), "doc2")
-        .select(
-            F.least("s1", "s2").alias("source_a"),
-            F.greatest("s1", "s2").alias("source_b"),
-            "jaccard",
-        )
+    # broadcast the SMALL side both times: first the pair ids into the
+    # first corpus scan, then the (still pair-sized) half-tagged result
+    # into the second — the corpus relation itself never broadcasts and
+    # never re-shuffles
+    half = a.join(F.broadcast(pairs), "doc1")
+    tagged = b.join(F.broadcast(half), "doc2").select(
+        F.least("s1", "s2").alias("source_a"),
+        F.greatest("s1", "s2").alias("source_b"),
+        "jaccard",
     )
     return tagged.groupBy("source_a", "source_b").agg(
         F.count(F.lit(1)).alias("n_pairs"),
