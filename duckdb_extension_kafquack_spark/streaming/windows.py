@@ -188,6 +188,16 @@ def run_paced_stream_to_table(
     import time as _time
 
     spark = df.sparkSession
+    # a STALE memory table from a prior run of the same query (shared
+    # session, e.g. two test modules running the registry) would let
+    # done(spark) observe the old, already-complete data in the window
+    # before the new sink registers its view — stopping the stream
+    # before its first batch.  Drop it so done() only ever sees the
+    # fresh sink's state.
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
     with tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_") as ckpt:
         q = (
             df.writeStream.format("memory")
