@@ -640,7 +640,9 @@ def test_token_entropy_matches_reference_and_bounds(spark, texts):
         n_got, h_got = got[i]
         assert n_got == n
         assert abs(h_got - ref) <= 1e-6
-        assert -1e-9 <= h_got <= math.log(n) + 1e-9
+        # entropy_r is rounded@6, so the max-entropy case can sit up to
+        # half an ulp-of-rounding ABOVE ln(n) (e.g. ln(5)→1.609438)
+        assert -5e-7 <= h_got <= math.log(n) + 5e-7
 
 
 def test_round6b_ops_handle_empty_and_degenerate_input(spark):
