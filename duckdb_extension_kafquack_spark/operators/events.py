@@ -662,3 +662,47 @@ def engagement_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_chars"),
     )
+
+
+@query(
+    "user_behavior_entropy",
+    """
+WITH cnt AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(LN(CAST(SUM(c) AS DOUBLE)) - SUM(c * LN(CAST(c AS DOUBLE))) / SUM(c), 6)
+         AS entropy_r
+FROM cnt GROUP BY user_id
+""",
+)
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity audit that separates organic users (mixed
+    behavior, high entropy) from bots and scrapers (one event type on
+    repeat, entropy ≈ 0) before their events feed engagement weighting
+    (:func:`engagement_counts`) or funnel metrics.
+
+    Word-count shape: one (user, type) groupBy (map-side combined),
+    then a per-user rollup — two cheap shuffles, state bounded by
+    users × event-types.  Counts stay exact integers; each division is
+    exact-int IEEE; the per-user term sum is the one order-dependent
+    float reduction (rounded@6 both sides, same recipe as
+    ``text_token_entropy``)."""
+    events = load_tables(spark, sf_dir)["events"]
+    cnt = events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    term = F.expr("c * LN(CAST(c AS DOUBLE))")
+    return (
+        cnt.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(
+                F.log(F.sum("c").cast("double")) - F.sum(term) / F.sum("c"), 6
+            ).alias("entropy_r"),
+        )
+        .select("user_id", "n_events", "n_types", "entropy_r")
+    )
