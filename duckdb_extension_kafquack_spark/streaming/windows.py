@@ -1006,3 +1006,72 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_to_table(gated, "stream_quality_gate", "complete")
     return spark.table("stream_quality_gate")
+
+
+# ---------------------------------------------------------------------------
+# streaming engagement monitor: behavioral counts as live state
+# ---------------------------------------------------------------------------
+
+
+def _duck_streaming_engagement_sql() -> str:
+    from ..operators.events import ENGAGE_W_CLICK, ENGAGE_W_PURCHASE
+
+    return f"""
+WITH ref AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS doc_id, event_type
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), eng AS (
+  SELECT doc_id,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_views,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_clicks,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases
+  FROM ref GROUP BY doc_id
+)
+SELECT doc_id, n_views, n_clicks, n_purchases,
+       n_views + {ENGAGE_W_CLICK} * n_clicks + {ENGAGE_W_PURCHASE} * n_purchases
+         AS engagement_score
+FROM eng
+"""
+
+
+@query("streaming_doc_engagement", _duck_streaming_engagement_sql())
+def streaming_doc_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engagement counter as LIVE state: events arrive via
+    ``readStream``, the JSON doc ref is parsed per micro-batch
+    (map-only), and a streaming groupBy maintains one row per engaged
+    document — so engagement-weighted sampling
+    (:func:`..operators.events.engagement_weighted_sample`) can read
+    CURRENT scores at any moment instead of re-scanning the event log.
+    State is bounded by documents-ever-engaged (the corpus dimension,
+    not the unbounded event count); counts are monotone integers, so
+    the drained state equals the batch aggregate exactly."""
+    from ..operators.events import ENGAGE_W_CLICK, ENGAGE_W_PURCHASE
+
+    ev = _events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    eng = (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("bigint").alias("doc_id"),
+            "event_type",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("n_views"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        )
+    )
+    run_stream_to_table(eng, "stream_doc_engagement", "complete")
+    return spark.table("stream_doc_engagement").select(
+        "doc_id",
+        "n_views",
+        "n_clicks",
+        "n_purchases",
+        (
+            F.col("n_views")
+            + ENGAGE_W_CLICK * F.col("n_clicks")
+            + ENGAGE_W_PURCHASE * F.col("n_purchases")
+        ).alias("engagement_score"),
+    )
