@@ -77,6 +77,8 @@ HEADLINE = [
     "doc_engagement_join",
     "dedup_keep_best_quality",
     "engagement_weighted_sample",
+    "user_behavior_entropy",
+    "corpus_summary_card",
 ]
 
 

@@ -123,3 +123,71 @@ def dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("from_embedding").cast("int").alias("from_embedding"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset-card summary: the one-row corpus report
+# ---------------------------------------------------------------------------
+
+
+def _duck_summary_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT)
+           AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM documents
+), q AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE quality_score >= {QUALITY_CUTOFF}) AS BIGINT)
+           AS n_quality_pass,
+         ROUND(SUM(quality_score) / COUNT(*), 6) AS mean_quality_r
+  FROM ({_DUCK_QUALITY})
+), p AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_near_dup_pairs,
+         CAST(COUNT(DISTINCT doc2) AS BIGINT) AS n_droppable_docs
+  FROM ({_duck_minhash_sql()})
+)
+SELECT base.n_docs, base.n_langs, base.n_sources, base.n_tokens, base.n_chars,
+       q.n_quality_pass, q.mean_quality_r,
+       p.n_near_dup_pairs, p.n_droppable_docs
+FROM base CROSS JOIN q CROSS JOIN p
+"""
+
+
+@query("corpus_summary_card", _duck_summary_sql())
+def corpus_summary_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card's numbers in ONE row: corpus dimensions (docs /
+    tokens / chars / languages / sources), quality-gate pass count and
+    mean score, and the near-dup footprint (verified pairs, droppable
+    docs) — what a pipeline run publishes next to the shards.
+
+    Three independent 1-row aggregates (corpus scan, quality scan, LSH
+    pair relation) cross-joined as broadcasts — the exact in-plan
+    scalar-total shape the repo mandates (no driver-side counts).  The
+    mean quality is the one order-dependent float sum (rounded@6); all
+    other outputs are exact integers."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.size(F.filter(F.split("text", " "), lambda t: t != "")))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    q = quality_scores(docs).agg(
+        F.count(F.when(F.col("quality_score") >= QUALITY_CUTOFF, 1)).alias(
+            "n_quality_pass"
+        ),
+        F.round(F.sum("quality_score") / F.count(F.lit(1)), 6).alias("mean_quality_r"),
+    )
+    pairs = minhash_near_duplicates(docs)
+    p = pairs.agg(
+        F.count(F.lit(1)).alias("n_near_dup_pairs"),
+        F.countDistinct("doc2").alias("n_droppable_docs"),
+    )
+    return base.crossJoin(F.broadcast(q)).crossJoin(F.broadcast(p))
