@@ -1695,26 +1695,29 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical single-division quality score, so representative
     choice never flips cross-engine; the per-source kept-quality SUM is
     the one order-dependent float reduction (rounded@6)."""
-    from .text import quality_scores
+    from .text import quality_score_col
 
     docs = load_tables(spark, sf_dir)["documents"]
     pairs = minhash_near_duplicates(docs).select("doc1", "doc2")
     comp = connected_components(pairs)
-    qual = quality_scores(docs).select("doc_id", "quality_score")
+    # score INLINE on the scan (quality_score_col is a pure column
+    # expression over text) — a docs⋈quality_scores(docs) join here
+    # would shuffle the corpus against itself for values one projection
+    # computes for free
+    scored = docs.select(
+        "doc_id", "source", quality_score_col().alias("quality_score")
+    )
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality_score").desc(), F.col("doc_id")
     )
     drop = (
-        comp.join(qual, "doc_id")
+        scored.select("doc_id", "quality_score")
+        .join(F.broadcast(comp), "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") > 1)
         .select("doc_id", F.lit(1).alias("is_dup"))
     )
-    flagged = (
-        docs.select("doc_id", "source")
-        .join(qual, "doc_id")
-        .join(F.broadcast(drop), "doc_id", "left")
-    )
+    flagged = scored.join(F.broadcast(drop), "doc_id", "left")
     return flagged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.count(F.col("is_dup")).alias("n_dropped"),

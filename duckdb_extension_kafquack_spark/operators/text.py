@@ -1083,11 +1083,17 @@ def token_entropy(docs: DataFrame) -> DataFrame:
     aggregate), never an explode→groupBy of the corpus token relation —
     the per-doc work is O(tokens·log tokens) inside one codegen'd
     projection, so at 100 TB this is the parquet scan.  The per-doc Σ
-    is a short order-dependent float fold, rounded to 6 dp both sides."""
+    is a short order-dependent float fold, rounded to 6 dp both sides.
+
+    Zero-token docs (empty / whitespace-only text) are OMITTED — their
+    entropy is undefined, the oracle's unnest emits no rows for them,
+    and Spark's ``sequence(1, 0)`` is the DESCENDING ``[1, 0]`` whose
+    index-0 probe would throw under ANSI mode."""
     return (
         docs.select(
             "doc_id", F.filter(F.split("text", " "), lambda t: t != "").alias("toks")
         )
+        .filter(F.size("toks") > 0)
         .selectExpr(
             "doc_id",
             "size(toks) AS n",

@@ -1046,23 +1046,15 @@ def streaming_doc_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     State is bounded by documents-ever-engaged (the corpus dimension,
     not the unbounded event count); counts are monotone integers, so
     the drained state equals the batch aggregate exactly."""
-    from ..operators.events import ENGAGE_W_CLICK, ENGAGE_W_PURCHASE
+    from ..operators.events import (
+        ENGAGE_W_CLICK,
+        ENGAGE_W_PURCHASE,
+        engagement_counts,
+    )
 
-    ev = _events_stream(spark, sf_dir).filter(
-        F.col("event_type").isin("view", "click", "purchase")
-    )
-    eng = (
-        ev.select(
-            F.get_json_object("props", "$.k").cast("bigint").alias("doc_id"),
-            "event_type",
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.when(F.col("event_type") == "view", 1)).alias("n_views"),
-            F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
-            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
-        )
-    )
+    # the SAME shared reduce as the batch path — it is plain DataFrame
+    # code, so it runs unchanged over the streaming relation
+    eng = engagement_counts(_events_stream(spark, sf_dir))
     run_stream_to_table(eng, "stream_doc_engagement", "complete")
     return spark.table("stream_doc_engagement").select(
         "doc_id",

@@ -667,13 +667,21 @@ def test_round6b_ops_handle_empty_and_degenerate_input(spark):
     assert cross_source_dup_matrix(empty).count() == 0
 
     short = spark.createDataFrame(
-        [(0, "a b c", "en", "s0", 5), (1, "x", "en", "s1", 1)],
+        [
+            (0, "a b c", "en", "s0", 5),
+            (1, "x", "en", "s1", 1),
+            (2, "", "en", "s0", 0),
+            (3, "   ", "en", "s1", 3),
+        ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     # no doc has a 5-gram -> no phrases at all
     assert boilerplate_phrases(short).count() == 0
-    # single-token doc: H = 0 exactly, n = 1
+    # zero-token docs (empty / whitespace text) are OMITTED, not a crash
+    # (sequence(1, 0) is descending [1, 0]; its index-0 probe would throw)
     ent = {r.doc_id: r for r in token_entropy(short).collect()}
+    assert set(ent) == {0, 1}
+    # single-token doc: H = 0 exactly, n = 1
     assert ent[1].n_tokens == 1 and ent[1].entropy_r == 0.0
     assert ent[0].n_tokens == 3 and abs(ent[0].entropy_r - round(math.log(3), 6)) < 1e-9
     # a single-source corpus has KL(source||corpus) = 0 by definition
