@@ -1678,8 +1678,7 @@ GROUP BY d.source
 """
 
 
-@query("dedup_keep_best_quality", _duck_keep_best_sql())
-def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def keep_best_quality_report(docs: DataFrame) -> DataFrame:
     """Quality-aware canonicalization: within each near-dup cluster keep
     the HIGHEST-quality member (ties → smaller doc_id) instead of the
     arbitrary min-id representative — what production dedup actually
@@ -1697,7 +1696,6 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one order-dependent float reduction (rounded@6)."""
     from .text import quality_score_col
 
-    docs = load_tables(spark, sf_dir)["documents"]
     pairs = minhash_near_duplicates(docs).select("doc1", "doc2")
     comp = connected_components(pairs)
     # score INLINE on the scan (quality_score_col is a pure column
@@ -1730,3 +1728,10 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kept_quality_r"),
     )
+
+
+query("dedup_keep_best_quality", _duck_keep_best_sql())(
+    lambda spark, sf_dir: keep_best_quality_report(
+        load_tables(spark, sf_dir)["documents"]
+    )
+)

@@ -69,6 +69,7 @@ def main() -> None:
     )
     from duckdb_extension_kafquack_spark.operators.dedup import (
         cross_source_dup_matrix,
+        keep_best_quality_report,
     )
     from duckdb_extension_kafquack_spark.operators.similarity import (
         cosine_topk,
@@ -170,6 +171,7 @@ def main() -> None:
         bench("source_token_kl", k, lambda: source_token_kl(docs))
         bench("token_entropy", k, lambda: token_entropy(docs))
         bench("cross_source_dup_matrix", k, lambda: cross_source_dup_matrix(docs))
+        bench("keep_best_quality", k, lambda: keep_best_quality_report(docs))
         # CMS heavy-hitter path: sketch + estimates over the token stream
         stream = _token_stream(docs)
         bench("cms_sketch_estimates", k, lambda: cms_estimate(cms_build(stream), stream.distinct()))
@@ -279,11 +281,13 @@ def main() -> None:
         "* `token_entropy` — per-doc sorted run-length HOF fold inside one",
         "  projection, no shuffle at all; linear (flat rows = scheduling",
         "  floor).",
-        "* `cross_source_dup_matrix` — the verified LSH pair relation",
-        "  (quadratic in k by the same pair-output model as",
-        "  `minhash_lsh_dedup`) plus two broadcast joins of the pair ids",
-        "  into the corpus scan and a sources²-bounded rollup; growth",
-        "  tracks the minhash row, not corpus².",
+        "* `cross_source_dup_matrix` / `keep_best_quality` — the verified LSH",
+        "  pair relation (quadratic in k by the same pair-output model as",
+        "  `minhash_lsh_dedup`) plus broadcast joins of the pair/cluster",
+        "  ids into the corpus scan (with the inline-scored projection and",
+        "  a cluster-bounded ranking window for keep_best); growth tracks",
+        "  the minhash row — plus the CC rounds for keep_best — never",
+        "  corpus².",
     ]
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
