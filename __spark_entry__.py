@@ -85,7 +85,16 @@ def _git_commit_times(paths: list[str]) -> dict[str, int | None]:
             ["git", "-C", here, "status", "--porcelain", "--"] + paths,
             capture_output=True, text=True, timeout=15,
         ).stdout
-        dirty_files = {line[3:].strip() for line in dirty.splitlines() if line}
+        dirty_files = set()
+        for line in dirty.splitlines():
+            if not line:
+                continue
+            entry = line[3:].strip()
+            # rename entries read 'R  old -> new'; the dirty path is NEW
+            if " -> " in entry:
+                dirty_files.add(entry.split(" -> ", 1)[1].strip())
+            else:
+                dirty_files.add(entry)
         for p in paths:
             rel = os.path.relpath(p, here)
             if rel in dirty_files:

@@ -1121,13 +1121,19 @@ _CHECKSUM_MOD = 1_000_000_007
 
 def _content_checksum_cols():
     """Per-group (n_docs, content_checksum): the checksum is a SUM of
-    60-bit md5 hashes mod a prime — exact integer math both engines, and
-    any lost/duplicated/altered doc changes it."""
+    60-bit md5 hashes mod a prime, reduced mod the prime AGAIN after the
+    sum — exact integer math both engines, any lost/duplicated/altered
+    doc changes it, and the outer pmod keeps the value bounded so a
+    ~1e10-row group can't wrap Spark's BIGINT sum (DuckDB's HUGEINT sum
+    would instead error on the BIGINT cast — divergent failure modes)."""
     from ..functions.hashing import spark_hash64
 
     return [
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(spark_hash64(F.col("text")) % _CHECKSUM_MOD)
+        F.pmod(
+            F.sum(spark_hash64(F.col("text")) % _CHECKSUM_MOD),
+            F.lit(_CHECKSUM_MOD),
+        )
         .cast("bigint")
         .alias("content_checksum"),
     ]
@@ -1136,7 +1142,8 @@ def _content_checksum_cols():
 _DUCK_COMPACTION_SQL = f"""
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % {_CHECKSUM_MOD}) AS BIGINT)
+       CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % {_CHECKSUM_MOD})
+              % {_CHECKSUM_MOD} AS BIGINT)
          AS content_checksum
 FROM documents
 GROUP BY lang

@@ -1170,7 +1170,10 @@ def kmeans_codebook_train(
     how big the corpus.  Assignment is max-cosine with exact integer
     dots (tie → smaller cell id), mirroring the oracle's ROW_NUMBER.
 
-    Physical shape per iteration: ONE numpy pass over the corpus scan
+    Physical shape: the corpus is quantized ONCE into a persisted
+    integer-code relation (round 7 — round 6 re-ran the affine
+    quantization over the raw floats every iteration), then each Lloyd
+    round is ONE numpy pass over the cached codes
     (``mapInPandas``) emitting per-batch per-cell partial sums — ≤
     |cells| rows per batch leave each task (the classic map-side combine
     of distributed k-means); partials are then reduced IN-PLAN by a
@@ -1184,6 +1187,8 @@ def kmeans_codebook_train(
     after ``iters`` rounds: ids, final-round member counts, and the
     updated integer centroids."""
     import numpy as np
+
+    from pyspark import StorageLevel
 
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -1206,7 +1211,36 @@ def kmeans_codebook_train(
     cent_ids, cents = cent_ids[live], cents[live]
     if len(cent_ids) == 0:
         raise ValueError("no non-zero-norm seed vectors to initialize centroids")
-    corpus = embeddings.select("embedding")
+
+    # Quantize the corpus ONCE (and drop zero-norm rows once) into a
+    # persisted integer-code relation; every Lloyd round then reads the
+    # cached codes instead of re-running the affine quantization over the
+    # raw float corpus per iteration (round-6 shape paid that ×iters).
+    # Codes are exact integer-valued doubles, so iterating on the cached
+    # relation is bit-identical to re-quantizing.  Persisted HERE (a
+    # mapInPandas plan no registered query builds verbatim — the
+    # query-side quantizers use the `_sq_quantize` expression form) and
+    # unpersisted before returning so the cache can't leak into other
+    # queries' plan shapes.
+    def quantize_once(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _np_quantize(
+                np.vstack(pdf["embedding"].to_numpy()).astype(np.float64), mn, mx
+            )
+            mat = mat[(mat * mat).sum(axis=1) > 0]
+            if len(mat):
+                yield pd.DataFrame({"q": list(mat)})
+
+    codes = (
+        embeddings.select("embedding")
+        .mapInPandas(quantize_once, "q array<double>")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     def make_pass(cid, cv):
         cn = np.sqrt((cv * cv).sum(axis=1))
@@ -1224,13 +1258,7 @@ def kmeans_codebook_train(
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                mat = _np_quantize(
-                    np.vstack(pdf["embedding"].to_numpy()).astype(np.float64), mn, mx
-                )
-                nrm = (mat * mat).sum(axis=1)
-                mat = mat[nrm > 0]
-                if len(mat) == 0:
-                    continue
+                mat = np.vstack(pdf["q"].to_numpy()).astype(np.float64)
                 # exact integer dots -> identical cosines both engines
                 cos = (mat @ cv.T) / (
                     np.sqrt((mat * mat).sum(axis=1))[:, None] * cn[None, :]
@@ -1252,37 +1280,42 @@ def kmeans_codebook_train(
 
     counts = {}
     sums = {}
-    for _ in range(iters):
-        parts = corpus.mapInPandas(
-            make_pass(cent_ids, cents), "cell_id long, n long, s array<long>"
-        )
-        final = (
-            parts.groupBy("cell_id")
-            .agg(
-                F.sum("n").alias("n"),
-                *[F.sum(F.col("s")[i]).alias(f"s{i}") for i in range(DIM)],
+    try:
+        for _ in range(iters):
+            parts = codes.mapInPandas(
+                make_pass(cent_ids, cents), "cell_id long, n long, s array<long>"
             )
-            .collect()
-        )
-        counts = {r["cell_id"]: r["n"] for r in final}
-        sums = {
-            r["cell_id"]: np.array([r[f"s{i}"] for i in range(DIM)], dtype=np.int64)
-            for r in final
-        }
-        if not counts:
-            raise ValueError(
-                "assignment pass produced no members (empty or all-zero corpus)"
+            final = (
+                parts.groupBy("cell_id")
+                .agg(
+                    F.sum("n").alias("n"),
+                    *[F.sum(F.col("s")[i]).alias(f"s{i}") for i in range(DIM)],
+                )
+                .collect()
             )
-        cent_ids = np.array(sorted(counts), dtype=np.int64)
-        cents = np.array(
-            [sums[c] // counts[c] for c in cent_ids], dtype=np.float64
-        )
-        live = (cents * cents).sum(axis=1) > 0
-        final_counts = np.array([counts[c] for c in cent_ids], dtype=np.int64)
-        final_cents = cents
-        cent_ids_next, cents_next = cent_ids[live], cents[live]
-        out_ids = cent_ids
-        cent_ids, cents = cent_ids_next, cents_next
+            counts = {r["cell_id"]: r["n"] for r in final}
+            sums = {
+                r["cell_id"]: np.array(
+                    [r[f"s{i}"] for i in range(DIM)], dtype=np.int64
+                )
+                for r in final
+            }
+            if not counts:
+                raise ValueError(
+                    "assignment pass produced no members (empty or all-zero corpus)"
+                )
+            cent_ids = np.array(sorted(counts), dtype=np.int64)
+            cents = np.array(
+                [sums[c] // counts[c] for c in cent_ids], dtype=np.float64
+            )
+            live = (cents * cents).sum(axis=1) > 0
+            final_counts = np.array([counts[c] for c in cent_ids], dtype=np.int64)
+            final_cents = cents
+            cent_ids_next, cents_next = cent_ids[live], cents[live]
+            out_ids = cent_ids
+            cent_ids, cents = cent_ids_next, cents_next
+    finally:
+        codes.unpersist()
     return out_ids, final_counts, final_cents
 
 

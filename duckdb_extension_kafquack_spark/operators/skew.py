@@ -125,8 +125,9 @@ def key_skew_report(df: DataFrame, cols: list[str]) -> DataFrame:
     Physical shape per column: one map-side-combined count aggregation
     (shuffle carries one row per distinct key per map task) and a 1-row
     rollup — two stages, no corpus re-shuffle, nothing driver-side.
-    Both ratios are single int/int IEEE divisions (never rounded,
-    bit-exact cross-engine)."""
+    ``top_share`` is a single int/int IEEE division; ``imbalance``
+    promotes to DOUBLE before the multiply on BOTH engines (identical
+    op order → bit-exact, and no BIGINT wrap at extreme scale)."""
     out = None
     for c in cols:
         counts = df.groupBy(F.col(c).cast("string").alias("k")).agg(
@@ -143,9 +144,15 @@ def key_skew_report(df: DataFrame, cols: list[str]) -> DataFrame:
             "n_rows",
             "max_key_rows",
             (F.col("max_key_rows") / F.col("n_rows")).alias("top_share"),
-            (F.col("max_key_rows") * F.col("n_keys") / F.col("n_rows")).alias(
-                "imbalance"
-            ),
+            # cast to DOUBLE before the multiply, mirroring the oracle's
+            # MAX(n)::DOUBLE * COUNT(*): a BIGINT*BIGINT product can wrap
+            # past 2^63 (and rounds differently past 2^53) at extreme
+            # key-cardinality × row-count scale
+            (
+                F.col("max_key_rows").cast("double")
+                * F.col("n_keys")
+                / F.col("n_rows")
+            ).alias("imbalance"),
         )
         out = stats if out is None else out.unionByName(stats)
     return out

@@ -609,6 +609,29 @@ def _source_shingle_hashes(docs: DataFrame) -> DataFrame:
     )
 
 
+def _persisted_source_shingles(docs: DataFrame) -> DataFrame:
+    """Persisted DERIVED projection of :func:`_source_shingle_hashes` for
+    the consumers that scan it more than once (the overlap matrix
+    self-joins it and reads per-source sizes off it; the novelty ordering
+    reads it twice) — the tokenize+explode+distinct pass over the corpus
+    runs ONCE per session instead of once per consuming branch.
+
+    Columns reordered to (sh, source) — NOT the verbatim
+    :func:`_source_shingle_hashes` fragment — for the same CacheManager
+    reason as :func:`..dedup._persisted_sig_sets`: a verbatim persist
+    would be silently substituted into every other plan that builds the
+    unpersisted relation, making plan-shape tests order-dependent.
+    Re-persisting the same derived plan in a later call re-uses the
+    existing cache entry (CacheManager dedups on ``sameResult``)."""
+    from pyspark import StorageLevel
+
+    return (
+        _source_shingle_hashes(docs)
+        .select("sh", "source")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def ngram_novelty_by_source(docs: DataFrame) -> DataFrame:
     """How many distinct word-3-gram shingles each source contributes
     that NO lexicographically-earlier source has — the greedy marginal
@@ -620,8 +643,10 @@ def ngram_novelty_by_source(docs: DataFrame) -> DataFrame:
     per-source count — two shuffles on the uniform 60-bit hash, no join
     against text, no all-pairs comparison of sources (the naive version
     is a quadratic source×source overlap matrix; the min-claim trick is
-    linear and gives the same greedy curve)."""
-    pairs = _source_shingle_hashes(docs)
+    linear and gives the same greedy curve).  Reads the persisted shared
+    relation — its two consumers (totals, claim) scan the cache instead
+    of re-running tokenize+distinct."""
+    pairs = _persisted_source_shingles(docs)
     totals = pairs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("distinct_ngrams"))
     claimed = pairs.groupBy("sh").agg(F.min("source").alias("source"))
     novel = claimed.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("novel_ngrams"))
@@ -868,8 +893,10 @@ def source_overlap_matrix(docs: DataFrame) -> DataFrame:
     C(#sources-it-appears-in, 2) rows — bounded by sources², a
     dimension-like constant, NOT corpus²; per-source set sizes come off
     the same relation.  Everything downstream of the distinct is
-    proportional to (#distinct shingles) × sources."""
-    pairs = _source_shingle_hashes(docs)
+    proportional to (#distinct shingles) × sources.  The shared relation
+    is persisted (:func:`_persisted_source_shingles`) so the corpus
+    tokenize+distinct pass runs once, not once per join side."""
+    pairs = _persisted_source_shingles(docs)
     sizes = pairs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = pairs.select(F.col("source").alias("source1"), "sh")
     b = pairs.select(F.col("source").alias("source2"), "sh")

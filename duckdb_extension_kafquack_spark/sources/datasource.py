@@ -87,6 +87,7 @@ _EXTRA_OPTIONS = frozenset(
         "topic_name",  # label stamped into the `topic` column for fixture replay
         "num_partitions",  # minimum fan-out for single-row-group local fixtures
         "max_offsets_per_trigger",  # stream: rows per micro-batch
+        "start_offset",  # stream: pacing anchor for fresh-checkpoint runs
         "validate_connection",
         "fail_on_data_loss",  # parity knob: accepted, recorded, no-op in replay
         "simple_stream_reader",  # true → driver-side Simple reader (small-rate path)
@@ -216,6 +217,15 @@ def _rg_starts(path: str) -> list[int]:
     for i in range(meta.num_row_groups):
         starts.append(starts[-1] + meta.row_group(i).num_rows)
     return starts
+
+
+def fixture_total_rows(fixture_dir: str) -> int:
+    """Total replayable rows of a fixture topic from the parquet FOOTER
+    only — the same metadata ``KafquackStreamReader`` plans offsets from.
+    Harness code that needs the stream's end position (pacing constants,
+    catch-up targets) reads it here instead of running a full-scan
+    ``count()`` job over the corpus (VERDICT r6 item 4)."""
+    return _rg_starts(_events_path(fixture_dir))[-1]
 
 
 def _range_splits(
@@ -383,9 +393,27 @@ class KafquackStreamReader(DataSourceStreamReader):
     * ``read(partition)`` runs executor-side and yields Arrow batches
       through the shared :func:`_read_replay_split` projection.
     * ``max_offsets_per_trigger`` bounds each planned batch.  The pacing
-      state lives in ``_pos`` (advanced by ``latestOffset``/``commit``);
-      after a restart the first ``latestOffset`` with no recovered state
-      serves a full catch-up batch — end offsets can never go backwards.
+      state lives in ``_pos`` — a MONOTONE high-water mark advanced by
+      every entry point (``initialOffset`` / ``latestOffset`` /
+      ``partitions`` / ``commit``), so no call order the engine picks can
+      move offsets backwards.  That monotonicity is load-bearing: on a
+      fresh query Spark asks ``latestOffset()`` BEFORE ``initialOffset()``
+      (observed against Spark 4.1 — the first trigger resolves the
+      available end, then fetches the batch start), so a reader that
+      reset ``_pos`` in ``initialOffset`` would plan the next batch's end
+      BEHIND the first batch's, and the batch after that would re-read
+      committed rows into the aggregation state (duplicates — caught as a
+      flaky ``streaming_kafka_paced`` oracle mismatch in round 7).
+    * With no recovered position (``_pos is None``), ``latestOffset``
+      serves a FULL catch-up batch: any smaller end could fall behind a
+      checkpoint-committed start after a clean-commit restart.  Pacing
+      from offset 0 on a fresh checkpoint is opted into with the
+      ``start_offset`` option, which seeds the high-water mark at
+      construction (the paced harness queries use ``start_offset=0`` with
+      a fresh checkpoint dir, so their micro-batches are genuinely
+      rate-limited from batch 0).  On a kill-mid-replay restart the WAL
+      batch is re-planned through ``partitions(start, end)`` before any
+      ``latestOffset`` call, which re-learns the committed position.
     """
 
     def __init__(self, options: dict[str, str]):
@@ -402,7 +430,10 @@ class KafquackStreamReader(DataSourceStreamReader):
         self.batch_rows = int(options.get("max_offsets_per_trigger", "0")) or None
         self.min_splits = int(options.get("num_partitions", "4"))
         self._starts: list[int] | None = None  # footer metadata, read once
-        self._pos: int | None = None
+        start_offset = options.get("start_offset")
+        self._pos: int | None = (
+            int(start_offset) if start_offset is not None else None
+        )
 
     def _rg_index(self) -> list[int]:
         if self._starts is None:
@@ -410,7 +441,11 @@ class KafquackStreamReader(DataSourceStreamReader):
         return self._starts
 
     def initialOffset(self) -> dict:
-        self._pos = 0
+        # never clobber an already-advanced position: the engine asks for
+        # the initial offset AFTER the first latestOffset has already
+        # planned batch 0's end (see class docstring)
+        if self._pos is None:
+            self._pos = 0
         return {"index": 0}
 
     def latestOffset(self) -> dict:
@@ -420,10 +455,14 @@ class KafquackStreamReader(DataSourceStreamReader):
             if self.batch_rows is None or self._pos is None
             else min(total, self._pos + self.batch_rows)
         )
-        self._pos = nxt
+        self._pos = max(self._pos or 0, nxt)
         return {"index": nxt}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # learn the engine's actual batch bounds: on restart the WAL batch
+        # reaches here before any latestOffset call, and _range_splits
+        # serves a reversed range as zero partitions rather than backwards
+        self._pos = max(self._pos or 0, start["index"], end["index"])
         return _range_splits(
             self.path,
             self.topic_label,

@@ -212,12 +212,31 @@ def run_paced_stream_to_table(
             while _time.time() < deadline:
                 if done(spark):
                     break
+                # a crashed stream must surface its own error immediately,
+                # not spin until TimeoutError masks it
+                exc = q.exception()
+                if exc is not None:
+                    raise exc
+                if not q.isActive:
+                    raise RuntimeError(
+                        f"paced stream {name!r} stopped before catching up"
+                    )
                 _time.sleep(0.5)
             else:
                 raise TimeoutError(
                     f"paced stream {name!r} did not catch up in {timeout_s}s"
                 )
         finally:
+            import os as _os
+            import sys as _sys
+            if _os.environ.get("KAFQUACK_STREAM_DEBUG"):
+                for p in q.recentProgress:
+                    so = p["sources"][0]
+                    print(
+                        f"PACED-DEBUG batch={p['batchId']} in={p['numInputRows']} "
+                        f"{so['startOffset']}->{so['endOffset']}",
+                        file=_sys.stderr,
+                    )
             q.stop()
 
 
@@ -570,15 +589,22 @@ def streaming_kafka_paced(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch oracle once the stream catches up — proving offset pacing,
     monotone progression, and per-batch partition planning end-to-end,
     which the availableNow single-batch fallback cannot."""
-    from ..session import ensure_session_conf, read_table
-    from ..sources.datasource import read_kafquack
+    from ..session import ensure_session_conf
+    from ..sources.datasource import fixture_total_rows, read_kafquack
 
     ensure_session_conf(spark)
-    total = read_table(spark, sf_dir, "events").count()
+    # pacing constant and catch-up target from footer METADATA (the same
+    # source the stream reader plans offsets from) — no full-scan count()
+    # job before the stream starts.  start_offset=0 anchors the reader's
+    # pacing high-water mark for this fresh-checkpoint run, so batch 0 is
+    # genuinely rate-limited (without it the engine's latestOffset-first
+    # call order serves one full catch-up batch — see KafquackStreamReader).
+    total = fixture_total_rows(sf_dir)
     stream = read_kafquack(
         spark, "localhost:9092", "events", "graft-group",
         stream=True, fixture_dir=sf_dir,
         max_offsets_per_trigger=max(1, total // 4),
+        start_offset=0,
     )
     agg = stream.groupBy("partition").agg(
         F.count(F.lit(1)).alias("messages"),

@@ -286,6 +286,53 @@ class TestParallelStreamReader:
         r = self._reader()
         assert r.partitions({"index": 10}, {"index": 10}) == []
 
+    def test_fixture_total_rows_is_footer_metadata_only(self):
+        """The harness pacing constant comes from the parquet footer (the
+        same metadata offsets are planned from), not a full-scan count()
+        job (VERDICT r6 item 4)."""
+        import pyarrow.parquet as pq
+
+        from duckdb_extension_kafquack_spark.sources.datasource import (
+            fixture_total_rows,
+        )
+
+        expected = pq.ParquetFile(f"{SF_DIR}/events.parquet").metadata.num_rows
+        assert fixture_total_rows(SF_DIR) == expected > 0
+
+    def test_engine_call_order_latest_before_initial_stays_monotone(self):
+        """Spark 4.1 resolves the first trigger's available END before
+        fetching the batch START: latestOffset() lands on a fresh reader
+        BEFORE initialOffset().  The position must never regress across
+        that order — a reset in initialOffset would plan the next batch's
+        end BEHIND batch 0's and the batch after it would re-read
+        committed rows into state (round-7 flaky-duplicates root cause)."""
+        r = self._reader(max_offsets_per_trigger="300")
+        total = r._rg_index()[-1]
+        # no recovered position: restart-safe full catch-up
+        assert r.latestOffset() == {"index": total}
+        # engine now asks for batch 0's start — must not clobber the hwm
+        assert r.initialOffset() == {"index": 0}
+        assert r.latestOffset()["index"] >= total
+
+    def test_start_offset_anchors_pacing_under_engine_call_order(self):
+        """start_offset=0 opts a fresh-checkpoint run into rate-limited
+        batches from batch 0 even when latestOffset is called first."""
+        r = self._reader(max_offsets_per_trigger="300", start_offset="0")
+        assert r.latestOffset() == {"index": 300}
+        assert r.initialOffset() == {"index": 0}
+        assert r.latestOffset() == {"index": 600}
+
+    def test_partitions_learns_committed_position(self):
+        """On a clean restart the WAL batch reaches partitions() before
+        any latestOffset call; the reader must resume FORWARD from the
+        re-planned bounds, and a reversed range plans zero partitions
+        instead of re-reading backwards."""
+        r = self._reader(max_offsets_per_trigger="300")
+        parts = r.partitions({"index": 200}, {"index": 400})
+        assert parts and all(p.start >= 200 and p.end <= 400 for p in parts)
+        assert r.latestOffset() == {"index": 700}
+        assert r.partitions({"index": 700}, {"index": 400}) == []
+
     def test_checkpoint_restart_exactly_once(self, spark):
         """Kill a paced stream mid-replay, restart from the same
         checkpoint into the same FILE sink: the final output holds every
