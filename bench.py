@@ -4,19 +4,25 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.  Each query executes fully via the
 noop sink (no driver-side collect — measures the distributed plan, not
 the toPandas transfer).
-"""
+
+Measurement protocol (round-7 verdict item 7): the parent process runs
+the whole suite in TWO fresh JVM sessions (child subprocesses) and keeps
+the per-query MIN across sessions; each child is itself min-of-2 per
+query.  Round-over-round deltas then measure plans, not GC pressure or
+codegen-cache luck accumulated over a 60-query session — three of round
+6's four apparent regressions disagreed with a dedicated quiet run by
+>1.4× for exactly that reason.  Set SPARK_GRAFT_BENCH_SESSIONS=1 to get
+the old single-session behavior (used while iterating)."""
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from duckdb_extension_kafquack_spark import operators, streaming, suite, tpch  # noqa: F401
-from duckdb_extension_kafquack_spark.session import get_spark, load_tables
 
 HEADLINE = [
     "kafka_value_counts",
@@ -43,6 +49,7 @@ HEADLINE = [
     "ann_int8_topk",
     "ann_int8_ivf_topk",
     "ann_int8_store_topk",
+    "ann_int8_store_serve",
     "ivf_kmeans_codebook",
     "dedup_embedding_cosine",
     "dedup_incremental",
@@ -82,9 +89,16 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+def _run_session(sf_dir: str) -> dict[str, float]:
+    """One fresh-JVM pass over HEADLINE: min-of-2 per query."""
+    from duckdb_extension_kafquack_spark import (  # noqa: F401
+        operators,
+        streaming,
+        suite,
+        tpch,
+    )
+    from duckdb_extension_kafquack_spark.session import get_spark, load_tables
+
     spark = get_spark("kafquack-bench")
     spark.sparkContext.setLogLevel("ERROR")
     load_tables(spark, sf_dir)  # warm the session & file listing
@@ -103,6 +117,44 @@ def main() -> None:
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    n_sessions = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "2"))
+
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD") or n_sessions <= 1:
+        timings = _run_session(sf_dir)
+    else:
+        # min per query across n fresh JVM sessions
+        timings = {}
+        here = os.path.abspath(__file__)
+        for i in range(n_sessions):
+            env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+            r = subprocess.run(
+                [sys.executable, here], capture_output=True, text=True, env=env
+            )
+            line = next(
+                (
+                    ln
+                    for ln in reversed(r.stdout.splitlines())
+                    if ln.startswith("{") and '"queries"' in ln
+                ),
+                None,
+            )
+            if line is None:
+                sys.stderr.write(
+                    f"bench child {i} produced no JSON; rc={r.returncode}\n"
+                    + r.stderr[-4000:]
+                )
+                continue
+            child = json.loads(line)["queries"]
+            for k, v in child.items():
+                timings[k] = min(timings.get(k, float("inf")), v)
+        if not timings:  # both children failed — run in-process as a fallback
+            timings = _run_session(sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(

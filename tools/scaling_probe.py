@@ -190,6 +190,37 @@ def main() -> None:
         bench("funnel_stages", k, lambda: funnel_stages(ev))
         print(f"k={k}: " + ", ".join(f"{n}={t[k]}s" for n, t in results.items() if k in t))
 
+    # --- 64× deep probe (round-7 verdict item 5) -----------------------
+    # The dedup composites' 16× ratios (cross_source 4.5×, keep_best
+    # 3.9×) are CLAIMED to track the quadratic pair-output model (true
+    # pairs = n·C(k,2) by construction — every replica group is a
+    # k-clique).  One more two-doubling separates that model from a
+    # genuine superlinear term in the CC/window stages: fit
+    # t(k) = c0 + c1·k + c2·C(k,2) exactly on the k=1,4,16 points and
+    # compare the k=64 PREDICTION against the measurement — a hidden
+    # corpus² term would overshoot the pair model's prediction hard
+    # (rows grow 4× from 16×→64×, pairs 16.8×, corpus² 16×·on-top).
+    DEEP = ("minhash_lsh_dedup", "cross_source_dup_matrix", "keep_best_quality")
+    docs = replicate_docs(docs0, 64).localCheckpoint()
+    bench("minhash_lsh_dedup", 64, lambda: minhash_near_duplicates(docs))
+    bench("cross_source_dup_matrix", 64, lambda: cross_source_dup_matrix(docs))
+    bench("keep_best_quality", 64, lambda: keep_best_quality_report(docs))
+    print("k=64: " + ", ".join(f"{n}={results[n][64]}s" for n in DEEP))
+
+    deep_rows = []
+    for name in DEEP:
+        t = results[name]
+        # exact 3×3 solve: [1, k, C(k,2)] @ c = t(k) for k in (1,4,16)
+        import numpy as np
+
+        A = np.array([[1.0, k, k * (k - 1) / 2.0] for k in (1, 4, 16)])
+        y = np.array([t[1], t[4], t[16]])
+        c0, c1, c2 = np.linalg.solve(A, y)
+        pred = c0 + c1 * 64 + c2 * (64 * 63 / 2.0)
+        meas = t[64]
+        delta = (meas - pred) / pred * 100 if pred > 0 else float("nan")
+        deep_rows.append((name, t, pred, meas, delta))
+
     n_docs = docs0.count()
     n_emb = emb0.count()
     lines = [
@@ -204,14 +235,34 @@ def main() -> None:
         "banded LSH joins and map-only scoring should scale ~linearly in",
         "rows — a quadratic term would explode at 16×.",
         "",
-        "| operator | 1× | 4× | 16× | 16×/1× ratio |",
-        "|---|---|---|---|---|",
+        "| operator | 1× | 4× | 16× | 64× | 16×/1× ratio |",
+        "|---|---|---|---|---|---|",
     ]
     for name, t in results.items():
         r16 = f"{t[16] / t[1]:.1f}×" if 16 in t and t[1] else "—"
         lines.append(
-            f"| {name} | {t.get(1, '—')} | {t.get(4, '—')} | {t.get(16, '—')} | {r16} |"
+            f"| {name} | {t.get(1, '—')} | {t.get(4, '—')} | {t.get(16, '—')} |"
+            f" {t.get(64, '—')} | {r16} |"
         )
+    lines += [
+        "",
+        "## 64× deep probe — dedup composites vs the pair-output model",
+        "",
+        "True near-dup pairs are `n·C(k,2)` by construction (every replica",
+        "group is a k-clique): rows grow 4× from 16×→64× but pair output",
+        "grows 16.8× (2016/120).  `t(k) = c0 + c1·k + c2·C(k,2)` is solved",
+        "EXACTLY on the k=1,4,16 points; the k=64 row below is a genuine",
+        "out-of-sample prediction — a hidden corpus² term in the CC or",
+        "ranking-window stages would overshoot it hard, because corpus²",
+        "grows 16× on top of the model's own pair term.  Deltas within",
+        "scheduler noise (±20%-ish) confirm the composites track the pair",
+        "model, not a superlinear corpus term.",
+        "",
+        "| operator | model t(64) pred | measured | delta |",
+        "|---|---|---|---|",
+    ]
+    for name, t, pred, meas, delta in deep_rows:
+        lines.append(f"| {name} | {pred:.1f}s | {meas}s | {delta:+.0f}% |")
     lines += [
         "",
         "Growth models per row (what the ratio SHOULD be):",
