@@ -15,7 +15,14 @@ from .dedup import (
     simhash_signatures,
 )
 from .similarity import embedding_outliers
-from .sketch import bloom_build, bloom_probe, cms_build, cms_estimate
+from .sketch import (
+    bloom_bitmap_words,
+    bloom_build,
+    bloom_probe,
+    bloom_probe_bitmap,
+    cms_build,
+    cms_estimate,
+)
 from .joins import asof_join, asof_join_pandas, interval_join
 from .multimodal import blobs_from_documents, decode_features
 from .pipeline import curate
@@ -61,7 +68,9 @@ __all__ = [
     "salted_join",
     "curate",
     "dup_span_coverage",
+    "bloom_bitmap_words",
     "bloom_build",
+    "bloom_probe_bitmap",
     "bloom_probe",
     "cms_build",
     "cms_estimate",

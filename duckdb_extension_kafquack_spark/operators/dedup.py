@@ -1461,24 +1461,46 @@ def dup_span_coverage(docs: DataFrame) -> DataFrame:
     documents.  ``dup_frac`` is the fraction of a doc's token windows
     that are corpus-duplicated — the quantity the paper thresholds on.
 
-    Scale design: two aggregations and one join, all keyed on the 60-bit
-    shingle hash (uniform by md5 — no skew): (1) per-(doc, shingle)
-    position counts, (2) per-shingle distinct-doc counts derived from
-    (1) WITHOUT re-reading text, (3) hash join back and a per-doc sum.
+    Scale design: the per-(doc, shingle) position counts are MAP-SIDE —
+    a sorted run-length HOF fold over each doc's shingle-hash array
+    (the ``token_entropy`` idiom: ``array_sort`` → run starts → run
+    lengths), never an explode→groupBy of the occurrence-scale position
+    relation, so the heaviest shuffle of the round-6 shape (corpus
+    token positions keyed by (doc, shingle)) is gone entirely and the
+    per-doc work is O(tokens·log tokens) inside one codegen'd
+    projection.  What remains is keyed on the 60-bit shingle hash
+    (uniform by md5 — no skew): per-shingle distinct-doc counts reduced
+    from the run-length relation, a hash join back, and a per-doc sum.
     The global side of the join is one row per distinct shingle, so a
     stop-shingle ("the the the") causes no row expansion.  Everything is
     codegen expressions; no UDF, no collect, no all-pairs term anywhere
     — linear in corpus token count, the same profile as word-count.
     """
-    pos = (
+    hash_t = "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
+    per_doc = (
         docs.select(
             "doc_id",
             F.filter(F.split("text", " "), lambda t: t != "").alias("toks"),
         )
-        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok"))
-        .select("doc_id", spark_hash64(F.col("tok")).alias("sh"))
+        .selectExpr(
+            "doc_id",
+            f"array_sort(transform({_SPARK_SHINGLES}, t -> {hash_t})) AS s",
+        )
+        .selectExpr(
+            "doc_id",
+            "s",
+            "filter(sequence(1, size(s)), i -> i = 1 OR"
+            " element_at(s, i) != element_at(s, i - 1)) AS starts",
+        )
+        .selectExpr(
+            "doc_id",
+            "explode(transform(sequence(1, size(starts)), j -> named_struct("
+            "'sh', element_at(s, element_at(starts, j)), "
+            "'n_pos', CAST(IF(j < size(starts), element_at(starts, j + 1),"
+            " size(s) + 1) - element_at(starts, j) AS BIGINT)))) AS r",
+        )
+        .select("doc_id", "r.sh", "r.n_pos")
     )
-    per_doc = pos.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("n_pos"))
     # n_docs via groupBy(sh) + join-back, NOT a count window: a window
     # partitioned on sh inserts a Sort and buffers the entire hot-
     # shingle partition in ONE task (window partitions cannot be

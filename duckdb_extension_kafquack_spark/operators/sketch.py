@@ -233,6 +233,54 @@ def bloom_build(keys: DataFrame, col: str = "tok",
     return keys.select(F.explode(bloom_bits(col, m, k)).alias("bit")).distinct()
 
 
+def bloom_bitmap_words(keys: DataFrame, col: str = "tok",
+                       m: int = BLOOM_M, k: int = BLOOM_K) -> list[int]:
+    """The filter as ceil(m/64) packed BIGINT words, collected driver-side.
+
+    The in-plan reduce is a map-side-combined ``groupBy(word index)`` +
+    ``BIT_OR`` of the shifted bit, so ≤ m/64 rows reach the driver no
+    matter how large the member corpus is — bounded by the DESIGN
+    CONSTANT m, never by data (the bounded-collect invariant holds by
+    construction).  The word list then embeds in the probe plan as a
+    literal array: see :func:`bloom_probe_bitmap`."""
+    bits = keys.select(F.explode(bloom_bits(col, m, k)).alias("bit"))
+    rows = (
+        bits.groupBy((F.col("bit") / F.lit(64)).cast("int").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(1L, bit % 64))").alias("word"))
+        .collect()
+    )
+    words = [0] * ((m + 63) // 64)
+    for r in rows:
+        words[r["w"]] = r["word"]
+    return words
+
+
+def bloom_probe_bitmap(words: list[int], keys: DataFrame, col: str = "tok",
+                       m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """Map-side Bloom probe: the packed filter rides the plan as a
+    ceil(m/64)-element BIGINT array literal and each key tests its k bit
+    positions with pure expression work (``element_at`` the word,
+    ``shiftright``, mask) — NO join, NO shuffle on the probe side at
+    all.  This is the right physical shape whenever the filter fits a
+    broadcast (it always does — m bits is the sketch's whole point):
+    the relational probe (:func:`bloom_probe`) still paid an explode ×k,
+    a per-key count aggregation, and a join-back.  ``shiftright()``
+    (not ``>>``, which does not parse inside HOF lambdas).  Emits the
+    input columns + ``bloom_positive``."""
+    arr_sql = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    return (
+        keys.withColumn("_bits", bloom_bits(col, m, k))
+        .withColumn(
+            "bloom_positive",
+            F.expr(
+                f"forall(_bits, b -> (shiftright(element_at({arr_sql},"
+                f" CAST(b DIV 64 AS INT) + 1), CAST(b % 64 AS INT)) & 1L) = 1L)"
+            ),
+        )
+        .drop("_bits")
+    )
+
+
 def bloom_probe(filter_bits: DataFrame, keys: DataFrame, col: str = "tok",
                 m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
     """Probe: a key is bloom-positive iff ALL k of its bits are set.
@@ -299,12 +347,15 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     (member, negative) row MUST be absent (no false negatives, the Bloom
     guarantee; the oracle enforces it by hash equality).
 
-    Scale: the filter is ≤ m rows however large the member corpus is,
-    built by one map-side-combined distinct and broadcast to the probe
-    scan — membership tests against 100 TB of history cost a constant-
-    size broadcast, not a join against the history itself.  The classic
-    production use is URL / doc-hash "seen before?" gating on ingest.
-    """
+    Scale: the filter is m BITS however large the member corpus is —
+    packed to ceil(m/64) BIGINT words in-plan (:func:`bloom_bitmap_words`)
+    and embedded in the probe plan as a literal, so membership tests
+    against 100 TB of history cost pure map-side expression work: ONE
+    token-scale shuffle total (the distinct-key aggregate, which also
+    carries ``is_member`` as a ``max(source = member)`` so no join-back
+    is needed), vs the relational probe's explode ×k + per-key count +
+    two joins.  The classic production use is URL / doc-hash "seen
+    before?" gating on ingest."""
     from .dedup import _SPARK_SHINGLES, _repartition_if_narrow
 
     docs = _repartition_if_narrow(load_tables(spark, sf_dir)["documents"])
@@ -315,16 +366,11 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     member_keys = (
         shingled.filter(F.col("source") == BLOOM_MEMBER_SOURCE).select("tok").distinct()
     )
-    probe_keys = shingled.select("tok").distinct()
-    bits = bloom_build(member_keys)
-    verdicts = (
-        bloom_probe(bits, probe_keys)
-        .join(member_keys.withColumn("is_member", F.lit(True)), "tok", "left")
-        .select(
-            F.coalesce("is_member", F.lit(False)).alias("is_member"),
-            "bloom_positive",
-        )
+    words = bloom_bitmap_words(member_keys)
+    probe = shingled.groupBy("tok").agg(
+        F.max(F.col("source") == BLOOM_MEMBER_SOURCE).alias("is_member")
     )
+    verdicts = bloom_probe_bitmap(words, probe)
     return verdicts.groupBy("is_member", "bloom_positive").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys")
     )

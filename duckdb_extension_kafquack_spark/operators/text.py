@@ -767,10 +767,16 @@ def bigram_surprisal_scores(docs: DataFrame) -> DataFrame:
     scores high here but low there; word-salad detection).  Terms are
     exact rational c1/c12 divisions; only the final mean is rounded.
 
-    Scale: bigram counts and prefix counts are two map-side-combined
-    groupBys over the bigram stream; the join back is one row per
-    distinct bigram — word-count shape, linear, no skew beyond natural
-    token frequency (absorbed by partial aggregation)."""
+    Scale: ONE map-side-combined groupBy over the bigram stream yields
+    the distinct-bigram counts; the prefix counts REDUCE FROM THOSE
+    (``c1(w1) = Σ c12(w1, ·)`` — identical integers, distinct-bigram
+    scale instead of a second occurrence-scale shuffle), the two count
+    relations join at distinct-bigram scale, and the occurrence stream
+    is shuffled exactly once (the join-back by bigram) before the
+    per-doc rollup — word-count shape, linear, no skew beyond natural
+    token frequency (absorbed by partial aggregation).  The round-6
+    shape paid three occurrence-scale exchanges (bigram join, prefix
+    join, rollup); this pays two."""
     bg = (
         docs.selectExpr("doc_id", "filter(split(text, ' '), t -> t != '') AS toks")
         .filter(F.expr("size(toks) >= 2"))
@@ -779,15 +785,19 @@ def bigram_surprisal_scores(docs: DataFrame) -> DataFrame:
             "explode(transform(sequence(1, size(toks) - 1), "
             "i -> array_join(slice(toks, i, 2), ' '))) AS bigram",
         )
-        .withColumn("prefix", F.element_at(F.split("bigram", " "), 1))
     )
     c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bg.groupBy("prefix").agg(F.count(F.lit(1)).alias("c1"))
-    scored = (
-        bg.join(c12, "bigram")
-        .join(c1, "prefix")
-        .select("doc_id", (F.col("c1") / F.col("c12")).alias("inv_p"))
+    c1 = (
+        c12.withColumn("prefix", F.element_at(F.split("bigram", " "), 1))
+        .groupBy("prefix")
+        .agg(F.sum("c12").alias("c1"))
     )
+    stats = (
+        c12.withColumn("prefix", F.element_at(F.split("bigram", " "), 1))
+        .join(c1, "prefix")
+        .select("bigram", (F.col("c1") / F.col("c12")).alias("inv_p"))
+    )
+    scored = bg.join(stats, "bigram").select("doc_id", "inv_p")
     return scored.groupBy("doc_id").agg(
         F.round(F.avg("inv_p"), 6).alias("mean_bigram_surprisal"),
         F.max("inv_p").alias("max_bigram_surprisal"),

@@ -374,11 +374,16 @@ def test_dup_span_coverage_no_window_sort(spark):
     assert "Window" not in executed_plan(df)
 
 
-def test_bloom_probe_broadcasts_filter_bits(spark):
-    """The Bloom filter relation must broadcast into the probe scan —
-    never shuffle the probe side against it."""
+def test_bloom_probe_is_joinless_bitmap(spark):
+    """The packed-bitmap probe (round 7): the filter rides the plan as a
+    BIGINT-array literal, so the probe side has NO join at all and the
+    only token-scale exchange is the distinct-key aggregate (which also
+    carries is_member) — plus the final 2×2 rollup and the narrow-
+    fixture spreader."""
     df = REGISTRY["bloom_membership"].fn(spark, SF_DIR)
-    assert uses_broadcast_join(df)
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert count_exchanges(df) <= 3
 
 
 def test_filtered_ann_pushes_label_predicate(spark):

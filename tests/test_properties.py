@@ -482,13 +482,25 @@ def test_dup_span_coverage_bounds_and_exact_dup(spark, texts):
     probes=st.sets(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=30),
 )
 def test_bloom_never_false_negative(spark, members, probes):
-    """For ANY member/probe sets: every member probe is positive."""
-    from duckdb_extension_kafquack_spark.operators.sketch import bloom_build, bloom_probe
+    """For ANY member/probe sets: every member probe is positive, and
+    the packed-bitmap probe gives verdicts IDENTICAL to the relational
+    probe (same hash family, different physical shape)."""
+    from duckdb_extension_kafquack_spark.operators.sketch import (
+        bloom_bitmap_words,
+        bloom_build,
+        bloom_probe,
+        bloom_probe_bitmap,
+    )
 
     mdf = spark.createDataFrame([(t,) for t in members], "tok string")
     pdf = spark.createDataFrame([(t,) for t in probes | members], "tok string")
     out = {r.tok: r.bloom_positive for r in bloom_probe(bloom_build(mdf), pdf).collect()}
     assert all(out[t] for t in members)
+    bm = {
+        r.tok: r.bloom_positive
+        for r in bloom_probe_bitmap(bloom_bitmap_words(mdf), pdf).collect()
+    }
+    assert bm == out
 
 
 @SLOW
