@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_containment",
     "text_quality",
     "text_fingerprint",
     "ann_cosine_topk",

@@ -6,6 +6,7 @@ Importing this package registers their suite entries (see ..suite.REGISTRY).
 from . import curation, dedup, events, joins, multimodal, pipeline, similarity, sketch, skew, text  # noqa: F401
 
 from .dedup import (
+    containment_pairs,
     connected_components,
     dup_span_coverage,
     exact_duplicates,
@@ -68,6 +69,7 @@ __all__ = [
     "salted_join",
     "curate",
     "dup_span_coverage",
+    "containment_pairs",
     "bloom_bitmap_words",
     "bloom_build",
     "bloom_probe_bitmap",

@@ -1120,6 +1120,152 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# shingle containment (doc-in-doc) via lossless prefix filtering
+# ---------------------------------------------------------------------------
+
+# C(A,B) = |S(A)∩S(B)| / |S(A)| — asymmetric: a short doc embedded in a
+# long one (quote extraction, boilerplate wrapping, partial scrape)
+# scores ~1.0 here while its Jaccard RESEMBLANCE is tiny (the union is
+# dominated by the container), so the MinHash/LSH families — which
+# estimate resemblance — structurally miss it.  4/5 kept as an exact
+# rational so the prefix length is all-integer (a float 0.8·n ceil
+# rounds the WRONG way on exact multiples and silently shortens the
+# prefix below the lossless bound).
+CONTAINMENT_NUM = 4
+CONTAINMENT_DEN = 5
+CONTAINMENT_THRESHOLD = CONTAINMENT_NUM / CONTAINMENT_DEN
+
+
+def _containment_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, stoks, n) per-doc distinct word-3-gram set, map-side,
+    persisted — consumed by the occurrence explode AND the verify.
+    A narrower projection than :func:`minhash_sig_sets` (no minhash
+    columns), so the CacheManager can never substitute it into the
+    minhash builders (different result ⇒ ``sameResult`` false)."""
+    from pyspark import StorageLevel
+
+    return (
+        _repartition_if_narrow(docs)
+        .selectExpr("doc_id", "filter(split(text, ' '), t -> t != '') AS toks")
+        .selectExpr("doc_id", f"array_distinct({_SPARK_SHINGLES}) AS stoks")
+        .selectExpr("doc_id", "stoks", "size(stoks) AS n")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def containment_pairs(docs: DataFrame,
+                      num: int = CONTAINMENT_NUM,
+                      den: int = CONTAINMENT_DEN) -> DataFrame:
+    """Exact containment join via PREFIX FILTERING (the SSJoin family —
+    Chaudhuri, Ganti & Kaushik, "A primitive operator for similarity
+    joins in data cleaning", ICDE 2006; public knowledge): if
+    ``|S(A)∩S(B)| ≥ ⌈c·|S(A)|⌉`` then ANY ``|S(A)| − ⌈c·|S(A)|⌉ + 1``
+    shingles of A must intersect S(B) (pigeonhole), so joining only A's
+    prefix against the inverted index is LOSSLESS for the threshold —
+    the oracle computes ground truth by full co-occurrence and the
+    driver's hash compare verifies the losslessness empirically, not by
+    citation.
+
+    The prefix is A's RAREST shingles (global document-frequency
+    ascending, shingle-hash tiebreak): candidate fan-out per doc is
+    Σ df(sh) over ~(1−c)·|S(A)|+1 rare shingles — the
+    frequency-ascending order is what keeps the inverted-index join
+    linear-ish in practice (joining common shingles would fan out by
+    their df).  Shapes, in order: one word-count groupBy for df, one
+    doc-keyed aggregate (sorted prefix slice via HOF — per-doc state
+    bounded by doc length, never a per-shingle window), the prefix ×
+    index hash join on the uniform 60-bit shingle hash, and the exact
+    verify off the persisted sets with the (small) candidate-pair
+    relation broadcast into both scans — the minhash-verify shape.
+    60-bit md5 shingle ids are assumed collision-free (repo-wide
+    stance); a collision could only ADD a candidate, which the exact
+    verify rejects.
+
+    Columns: (doc_sub, doc_sup, n_sub, n_sup, containment) — doc_sub's
+    shingles are covered by doc_sup at ratio ``containment``; the final
+    division is one IEEE divide of exact ints (bit-identical in the
+    oracle, never rounded)."""
+    hash_t = "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
+    sets = _containment_sets(docs)
+    occ = sets.selectExpr(
+        "doc_id", "n", f"explode(transform(stoks, t -> {hash_t})) AS sh"
+    )
+    df_rel = occ.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # prefix length n − ⌈(num/den)·n⌉ + 1 in exact integer arithmetic:
+    # ⌈num·n/den⌉ = (num·n + den − 1) div den
+    pref_len = f"CAST(n - (({num} * n + {den - 1}) DIV {den}) + 1 AS INT)"
+    prefix = (
+        occ.join(df_rel, "sh")
+        .groupBy("doc_id", "n")
+        .agg(F.expr("array_sort(collect_list(struct(df, sh)))").alias("ranked"))
+        .selectExpr(
+            "doc_id AS doc_sub",
+            f"explode(transform(slice(ranked, 1, {pref_len}), r -> r.sh)) AS sh",
+        )
+    )
+    cand = (
+        prefix.join(occ.select(F.col("doc_id").alias("doc_sup"), "sh"), "sh")
+        .filter(F.col("doc_sub") != F.col("doc_sup"))
+        .select("doc_sub", "doc_sup")
+        .distinct()
+    )
+    s1 = sets.select(
+        F.col("doc_id").alias("doc_sub"),
+        F.col("stoks").alias("t1"),
+        F.col("n").cast("bigint").alias("n_sub"),
+    )
+    s2 = sets.select(
+        F.col("doc_id").alias("doc_sup"),
+        F.col("stoks").alias("t2"),
+        F.col("n").cast("bigint").alias("n_sup"),
+    )
+    return (
+        s1.join(F.broadcast(cand), "doc_sub")
+        .join(s2, "doc_sup")
+        .select(
+            "doc_sub",
+            "doc_sup",
+            "n_sub",
+            "n_sup",
+            (F.size(F.array_intersect("t1", "t2")) / F.col("n_sub")).alias("containment"),
+        )
+        .filter(F.col("containment") >= F.lit(num) / F.lit(den))
+    )
+
+
+def _duck_containment_sql(num: int = CONTAINMENT_NUM,
+                          den: int = CONTAINMENT_DEN) -> str:
+    # GROUND TRUTH, not a mirror of the prefix filter: full shingle
+    # co-occurrence → every pair over the threshold.  The hash compare
+    # against the Spark side is therefore an empirical proof that the
+    # prefix filter lost nothing.
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, s.sh FROM tokd, unnest({_DUCK_SHINGLES}) AS s(sh)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup, COUNT(*) AS icnt
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_sub, i.doc_sup, s1.n AS n_sub, s2.n AS n_sup,
+       icnt::DOUBLE / s1.n AS containment
+FROM inter i
+JOIN sizes s1 ON s1.doc_id = i.doc_sub
+JOIN sizes s2 ON s2.doc_id = i.doc_sup
+WHERE icnt::DOUBLE / s1.n >= {num}.0 / {den}.0
+"""
+
+
+@query("dedup_containment", _duck_containment_sql())
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(load_tables(spark, sf_dir)["documents"])
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup: a new batch against an existing corpus
 # ---------------------------------------------------------------------------
 

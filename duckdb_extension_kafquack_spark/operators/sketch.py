@@ -407,10 +407,14 @@ def hll_distinct(keys: DataFrame, col: str = "tok") -> DataFrame:
     ln() implementations).
 
     Scale: registers build in ONE map-side-combined groupBy with a
-    256-row result — the mergeable distinct-count state for 100 TB
-    (union sketches = max per register; contrast the exact distinct's
-    full-vocabulary shuffle).  Spark's own approx_count_distinct is the
-    production shortcut; this one exists because it can be ORACLED."""
+    256-row result, DIRECTLY over the raw occurrence stream — no
+    vocabulary-scale distinct anywhere, because max(rho) per bucket is
+    duplicate-idempotent (that is the sketch's whole point: the only
+    shuffle is ≤256 rows per map task).  The mergeable distinct-count
+    state for 100 TB (union sketches = max per register; contrast the
+    exact distinct's full-vocabulary shuffle).  Spark's own
+    approx_count_distinct is the production shortcut; this one exists
+    because it can be ORACLED."""
     return _hll_estimate_from_regs(_hll_registers(keys, col)).select(
         F.lit(HLL_M).alias("n_registers"),
         "n_present",
@@ -456,9 +460,13 @@ FROM final
 
 @query("hll_distinct", _duck_hll_sql())
 def hll_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir)["documents"]
-    keys = _shingle_stream(docs).distinct()
-    return hll_distinct(keys)
+    from .dedup import _repartition_if_narrow
+
+    docs = _repartition_if_narrow(load_tables(spark, sf_dir)["documents"])
+    # NO .distinct(): registers are max-per-bucket, so duplicate keys
+    # are idempotent — sketching the raw occurrence stream gives the
+    # bit-identical result without the vocabulary-scale shuffle.
+    return hll_distinct(_shingle_stream(docs))
 
 
 def _hll_registers(keys: DataFrame, col: str = "tok", extra_keys: list[str] | None = None) -> DataFrame:
@@ -557,20 +565,20 @@ def hll_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     that makes HLL the 100 TB distinct-count: per-partition sketches
     merge with no rescan (daily sketches roll up to monthly for free),
     which an exact distinct can never do."""
-    docs = load_tables(spark, sf_dir)["documents"]
-    from .dedup import _SPARK_SHINGLES
+    from .dedup import _SPARK_SHINGLES, _repartition_if_narrow
 
-    keys = (
-        docs.select(
-            (F.col("source") < "src2").alias("grp"),
-            F.filter(F.split("text", " "), lambda t: t != "").alias("toks"),
-        )
-        .select("grp", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok"))
-        .distinct()
-    )
+    docs = _repartition_if_narrow(load_tables(spark, sf_dir)["documents"])
+
+    # NO .distinct() anywhere: per-group and global registers are
+    # max-per-bucket, so the raw occurrence stream sketches to the
+    # bit-identical state without a vocabulary-scale shuffle.
+    keys = docs.select(
+        (F.col("source") < "src2").alias("grp"),
+        F.filter(F.split("text", " "), lambda t: t != "").alias("toks"),
+    ).select("grp", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok"))
     per_group = _hll_registers(keys, extra_keys=["grp"])
     merged = per_group.groupBy("bucket").agg(F.max("mrho").alias("mrho"))
-    direct = _hll_registers(keys.select("tok").distinct())
+    direct = _hll_registers(keys.select("tok"))
     m = _hll_estimate_from_regs(merged).select(
         F.col("hll_estimate").alias("merged_estimate"),
         F.col("harmonic_s").alias("ms"),

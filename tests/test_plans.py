@@ -374,6 +374,29 @@ def test_dup_span_coverage_no_window_sort(spark):
     assert "Window" not in executed_plan(df)
 
 
+def test_containment_broadcast_verify_no_window(spark):
+    """The containment join's verify broadcasts the candidate-pair
+    relation into the persisted set scans (minhash-verify shape); the
+    per-doc prefix ranks via a doc-bounded HOF aggregate, never a
+    per-shingle Window (hot-shingle partitions would buffer in one
+    task); and nothing is a cartesian product."""
+    df = REGISTRY["dedup_containment"].fn(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert uses_broadcast_join(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_sketches_without_vocab_distinct(spark):
+    """HLL registers are max-per-bucket (duplicate-idempotent), so the
+    sketch must build DIRECTLY over the occurrence stream: the only
+    exchanges are the 256-group register shuffle, the singleton final
+    aggregate, and the narrow-fixture spreader — never a vocabulary-
+    scale distinct."""
+    df = REGISTRY["hll_distinct"].fn(spark, SF_DIR)
+    assert count_exchanges(df) <= 3
+
+
 def test_bloom_probe_is_joinless_bitmap(spark):
     """The packed-bitmap probe (round 7): the filter rides the plan as a
     BIGINT-array literal, so the probe side has NO join at all and the

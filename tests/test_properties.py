@@ -478,6 +478,48 @@ def test_dup_span_coverage_bounds_and_exact_dup(spark, texts):
 
 @SLOW
 @given(
+    docs=st.lists(
+        st.lists(st.text(alphabet="ab", min_size=1, max_size=2), min_size=0, max_size=8),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_containment_prefix_filter_is_lossless(spark, docs):
+    """For ANY corpus: the prefix-filtered containment join returns
+    EXACTLY the ground-truth pair set (brute-force shingle containment
+    in Python), with exact division values — the pigeonhole bound loses
+    nothing and the filter admits nothing the verify misses."""
+    from duckdb_extension_kafquack_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        containment_pairs,
+    )
+
+    texts = [" ".join(toks) for toks in docs]
+
+    def shingles(text):
+        toks = [t for t in text.split(" ") if t != ""]
+        if len(toks) >= 3:
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    sets = [shingles(t) for t in texts]
+    truth = {}
+    for a, sa in enumerate(sets):
+        for b, sb in enumerate(sets):
+            if a != b and len(sa & sb) / len(sa) >= CONTAINMENT_THRESHOLD:
+                truth[(a, b)] = len(sa & sb) / len(sa)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_sub, r.doc_sup): r.containment for r in containment_pairs(df).collect()
+    }
+    assert got == truth
+
+
+@SLOW
+@given(
     members=st.sets(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=30),
     probes=st.sets(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=30),
 )
