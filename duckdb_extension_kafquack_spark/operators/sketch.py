@@ -363,13 +363,18 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.filter(F.split("text", " "), lambda t: t != "").alias("toks"))
         .select("source", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok"))
     )
-    member_keys = (
-        shingled.filter(F.col("source") == BLOOM_MEMBER_SOURCE).select("tok").distinct()
+    from pyspark import StorageLevel
+
+    # ONE tokenize + distinct-key aggregate feeds BOTH jobs: the bitmap
+    # build (member rows filtered from it) materializes the persisted
+    # relation, and the probe re-reads it from cache — the corpus is
+    # never tokenized twice.
+    probe = (
+        shingled.groupBy("tok")
+        .agg(F.max(F.col("source") == BLOOM_MEMBER_SOURCE).alias("is_member"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    words = bloom_bitmap_words(member_keys)
-    probe = shingled.groupBy("tok").agg(
-        F.max(F.col("source") == BLOOM_MEMBER_SOURCE).alias("is_member")
-    )
+    words = bloom_bitmap_words(probe.filter("is_member").select("tok"))
     verdicts = bloom_probe_bitmap(words, probe)
     return verdicts.groupBy("is_member", "bloom_positive").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys")

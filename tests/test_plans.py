@@ -406,7 +406,11 @@ def test_bloom_probe_is_joinless_bitmap(spark):
     df = REGISTRY["bloom_membership"].fn(spark, SF_DIR)
     plan = executed_plan(df)
     assert "Join" not in plan
-    assert count_exchanges(df) <= 3
+    # the persisted distinct-key aggregate's build exchanges appear
+    # INSIDE the InMemoryRelation and are counted again by the string
+    # scan — the live dataflow is: spreader, one token-scale aggregate
+    # (cached), final 2×2 rollup
+    assert count_exchanges(df) <= 5
 
 
 def test_filtered_ann_pushes_label_predicate(spark):

@@ -68,6 +68,7 @@ def main() -> None:
         token_entropy,
     )
     from duckdb_extension_kafquack_spark.operators.dedup import (
+        containment_pairs,
         cross_source_dup_matrix,
         keep_best_quality_report,
     )
@@ -172,6 +173,7 @@ def main() -> None:
         bench("token_entropy", k, lambda: token_entropy(docs))
         bench("cross_source_dup_matrix", k, lambda: cross_source_dup_matrix(docs))
         bench("keep_best_quality", k, lambda: keep_best_quality_report(docs))
+        bench("containment_pairs", k, lambda: containment_pairs(docs))
         # CMS heavy-hitter path: sketch + estimates over the token stream
         stream = _token_stream(docs)
         bench("cms_sketch_estimates", k, lambda: cms_estimate(cms_build(stream), stream.distinct()))
@@ -339,6 +341,13 @@ def main() -> None:
         "* `token_entropy` — per-doc sorted run-length HOF fold inside one",
         "  projection, no shuffle at all; linear (flat rows = scheduling",
         "  floor).",
+        "* `containment_pairs` — prefix-filtered containment join: the df",
+        "  aggregate and per-doc prefix rank are word-count shape (linear);",
+        "  candidate fan-out is Σ df over each doc's ~(1−c)·|S|+1 RAREST",
+        "  shingles, and the replica probe inflates exactly that df by k,",
+        "  so candidates (and true ordered pairs, n·k(k−1)) follow the",
+        "  same pair-output model as the LSH rows — judge against it, not",
+        "  flatness.",
         "* `cross_source_dup_matrix` / `keep_best_quality` — the verified LSH",
         "  pair relation (quadratic in k by the same pair-output model as",
         "  `minhash_lsh_dedup`) plus broadcast joins of the pair/cluster",
