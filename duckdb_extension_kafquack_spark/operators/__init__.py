@@ -23,6 +23,7 @@ from .sketch import (
     bloom_probe_bitmap,
     cms_build,
     cms_estimate,
+    kmv_bottomk,
 )
 from .joins import asof_join, asof_join_pandas, interval_join
 from .multimodal import blobs_from_documents, decode_features
@@ -76,6 +77,7 @@ __all__ = [
     "bloom_probe",
     "cms_build",
     "cms_estimate",
+    "kmv_bottomk",
     "embedding_outliers",
     "ngram_novelty_by_source",
     "oov_rates",

@@ -383,6 +383,146 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# KMV (bottom-k) sketch: engine-exact distinct counts + mergeable samples
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+# (k−1)·2^60 precomputed in Python and inlined as the SAME double
+# literal in both engines (63·2^60 overflows BIGINT, but 63 has 6
+# significant bits so the double is EXACT); the estimate is then
+# literal / h_(k) with h_(k) an exact integer — one IEEE division,
+# bit-identical cross-engine (the _HLL_ALPHA_NUM pattern).
+_KMV_NUM = float((KMV_K - 1) << 60)
+
+
+def _kmv_partials_fn(it):
+    """Per-Arrow-batch partial bottom-k per source — bounded state
+    (≤ k hashes per source per batch) regardless of corpus size."""
+    import numpy as np
+
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        yield (
+            pdf.groupby("source")["h"]
+            .apply(lambda s: np.unique(s.to_numpy())[:KMV_K].tolist())
+            .reset_index(name="hs")
+        )
+
+
+def kmv_bottomk(keyed: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(source, sk) — the k smallest distinct 60-bit key hashes per
+    source: the KMV / bottom-k sketch (Bar-Yossef et al., RANDOM 2002;
+    estimator form per Beyer et al., SIGMOD 2007 — public knowledge).
+
+    Unlike HLL it is simultaneously a distinct-count estimator AND a
+    deterministic uniform sample of the key space (the sketch IS the k
+    hash-smallest keys), and its merge is pure set algebra: union →
+    distinct → bottom-k, associative and duplicate-idempotent, so
+    per-partition partials lose nothing (any global bottom-k member is
+    necessarily in its own partition's bottom-k — pigeonhole).
+
+    Scale shape: partial bottom-k per Arrow batch via ``mapInPandas``
+    (bounded state k·|sources| per batch — the built-in aggregates
+    cannot express "k smallest" without collecting a group's whole key
+    set, and a per-source Window would sort each source's entire
+    vocabulary in ONE task), then a two-level merge tree —
+    (source, salt) → source — so no single aggregation ever sees more
+    than ~(partitions/32)·k, then 32·k, hash values per group.  The
+    merge expression is the same everywhere:
+    ``slice(array_sort(array_distinct(flatten(collect_list(hs)))), 1, k)``.
+
+    Input: ``keyed`` must have columns (source string, h bigint) — the
+    caller hashes with the cross-engine md5 family so the oracle
+    reproduces the sketch exactly, duplicates welcome."""
+    merge = f"slice(array_sort(array_distinct(flatten(collect_list(hs)))), 1, {k})"
+    partials = keyed.mapInPandas(_kmv_partials_fn, "source string, hs array<bigint>")
+    level1 = (
+        partials.groupBy("source", F.expr("pmod(element_at(hs, 1), 32)").alias("salt"))
+        .agg(F.expr(merge).alias("hs"))
+    )
+    return level1.groupBy("source").agg(F.expr(merge).alias("sk"))
+
+
+def _kmv_stats(sketches: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(source, n_sketch, kth_hash, kmv_estimate) from sketch arrays.
+    Below k distinct keys the sketch IS the key set (exact count);
+    at k the estimate is (k−1)·2^60 / h_(k)."""
+    return sketches.select(
+        "source",
+        F.expr("CAST(size(sk) AS BIGINT)").alias("n_sketch"),
+        F.expr("IF(size(sk) = 0, NULL, element_at(sk, size(sk)))").alias("kth_hash"),
+        F.expr(
+            f"CASE WHEN size(sk) < {k} THEN CAST(size(sk) AS DOUBLE) "
+            f"ELSE {_KMV_NUM!r} / element_at(sk, size(sk)) END"
+        ).alias("kmv_estimate"),
+    )
+
+
+def _duck_kmv_sql(k: int = KMV_K) -> str:
+    from .dedup import _DUCK_SHINGLES
+
+    est = (
+        f"CASE WHEN len(sk) < {k} THEN len(sk)::DOUBLE "
+        f"ELSE {_KMV_NUM!r} / sk[len(sk)] END"
+    )
+    return f"""
+WITH tokd AS (
+  SELECT source, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents
+), occ AS (
+  SELECT source, {duck_hash64('s.tok')} AS h
+  FROM tokd, unnest({_DUCK_SHINGLES}) AS s(tok)
+), dh AS (
+  SELECT DISTINCT source, h FROM occ
+), per_src AS (
+  SELECT source, list_sort(list(h))[1:{k}] AS sk FROM dh GROUP BY source
+), gl AS (
+  SELECT '__all__' AS source, list_sort(list(DISTINCT h))[1:{k}] AS sk FROM occ
+), united AS (
+  SELECT * FROM per_src UNION ALL SELECT * FROM gl
+)
+SELECT source, len(sk)::BIGINT AS n_sketch, sk[len(sk)] AS kth_hash,
+       {est} AS kmv_estimate
+FROM united
+"""
+
+
+@query("kmv_distinct_by_source", _duck_kmv_sql())
+def kmv_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KMV sketches over the 3-gram shingle space, plus the
+    GLOBAL sketch computed by MERGING the per-source sketches (never
+    rescanning the corpus) — the oracle computes the global row from
+    the raw key stream, so the hash match verifies the merge algebra
+    by value, the same standard :func:`hll_merge_by_source` is held
+    to."""
+    from .dedup import _SPARK_SHINGLES, _repartition_if_narrow
+
+    docs = _repartition_if_narrow(load_tables(spark, sf_dir)["documents"])
+    keyed = (
+        docs.select(
+            "source", F.filter(F.split("text", " "), lambda t: t != "").alias("toks")
+        )
+        .select("source", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok"))
+        .select("source", spark_hash64(F.col("tok")).alias("h"))
+    )
+    from pyspark import StorageLevel
+
+    # ~|sources| rows; persisted so the merged-global branch re-reads
+    # the sketches instead of re-scanning the corpus
+    per_src = kmv_bottomk(keyed).persist(StorageLevel.MEMORY_AND_DISK)
+    merged = (
+        per_src.select(F.col("sk").alias("hs"))
+        .agg(
+            F.expr(
+                f"slice(array_sort(array_distinct(flatten(collect_list(hs)))), 1, {KMV_K})"
+            ).alias("sk")
+        )
+        .select(F.lit("__all__").alias("source"), "sk")
+    )
+    return _kmv_stats(per_src.unionByName(merged))
+
+
+# ---------------------------------------------------------------------------
 # HyperLogLog: engine-exact distinct-count sketch
 # ---------------------------------------------------------------------------
 

@@ -520,6 +520,42 @@ def test_containment_prefix_filter_is_lossless(spark, docs):
 
 @SLOW
 @given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.text(alphabet="abcdef", min_size=1, max_size=5),
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_kmv_bottomk_exact_per_source(spark, data):
+    """For ANY keyed stream (duplicates welcome, any partitioning): the
+    per-source KMV sketch is EXACTLY the k smallest distinct md5-derived
+    hashes — the mapInPandas partial + two-level merge tree loses
+    nothing (pigeonhole: a global bottom-k member is in its own
+    partition's bottom-k)."""
+    import hashlib
+
+    from duckdb_extension_kafquack_spark.operators.sketch import KMV_K, kmv_bottomk
+
+    def h64(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+
+    truth = {}
+    for src, tok in data:
+        truth.setdefault(src, set()).add(h64(tok))
+    truth = {s: sorted(v)[:KMV_K] for s, v in truth.items()}
+
+    df = spark.createDataFrame(data, "source string, tok string").select(
+        "source", F.expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").alias("h")
+    )
+    got = {r.source: list(r.sk) for r in kmv_bottomk(df).collect()}
+    assert got == truth
+
+
+@SLOW
+@given(
     members=st.sets(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=30),
     probes=st.sets(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=30),
 )
