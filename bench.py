@@ -71,6 +71,7 @@ HEADLINE = [
     "source_overlap_matrix",
     "multimodal_payload_dedup",
     "hll_distinct",
+    "kmv_distinct_by_source",
     "event_path_trigrams",
     "crossmodal_label_purity",
     "shard_manifest",

@@ -1137,17 +1137,24 @@ CONTAINMENT_THRESHOLD = CONTAINMENT_NUM / CONTAINMENT_DEN
 
 
 def _containment_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, stoks, n) per-doc distinct word-3-gram set, map-side,
-    persisted — consumed by the occurrence explode AND the verify.
-    A narrower projection than :func:`minhash_sig_sets` (no minhash
-    columns), so the CacheManager can never substitute it into the
-    minhash builders (different result ⇒ ``sameResult`` false)."""
+    """(doc_id, stoks, n) per-doc distinct word-3-gram set — already as
+    60-bit md5 hashes (hash ONCE here; every downstream use — the
+    occurrence explode, the prefix ranking, the exact verify — works in
+    integer space, so the md5 is never recomputed per consumer and the
+    verify intersects bigint arrays, not shingle strings).  Map-side,
+    persisted.  A narrower projection than :func:`minhash_sig_sets` (no
+    minhash columns), so the CacheManager can never substitute it into
+    the minhash builders (different result ⇒ ``sameResult`` false)."""
     from pyspark import StorageLevel
 
+    hash_t = "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
     return (
         _repartition_if_narrow(docs)
         .selectExpr("doc_id", "filter(split(text, ' '), t -> t != '') AS toks")
-        .selectExpr("doc_id", f"array_distinct({_SPARK_SHINGLES}) AS stoks")
+        .selectExpr(
+            "doc_id",
+            f"array_distinct(transform({_SPARK_SHINGLES}, t -> {hash_t})) AS stoks",
+        )
         .selectExpr("doc_id", "stoks", "size(stoks) AS n")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -1185,11 +1192,8 @@ def containment_pairs(docs: DataFrame,
     shingles are covered by doc_sup at ratio ``containment``; the final
     division is one IEEE divide of exact ints (bit-identical in the
     oracle, never rounded)."""
-    hash_t = "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
     sets = _containment_sets(docs)
-    occ = sets.selectExpr(
-        "doc_id", "n", f"explode(transform(stoks, t -> {hash_t})) AS sh"
-    )
+    occ = sets.selectExpr("doc_id", "n", "explode(stoks) AS sh")
     df_rel = occ.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     # prefix length n − ⌈(num/den)·n⌉ + 1 in exact integer arithmetic:
     # ⌈num·n/den⌉ = (num·n + den − 1) div den
