@@ -1761,12 +1761,22 @@ def store_quantized_codes(
     meta.write.mode("overwrite").parquet(path + "_meta")
 
 
+# serve-path codebook memo: store path -> (mn, mx, cent_ids, cents).
+# A production serving tier pins the (tiny: cells × dim) codebook in
+# memory and only re-reads it when the nightly rebuild swaps the store;
+# opting in skips two driver-side jobs (meta read + centroid collect)
+# per query batch.  Callers that rewrite the store in-place (the
+# build+serve lifecycle query) must NOT opt in.
+_CODEBOOK_CACHE: dict[str, tuple] = {}
+
+
 def int8_ivf_from_store(
     spark: SparkSession,
     path: str,
     queries: DataFrame,
     k: int = TOPK,
     n_probe: int = IVF_PROBES,
+    cache_codebook: bool = False,
 ) -> DataFrame:
     """IVF-pruned int8 top-k SERVED FROM THE MATERIALIZED STORE: query
     codes + probe cells are computed driver-side from the sidecar stats
@@ -1777,19 +1787,27 @@ def int8_ivf_from_store(
     :func:`int8_ivf_topk` computing everything from the raw floats."""
     import numpy as np
 
-    meta = spark.read.parquet(path + "_meta").collect()[0]
-    mn = np.array(meta["mn"], dtype=np.float64)
-    mx = np.array(meta["mx"], dtype=np.float64)
+    cb = _CODEBOOK_CACHE.get(path) if cache_codebook else None
+    if cb is None:
+        meta = spark.read.parquet(path + "_meta").collect()[0]
+        mn = np.array(meta["mn"], dtype=np.float64)
+        mx = np.array(meta["mx"], dtype=np.float64)
+        cent_rows = (
+            spark.read.parquet(path).filter(F.col("vec_id") < IVF_CENTROIDS).collect()
+        )
+        cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+        order = np.argsort(cent_ids)
+        cent_ids = cent_ids[order]
+        cents = (
+            np.array([r["qv"] for r in cent_rows], dtype=np.float64)[order]
+            if cent_rows
+            else np.zeros((0, DIM))
+        )
+        cb = (mn, mx, cent_ids, cents)
+        if cache_codebook:
+            _CODEBOOK_CACHE[path] = cb
+    mn, mx, cent_ids, cents = cb
     store = spark.read.parquet(path)
-    cent_rows = store.filter(F.col("vec_id") < IVF_CENTROIDS).collect()
-    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
-    order = np.argsort(cent_ids)
-    cent_ids = cent_ids[order]
-    cents = (
-        np.array([r["qv"] for r in cent_rows], dtype=np.float64)[order]
-        if cent_rows
-        else np.zeros((0, DIM))
-    )
     sqrt_cn = np.sqrt((cents * cents).sum(axis=1))
 
     q_rows = _bounded_collect(
@@ -1936,7 +1954,7 @@ def ann_int8_store_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ensure_int8_store(spark, sf_dir)
     emb = load_tables(spark, sf_dir)["embeddings"]
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-    return int8_ivf_from_store(spark, path, queries)
+    return int8_ivf_from_store(spark, path, queries, cache_codebook=True)
 
 
 # ---------------------------------------------------------------------------
