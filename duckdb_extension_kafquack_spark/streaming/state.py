@@ -284,3 +284,90 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     agg = deduped.groupBy("partition").agg(F.count(F.lit(1)).alias("n"))
     run_stream_to_table(agg, "dedup_within_wm", "complete")
     return spark.table("dedup_within_wm")
+
+
+# ---------------------------------------------------------------------------
+# streaming KMV: the bottom-k sketch as explicit per-source GroupState
+# ---------------------------------------------------------------------------
+
+_KMV_OUT_SCHEMA = "source string, sk array<bigint>"
+_KMV_STATE_SCHEMA = "sk array<bigint>"
+
+
+def _update_kmv(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Merge each micro-batch's key hashes into the per-source bottom-k —
+    state is ≤ k BIGINTs per source FOREVER (the sketch point: the exact
+    distinct set grows with the vocabulary, the sketch does not).  The
+    merge is the same set algebra as the batch sketch: union → distinct
+    → k smallest, associative and duplicate-idempotent, so replays and
+    batch boundaries cannot change the converged sketch."""
+    import numpy as np
+
+    from ..operators.sketch import KMV_K
+
+    (source,) = key
+    cur = np.asarray(state.get[0] if state.exists else [], dtype=np.int64)
+    for pdf in batches:
+        cur = np.unique(
+            np.concatenate([cur, pdf["h"].to_numpy(dtype=np.int64)])
+        )[:KMV_K]
+    state.update((cur.tolist(),))
+    yield pd.DataFrame({"source": [source], "sk": [cur.tolist()]})
+
+
+def _duck_streaming_kmv_sql() -> str:
+    from ..operators.sketch import _duck_kmv_sql
+
+    return _duck_kmv_sql()
+
+
+@query("streaming_kmv_distinct", _duck_streaming_kmv_sql())
+def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV bottom-k sketch built INCREMENTALLY over the live document
+    stream via ``applyInPandasWithState`` — bottom-k is not a monotone
+    built-in aggregate (unlike HLL's max-per-register), so the sketch is
+    explicit GroupState: ≤ k hashes per source no matter how long the
+    stream runs.  Drained per-source sketches are then merged to the
+    global ``__all__`` row IN BATCH (pure set algebra off ~|sources|
+    rows), and every emitted update row is merge-folded per source —
+    sound because merging any earlier partial sketch into the final one
+    is a no-op (an earlier bottom-k member smaller than the final kth
+    hash is necessarily IN the final sketch), so multi-batch update-mode
+    output converges to exactly the batch sketch.  Value-equal to the
+    fully-batch :func:`..operators.sketch.kmv_distinct_by_source`
+    oracle, global row included."""
+    from ..functions.hashing import spark_hash64
+    from ..operators.dedup import _SPARK_SHINGLES
+    from ..operators.sketch import KMV_K, _kmv_stats
+    from .windows import _docs_stream
+
+    stream_keys = (
+        _docs_stream(spark, sf_dir)
+        .select(
+            "source", F.filter(F.split("text", " "), lambda t: t != "").alias("toks")
+        )
+        .select("source", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok"))
+        .select("source", spark_hash64(F.col("tok")).alias("h"))
+    )
+    sketches = stream_keys.groupBy("source").applyInPandasWithState(
+        _update_kmv,
+        outputStructType=_KMV_OUT_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    run_stream_to_table(sketches, "stream_kmv_sketches", "update")
+    drained = spark.table("stream_kmv_sketches")
+
+    merge = f"slice(array_sort(array_distinct(flatten(collect_list(sk)))), 1, {KMV_K})"
+    per_src = drained.groupBy("source").agg(F.expr(merge).alias("sk"))
+    merged = (
+        per_src.select("sk")
+        .agg(F.expr(merge).alias("sk"))
+        .select(F.lit("__all__").alias("source"), "sk")
+    )
+    return _kmv_stats(per_src.unionByName(merged))

@@ -781,3 +781,44 @@ def test_round6b_ops_handle_empty_and_degenerate_input(spark):
     )
     kl = source_token_kl(one_src).collect()
     assert len(kl) == 1 and kl[0].kl_r == 0.0 and kl[0].n_tokens == 5
+
+
+@FAST
+@given(
+    hashes=st.lists(
+        st.integers(min_value=0, max_value=2**60 - 1), min_size=0, max_size=200
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=200), max_size=5),
+)
+def test_streaming_kmv_update_converges_to_batch(hashes, cuts):
+    """The streaming KMV GroupState update, folded over ANY micro-batch
+    split of the stream, equals the batch bottom-k — and merging every
+    intermediate emission with the final sketch is a no-op (the
+    soundness claim behind merge-folding update-mode output rows)."""
+    import pandas as pd
+
+    from duckdb_extension_kafquack_spark.operators.sketch import KMV_K
+    from duckdb_extension_kafquack_spark.streaming.state import _update_kmv
+
+    class FakeState:
+        exists = False
+        get = None
+
+        def update(self, v):
+            self.exists, self.get = True, v
+
+    bounds = sorted({min(c, len(hashes)) for c in cuts} | {0, len(hashes)})
+    batches = [hashes[a:b] for a, b in zip(bounds, bounds[1:])] or [[]]
+    state, emitted = FakeState(), []
+    for b in batches:
+        out = list(
+            _update_kmv(
+                ("s0",), iter([pd.DataFrame({"h": pd.Series(b, dtype="int64")})]), state
+            )
+        )
+        emitted.append(list(out[0]["sk"][0]))
+    final = emitted[-1]
+    assert final == sorted(set(hashes))[:KMV_K]
+    # merge-fold soundness: union of ALL emissions re-bottom-k'd == final
+    merged = sorted({h for e in emitted for h in e})[:KMV_K]
+    assert merged == final
