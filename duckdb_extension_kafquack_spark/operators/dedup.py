@@ -1182,8 +1182,14 @@ def containment_pairs(docs: DataFrame,
     doc-keyed aggregate (sorted prefix slice via HOF — per-doc state
     bounded by doc length, never a per-shingle window), the prefix ×
     index hash join on the uniform 60-bit shingle hash, and the exact
-    verify off the persisted sets with the (small) candidate-pair
-    relation broadcast into both scans — the minhash-verify shape.
+    verify off the persisted sets joined against the candidate pairs.
+    The candidate relation is NOT force-broadcast: unlike the
+    banded-LSH pair relations (bounded by the bucket cap), prefix
+    candidates grow with dup density × prefix fan-out — on a
+    16×-replicated corpus the forced hint OOM'd the driver's
+    broadcast build (caught by the scaling probe), while AQE's
+    runtime-size decision broadcasts when actually small and degrades
+    to a shuffle join when not.
     60-bit md5 shingle ids are assumed collision-free (repo-wide
     stance); a collision could only ADD a candidate, which the exact
     verify rejects.
@@ -1224,7 +1230,7 @@ def containment_pairs(docs: DataFrame,
         F.col("n").cast("bigint").alias("n_sup"),
     )
     return (
-        s1.join(F.broadcast(cand), "doc_sub")
+        s1.join(cand, "doc_sub")
         .join(s2, "doc_sup")
         .select(
             "doc_sub",

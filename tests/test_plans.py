@@ -375,11 +375,14 @@ def test_dup_span_coverage_no_window_sort(spark):
 
 
 def test_containment_broadcast_verify_no_window(spark):
-    """The containment join's verify broadcasts the candidate-pair
-    relation into the persisted set scans (minhash-verify shape); the
-    per-doc prefix ranks via a doc-bounded HOF aggregate, never a
-    per-shingle Window (hot-shingle partitions would buffer in one
-    task); and nothing is a cartesian product."""
+    """At small SF, AQE's runtime-size decision broadcasts the
+    candidate-pair relation into the verify joins (no FORCED hint —
+    prefix candidates grow with dup density × prefix fan-out, and the
+    forced broadcast OOM'd the 16×-replica scaling probe; at scale AQE
+    degrades to a shuffle join); the per-doc prefix ranks via a
+    doc-bounded HOF aggregate, never a per-shingle Window (hot-shingle
+    partitions would buffer in one task); and nothing is a cartesian
+    product."""
     df = REGISTRY["dedup_containment"].fn(spark, SF_DIR)
     plan = executed_plan(df)
     assert uses_broadcast_join(df)
