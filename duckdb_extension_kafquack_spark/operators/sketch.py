@@ -523,6 +523,152 @@ def kmv_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# KMV pairwise Jaccard: sketch-based source overlap (no shingle self-join)
+# ---------------------------------------------------------------------------
+
+
+def _kmv_keyed(docs: DataFrame) -> DataFrame:
+    """(source, h) — the 60-bit-hashed 3-gram shingle stream, ONE
+    definition shared by every KMV consumer so the sketches (and
+    therefore the oracles) can never diverge on tokenization."""
+    from .dedup import _SPARK_SHINGLES
+
+    return (
+        docs.select(
+            "source", F.filter(F.split("text", " "), lambda t: t != "").alias("toks")
+        )
+        .select("source", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok"))
+        .select("source", spark_hash64(F.col("tok")).alias("h"))
+    )
+
+
+def _persisted_kmv_sketches(docs: DataFrame) -> DataFrame:
+    """Persisted column-REORDERED projection (sk, source) of the
+    per-source bottom-k relation — reordered so CacheManager cannot
+    substitute this cache into the unpersisted ``kmv_bottomk`` builder
+    inside :func:`kmv_distinct_by_source` (the `_persisted_sig_sets`
+    pattern).  The pairwise query self-joins the sketches, so without
+    the persist each join side would re-run the corpus scan."""
+    from pyspark import StorageLevel
+
+    return (
+        kmv_bottomk(_kmv_keyed(docs))
+        .select("sk", "source")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def kmv_pairwise_jaccard(docs: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Pairwise source-overlap estimates from the KMV sketches alone —
+    the 100 TB complement to the EXACT ``source_overlap_matrix``: that
+    operator self-joins the per-source distinct-shingle relation
+    (corpus-sized), this one self-joins |sources| rows of ≤ k hashes.
+
+    Estimator (Beyer et al., SIGMOD 2007, §4 — public knowledge): for a
+    source pair, merge the two sketches and take ρ = the K_u-th smallest
+    hash of the union sketch (K_u = min(k, |union|)).  Every common hash
+    ≤ ρ is a uniform sample point of D(A)∪D(B) that landed in D(A)∩D(B),
+    so Ĵ = |{h ∈ sk_A ∩ sk_B : h ≤ ρ}| / K_u and the intersection size
+    estimate is Ĵ · |D(A)∪D(B)|^ with the union size from the standard
+    KMV estimate (k−1)·2^60/ρ (exact count when K_u < k: both sketches
+    were exhaustive, pigeonhole).
+
+    Everything up to the final divisions is integer set algebra —
+    deterministic and oracle-exact; `jaccard_est` is a single int/int
+    IEEE division, `union_est` a single literal/int division, and
+    `overlap_est` their product in the same operand order both engines
+    — bit-identical cross-engine, never rounded.
+
+    Scale shape: ONE corpus scan builds the persisted sketch relation
+    (bounded k·|sources| rows); the pair join and all the array algebra
+    run over |sources|² tiny rows — at 1000 sources that is ~500k rows
+    of ≤64-element arrays, a single-task-sized relation, vs the exact
+    matrix's shingle-inverted-index join that grows with the corpus."""
+    sk_rel = _persisted_kmv_sketches(docs).select("source", "sk")
+    pairs = (
+        sk_rel.alias("a")
+        .join(sk_rel.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.sk").alias("ska"),
+            F.col("b.sk").alias("skb"),
+        )
+    )
+    merged = pairs.select(
+        "source_a",
+        "source_b",
+        F.expr(f"slice(array_sort(array_distinct(concat(ska, skb))), 1, {k})").alias("usk"),
+        F.expr("array_intersect(ska, skb)").alias("isk"),
+    ).select(
+        "source_a",
+        "source_b",
+        F.expr("CAST(size(usk) AS BIGINT)").alias("k_union"),
+        F.expr("element_at(usk, size(usk))").alias("rho"),
+        F.expr(
+            "CAST(size(filter(isk, h -> h <= element_at(usk, size(usk)))) AS BIGINT)"
+        ).alias("common_in_union"),
+    )
+    est = merged.select(
+        "*",
+        (F.col("common_in_union") / F.col("k_union")).alias("jaccard_est"),
+        F.expr(
+            f"CASE WHEN k_union < {k} THEN CAST(k_union AS DOUBLE) "
+            f"ELSE {_KMV_NUM!r} / rho END"
+        ).alias("union_est"),
+    )
+    return est.select(
+        "*", (F.col("jaccard_est") * F.col("union_est")).alias("overlap_est")
+    )
+
+
+def _duck_kmv_pairwise_sql(k: int = KMV_K) -> str:
+    from .dedup import _DUCK_SHINGLES
+
+    return f"""
+WITH tokd AS (
+  SELECT source, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents
+), occ AS (
+  SELECT source, {duck_hash64('s.tok')} AS h
+  FROM tokd, unnest({_DUCK_SHINGLES}) AS s(tok)
+), dh AS (
+  SELECT DISTINCT source, h FROM occ
+), per_src AS (
+  SELECT source, list_sort(list(h))[1:{k}] AS sk FROM dh GROUP BY source
+), pr AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.sk AS ska, b.sk AS skb
+  FROM per_src a JOIN per_src b ON a.source < b.source
+), m AS (
+  SELECT source_a, source_b,
+         list_sort(list_distinct(list_concat(ska, skb)))[1:{k}] AS usk,
+         list_intersect(ska, skb) AS isk
+  FROM pr
+), s AS (
+  SELECT source_a, source_b,
+         CAST(len(usk) AS BIGINT) AS k_union,
+         usk[len(usk)] AS rho,
+         CAST(len(list_filter(isk, h -> h <= usk[len(usk)])) AS BIGINT) AS common_in_union
+  FROM m
+), e AS (
+  SELECT *, common_in_union / k_union AS jaccard_est,
+         CASE WHEN k_union < {k} THEN k_union::DOUBLE ELSE {_KMV_NUM!r} / rho END AS union_est
+  FROM s
+)
+SELECT source_a, source_b, k_union, rho, common_in_union,
+       jaccard_est, union_est, jaccard_est * union_est AS overlap_est
+FROM e
+"""
+
+
+@query("kmv_pairwise_jaccard", _duck_kmv_pairwise_sql())
+def kmv_pairwise_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _repartition_if_narrow
+
+    docs = _repartition_if_narrow(load_tables(spark, sf_dir)["documents"])
+    return kmv_pairwise_jaccard(docs)
+
+
+# ---------------------------------------------------------------------------
 # HyperLogLog: engine-exact distinct-count sketch
 # ---------------------------------------------------------------------------
 

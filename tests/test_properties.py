@@ -554,6 +554,48 @@ def test_kmv_bottomk_exact_per_source(spark, data):
     assert got == truth
 
 
+def test_kmv_pairwise_jaccard_tracks_exact_overlap():
+    """The sketch-based pairwise Jaccard/union estimates must stay
+    within the k=64 theory bounds of the EXACT values on the fixture
+    (deterministic data + deterministic hash ⇒ fixed numbers; the
+    bounds are ~2× the measured error, far below what a broken
+    estimator — wrong ρ, off-by-one prefix, biased filter — produces).
+    Cross-engine parity is the oracle's job; this pins the MATH."""
+    import duckdb
+
+    from duckdb_extension_kafquack_spark.functions.hashing import duck_hash64
+    from duckdb_extension_kafquack_spark.operators.dedup import _DUCK_SHINGLES
+    from duckdb_extension_kafquack_spark.operators.sketch import _duck_kmv_pairwise_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM '/root/testdata/sf0.001/documents.parquet'"
+    )
+    est = con.execute(_duck_kmv_pairwise_sql()).fetchdf()
+    dh = f"""
+tokd AS (SELECT source, list_filter(string_split(text,' '), t -> t <> '') AS toks
+         FROM documents),
+dh AS (SELECT DISTINCT source, {duck_hash64('s.tok')} AS h
+       FROM tokd, unnest({_DUCK_SHINGLES}) AS s(tok))"""
+    sizes = dict(
+        con.execute(f"WITH {dh} SELECT source, COUNT(*) FROM dh GROUP BY 1").fetchall()
+    )
+    inter = {
+        (sa, sb): i
+        for sa, sb, i in con.execute(
+            f"""WITH {dh} SELECT a.source, b.source, COUNT(*)
+                FROM dh a JOIN dh b ON a.source < b.source AND a.h = b.h
+                GROUP BY 1, 2"""
+        ).fetchall()
+    }
+    assert len(est) > 0
+    for r in est.itertuples():
+        i = inter.get((r.source_a, r.source_b), 0)
+        u = sizes[r.source_a] + sizes[r.source_b] - i
+        assert abs(r.jaccard_est - i / u) <= 0.15, (r.source_a, r.source_b)
+        assert abs(r.union_est - u) / u <= 0.40, (r.source_a, r.source_b)
+
+
 @SLOW
 @given(
     members=st.sets(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=30),
