@@ -706,3 +706,151 @@ def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "n_events", "n_types", "entropy_r")
     )
+
+
+# ---------------------------------------------------------------------------
+# engagement PageRank: quality propagation over the bipartite user–doc graph
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 1_000_000   # rank unit: 1.0 == 1e6 micro-units (integer fixed point)
+PR_DNUM, PR_DDEN = 85, 100       # damping 0.85 as an integer ratio
+PR_BASE = (PR_DDEN - PR_DNUM) * PR_SCALE // PR_DDEN   # (1-d)·scale = 150000
+PR_ITERS = 3
+PR_TOP_K = 50
+
+
+def _engagement_edges(events: DataFrame) -> DataFrame:
+    """(user_id, doc_id, doc_deg, user_deg) — the distinct engagement
+    edge relation with both endpoint degrees attached, persisted because
+    each power iteration scans it twice (doc→user and user→doc)."""
+    from pyspark import StorageLevel
+
+    ref = (
+        events.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("doc_id"),
+        )
+        .filter(F.col("doc_id").isNotNull())
+        .distinct()
+    )
+    ddeg = ref.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_deg"))
+    udeg = ref.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_deg"))
+    return (
+        ref.join(ddeg, "doc_id").join(udeg, "user_id")
+        .select("user_id", "doc_id", "doc_deg", "user_deg")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def engagement_pagerank(events: DataFrame, docs: DataFrame,
+                        iters: int = PR_ITERS) -> DataFrame:
+    """Quality propagation over the engagement graph: PageRank power
+    iteration on the BIPARTITE user↔doc relation — rank flows
+    doc → user → doc each round, so the quadratic doc–doc
+    co-engagement graph (a heavy user's fan-out squared) is never
+    materialized; every iteration is two joins + two partial+final
+    aggregations over the |edges|-sized relation, the standard
+    distributed-PageRank shuffle shape.
+
+    All arithmetic is INTEGER fixed point (ranks in micro-units,
+    contribution = rank DIV degree, damping as ·85 DIV 100): integer
+    sums commute exactly, so the result is bit-identical across
+    engines, partitionings, and cluster sizes — no order-dependent
+    float reduction anywhere, the property an (1/deg)-weighted float
+    PageRank can never give.  Overflow headroom: per-doc inflow is
+    bounded by the TOTAL rank mass ≈ scale·|docs| ≤ 9.2e18 for
+    |docs| ≤ 9e12 — documented, not silently wrapped (the DuckDB
+    mirror CASTs each round to BIGINT, so divergence would error
+    loudly there first).
+
+    The loop is pure PLAN construction (iters is a fixed constant) —
+    no driver-side data movement; the final top-k is
+    TakeOrderedAndProject over the per-doc rank relation, and the
+    50-row result re-broadcasts into the degree and corpus joins."""
+    e = _engagement_edges(events)
+    ddeg = e.select("doc_id", "doc_deg").distinct()
+    r = ddeg.select("doc_id", F.lit(PR_SCALE).cast("bigint").alias("pr"))
+    for _ in range(iters):
+        u = (
+            e.join(r, "doc_id")
+            .select("user_id", F.expr("pr DIV doc_deg").alias("c"))
+            .groupBy("user_id")
+            .agg(F.sum("c").cast("bigint").alias("us"))
+        )
+        r = (
+            e.join(u, "user_id")
+            .select("doc_id", F.expr("us DIV user_deg").alias("c"))
+            .groupBy("doc_id")
+            .agg(F.sum("c").cast("bigint").alias("inflow"))
+            .select(
+                "doc_id",
+                F.expr(
+                    f"CAST({PR_BASE} + ({PR_DNUM} * inflow) DIV {PR_DDEN} AS BIGINT)"
+                ).alias("pr"),
+            )
+        )
+    top = r.orderBy(F.col("pr").desc(), "doc_id").limit(PR_TOP_K)
+    w = Window.orderBy(F.col("pr").desc(), "doc_id")
+    ranked = top.withColumn(
+        "pr_rank", F.row_number().over(w).cast("integer")
+    ).select("doc_id", F.col("pr").alias("pr_micro"), "pr_rank")
+    with_deg = F.broadcast(ranked).join(
+        ddeg.select("doc_id", F.col("doc_deg").cast("bigint").alias("n_users")),
+        "doc_id",
+    )
+    return F.broadcast(with_deg).join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    ).select("doc_id", "lang", "source", "n_users", "pr_micro", "pr_rank")
+
+
+def _duck_pagerank_sql(iters: int = PR_ITERS) -> str:
+    ctes = [
+        """ref AS (
+  SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS doc_id
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+    AND json_extract_string(props, '$.k') IS NOT NULL
+)""",
+        "ddeg AS (SELECT doc_id, COUNT(*) AS doc_deg FROM ref GROUP BY 1)",
+        "udeg AS (SELECT user_id, COUNT(*) AS user_deg FROM ref GROUP BY 1)",
+        """e AS (
+  SELECT r.user_id, r.doc_id, d.doc_deg, u.user_deg
+  FROM ref r JOIN ddeg d USING (doc_id) JOIN udeg u USING (user_id)
+)""",
+        f"r0 AS (SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS pr FROM ddeg)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""u{i} AS (
+  SELECT user_id, CAST(SUM(pr // doc_deg) AS BIGINT) AS us
+  FROM e JOIN r{i - 1} USING (doc_id) GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+  SELECT doc_id,
+         CAST({PR_BASE} + ({PR_DNUM} * SUM(us // user_deg)) // {PR_DDEN} AS BIGINT) AS pr
+  FROM e JOIN u{i} USING (user_id) GROUP BY 1
+)"""
+        )
+    return f"""
+WITH {', '.join(ctes)},
+ranked AS (
+  SELECT doc_id, pr AS pr_micro,
+         CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, doc_id) AS INTEGER) AS pr_rank
+  FROM r{iters}
+)
+SELECT t.doc_id, d.lang, d.source,
+       CAST(g.doc_deg AS BIGINT) AS n_users, t.pr_micro, t.pr_rank
+FROM ranked t
+JOIN ddeg g USING (doc_id)
+JOIN documents d USING (doc_id)
+WHERE t.pr_rank <= {PR_TOP_K}
+"""
+
+
+@query("engagement_pagerank", _duck_pagerank_sql())
+def engagement_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return engagement_pagerank(t["events"], t["documents"])
