@@ -72,6 +72,8 @@ HEADLINE = [
     "multimodal_payload_dedup",
     "hll_distinct",
     "kmv_distinct_by_source",
+    "kmv_pairwise_jaccard",
+    "engagement_pagerank",
     "event_path_trigrams",
     "crossmodal_label_purity",
     "shard_manifest",

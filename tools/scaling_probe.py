@@ -87,10 +87,14 @@ def main() -> None:
         contamination_counts,
         repetition_scores,
     )
-    from duckdb_extension_kafquack_spark.operators.events import funnel_stages
+    from duckdb_extension_kafquack_spark.operators.events import (
+        engagement_pagerank,
+        funnel_stages,
+    )
     from duckdb_extension_kafquack_spark.operators.sketch import (
         cms_build,
         cms_estimate,
+        kmv_pairwise_jaccard,
         _token_stream,
     )
     from duckdb_extension_kafquack_spark.operators.text import quality_scores
@@ -190,6 +194,8 @@ def main() -> None:
         bench("embedding_near_dup", k, lambda: embedding_near_duplicates(emb))
         ev = replicate_events(k).localCheckpoint()
         bench("funnel_stages", k, lambda: funnel_stages(ev))
+        bench("engagement_pagerank", k, lambda: engagement_pagerank(ev, docs))
+        bench("kmv_pairwise_jaccard", k, lambda: kmv_pairwise_jaccard(docs))
         print(f"k={k}: " + ", ".join(f"{n}={t[k]}s" for n, t in results.items() if k in t))
 
     # --- 64× deep probe (round-7 verdict item 5) -----------------------
@@ -348,6 +354,15 @@ def main() -> None:
         "  so candidates (and true ordered pairs, n·k(k−1)) follow the",
         "  same pair-output model as the LSH rows — judge against it, not",
         "  flatness.",
+        "* `engagement_pagerank` — per iteration: two joins + two",
+        "  partial+final aggs over the edge relation; edges grow k× under",
+        "  replication (disjoint replica users, same per-user fan-out) so",
+        "  the whole loop is linear-in-edges; iteration count is a fixed",
+        "  constant, never data-dependent.",
+        "* `kmv_pairwise_jaccard` — the corpus scan building the sketches",
+        "  is linear; the pair join runs over |sources|²·k CONSTANT-size",
+        "  arrays (replication adds docs, not sources), so growth is the",
+        "  scan alone — flat-ish rows mean the sketch algebra is free.",
         "* `cross_source_dup_matrix` / `keep_best_quality` — the verified LSH",
         "  pair relation (quadratic in k by the same pair-output model as",
         "  `minhash_lsh_dedup`) plus broadcast joins of the pair/cluster",
