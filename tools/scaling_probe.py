@@ -267,8 +267,12 @@ def main() -> None:
         "floor means the banded/bounded stages dominate; between linear",
         "and the pair ceiling means cost tracks the (by-construction",
         "quadratic) pair output; anywhere near the corpus² column would",
-        "be a real scale-killer.  All three land at 0.9–2.1× the linear",
-        "floor — far below both ceilings.",
+        "be a real scale-killer.  All three land at "
+        f"{min(m / l for *_, l, _p, _s, m in deep_rows):.1f}–"
+        f"{max(m / l for *_, l, _p, _s, m in deep_rows):.1f}× the linear",
+        "floor — far below both ceilings (the anchor itself carries the",
+        "±20% single-run noise, so the ×linear column wobbles between",
+        "probe runs; the corpus²-column distance is the stable signal).",
         "",
         "| operator | linear t16·4 | pair-output t16·16.8 | corpus² t16·64 | measured 64× | ×linear |",
         "|---|---|---|---|---|---|",
