@@ -767,7 +767,12 @@ def engagement_pagerank(events: DataFrame, docs: DataFrame,
     The loop is pure PLAN construction (iters is a fixed constant) —
     no driver-side data movement; the final top-k is
     TakeOrderedAndProject over the per-doc rank relation, and the
-    50-row result re-broadcasts into the degree and corpus joins."""
+    50-row result re-broadcasts into the degree and corpus joins.
+    The printed plan grows with iteration depth (each r_i's lineage
+    nests r_{i-1}'s) but the persisted edge relation executes ONCE —
+    exchanges over it are cache reads; past ~10 iterations a
+    ``localCheckpoint()`` per round would truncate the lineage, at 3
+    it would only add materialization jobs."""
     e = _engagement_edges(events)
     ddeg = e.select("doc_id", "doc_deg").distinct()
     r = ddeg.select("doc_id", F.lit(PR_SCALE).cast("bigint").alias("pr"))
