@@ -1103,6 +1103,110 @@ query("source_token_kl", _DUCK_SOURCE_KL)(
 
 
 # ---------------------------------------------------------------------------
+# PSI drift: population-stability index of the length distribution per source
+# ---------------------------------------------------------------------------
+
+PSI_BIN_W = 50    # n_chars per bin
+PSI_BINS = 20     # LEAST(n_chars DIV 50, 19) — fixed INTEGER edges, no
+                  # percentile estimation to disagree on cross-engine
+# the shared per-term expression: Laplace-smoothed shares p (source) and
+# q (rest of corpus), PSI term (p−q)·ln(p/q).  Written ONCE and inlined
+# verbatim into both engines so the float evaluation order is identical:
+# every numerator/denominator is an exact integer, each division one
+# IEEE op, ln ulp-stable — only the final term SUM is order-dependent
+# (rounded@6 both sides, the source_token_kl recipe).
+_PSI_TERM = (
+    f"((c + 1) / (ns + {PSI_BINS}) - (bt - c + 1) / (nt - ns + {PSI_BINS}))"
+    f" * LN(((c + 1) / (ns + {PSI_BINS})) / ((bt - c + 1) / (nt - ns + {PSI_BINS})))"
+)
+
+
+def source_psi_drift(docs: DataFrame) -> DataFrame:
+    """PSI(source ‖ rest-of-corpus) over the doc-length distribution —
+    the standard ML-monitoring drift metric (population stability
+    index), complementing :func:`source_token_kl`'s token-level KL with
+    a numeric-feature view: a source whose LENGTH profile diverges from
+    the rest of the corpus (truncated scrapes, boilerplate stubs,
+    concatenation bugs) shows up here even when its vocabulary looks
+    normal.  Rule of thumb: PSI < 0.1 stable, 0.1–0.25 drifting,
+    > 0.25 investigate.
+
+    Fixed integer bin edges (``n_chars DIV 50`` capped at 19) instead
+    of estimated percentiles — deterministic cross-engine by
+    construction, and at 100 TB the binning is a map-side expression,
+    not a quantile job.  Shapes: one (source, bin) groupBy (key space
+    |sources|·20 — dimension-like), bin/source/corpus totals
+    re-aggregated from that tiny relation and broadcast back; the
+    sources×bins grid is an in-plan ``explode(sequence(...))`` so
+    zero-count bins still contribute their smoothed term (dropping
+    them understates drift)."""
+    binned = docs.select(
+        "source",
+        F.expr(f"LEAST(CAST(n_chars DIV {PSI_BIN_W} AS INT), {PSI_BINS - 1})").alias("bin"),
+    )
+    cnt = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c"))
+    btot = cnt.groupBy("bin").agg(F.sum("c").cast("bigint").alias("bt"))
+    stot = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("ns"))
+    ntot = cnt.agg(F.sum("c").cast("bigint").alias("nt"))
+    grid = stot.select(
+        "source", "ns",
+        F.explode(F.sequence(F.lit(0), F.lit(PSI_BINS - 1))).alias("bin"),
+    )
+    j = (
+        grid.join(cnt, ["source", "bin"], "left")
+        .join(F.broadcast(btot), "bin", "left")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "source",
+            "ns",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+            F.coalesce("bt", F.lit(0)).cast("bigint").alias("bt"),
+            "nt",
+        )
+    )
+    return (
+        j.groupBy("source", "ns")
+        .agg(F.round(F.sum(F.expr(_PSI_TERM)), 6).alias("psi_r"))
+        .select("source", F.col("ns").alias("n_docs"), "psi_r")
+    )
+
+
+_DUCK_PSI_SQL = f"""
+WITH b AS (
+  SELECT source, LEAST(n_chars // {PSI_BIN_W}, {PSI_BINS - 1}) AS bin FROM documents
+), cnt AS (
+  SELECT source, bin, COUNT(*) AS c FROM b GROUP BY 1, 2
+), btot AS (
+  SELECT bin, CAST(SUM(c) AS BIGINT) AS bt FROM cnt GROUP BY 1
+), stot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM cnt GROUP BY 1
+), ntot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS nt FROM cnt
+), grid AS (
+  SELECT s.source, s.ns, g.range AS bin
+  FROM stot s CROSS JOIN range(0, {PSI_BINS}) g
+), j AS (
+  SELECT grid.source, grid.ns,
+         CAST(COALESCE(cnt.c, 0) AS BIGINT) AS c,
+         CAST(COALESCE(btot.bt, 0) AS BIGINT) AS bt,
+         ntot.nt
+  FROM grid
+  LEFT JOIN cnt ON cnt.source = grid.source AND cnt.bin = grid.bin
+  LEFT JOIN btot ON btot.bin = grid.bin
+  CROSS JOIN ntot
+)
+SELECT source, CAST(ns AS BIGINT) AS n_docs,
+       ROUND(SUM({_PSI_TERM}), 6) AS psi_r
+FROM j GROUP BY source, ns
+"""
+
+
+query("source_psi_drift", _DUCK_PSI_SQL)(
+    lambda spark, sf_dir: source_psi_drift(load_tables(spark, sf_dir)["documents"])
+)
+
+
+# ---------------------------------------------------------------------------
 # per-doc token entropy (lexical-diversity / gibberish signal)
 # ---------------------------------------------------------------------------
 
