@@ -83,6 +83,7 @@ HEADLINE = [
     "boilerplate_phrases",
     "cross_source_dup_matrix",
     "source_token_kl",
+    "source_psi_drift",
     "text_token_entropy",
     "padding_efficiency",
     "doc_engagement_join",

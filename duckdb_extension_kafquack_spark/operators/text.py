@@ -1140,11 +1140,22 @@ def source_psi_drift(docs: DataFrame) -> DataFrame:
     sources×bins grid is an in-plan ``explode(sequence(...))`` so
     zero-count bins still contribute their smoothed term (dropping
     them understates drift)."""
-    binned = docs.select(
-        "source",
-        F.expr(f"LEAST(CAST(n_chars DIV {PSI_BIN_W} AS INT), {PSI_BINS - 1})").alias("bin"),
-    )
+    binned = docs.select("source", psi_bin_col().alias("bin"))
     cnt = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c"))
+    return psi_from_counts(cnt)
+
+
+def psi_bin_col():
+    """ONE bin-edge definition for every PSI consumer (batch operator,
+    streaming twin) — fixed integer edges, map-side at any scale."""
+    return F.expr(f"LEAST(CAST(n_chars DIV {PSI_BIN_W} AS INT), {PSI_BINS - 1})")
+
+
+def psi_from_counts(cnt: DataFrame) -> DataFrame:
+    """PSI per source off a (source, bin, c) count relation — the
+    algebra half shared by :func:`source_psi_drift` and the streaming
+    twin (which drains the SAME counts as bounded stream state); all
+    inputs are dimension-sized (|sources|·bins rows)."""
     btot = cnt.groupBy("bin").agg(F.sum("c").cast("bigint").alias("bt"))
     stot = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("ns"))
     ntot = cnt.agg(F.sum("c").cast("bigint").alias("nt"))
@@ -1152,15 +1163,31 @@ def source_psi_drift(docs: DataFrame) -> DataFrame:
         "source", "ns",
         F.explode(F.sequence(F.lit(0), F.lit(PSI_BINS - 1))).alias("bin"),
     )
+    # grid derives FROM cnt, so joining cnt back is a self-join; RENAME
+    # the probe side's columns (new output attributes) instead of
+    # relying on alias-qualified refs — plan-alias disambiguation
+    # breaks when cnt is a temp-view relation (the streaming twin's
+    # drained table) because both lineages share the view's attribute
+    # ids
+    cnt2 = cnt.select(
+        F.col("source").alias("c_source"),
+        F.col("bin").alias("c_bin"),
+        F.col("c").alias("c_cnt"),
+    )
+    btot2 = btot.select(F.col("bin").alias("b_bin"), "bt")
     j = (
-        grid.join(cnt, ["source", "bin"], "left")
-        .join(F.broadcast(btot), "bin", "left")
+        grid.join(
+            cnt2,
+            (F.col("source") == F.col("c_source")) & (F.col("bin") == F.col("c_bin")),
+            "left",
+        )
+        .join(F.broadcast(btot2), F.col("bin") == F.col("b_bin"), "left")
         .crossJoin(F.broadcast(ntot))
         .select(
             "source",
             "ns",
-            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
-            F.coalesce("bt", F.lit(0)).cast("bigint").alias("bt"),
+            F.coalesce(F.col("c_cnt"), F.lit(0)).cast("bigint").alias("c"),
+            F.coalesce(F.col("bt"), F.lit(0)).cast("bigint").alias("bt"),
             "nt",
         )
     )

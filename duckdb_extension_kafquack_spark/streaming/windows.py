@@ -1093,3 +1093,36 @@ def streaming_doc_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ENGAGE_W_PURCHASE * F.col("n_purchases")
         ).alias("engagement_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming PSI drift: length-distribution counts as live state
+# ---------------------------------------------------------------------------
+
+
+def _duck_streaming_psi_sql() -> str:
+    from ..operators.text import _DUCK_PSI_SQL
+
+    return _DUCK_PSI_SQL
+
+
+@query("streaming_psi_drift", _duck_streaming_psi_sql())
+def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift monitoring AT INGEST TIME: documents arrive as a live
+    ``readStream``, each micro-batch bins lengths with the SAME
+    fixed-integer-edge expression as the batch operator
+    (:func:`..operators.text.psi_bin_col` — map-only, no state needed
+    to bin), and a streaming groupBy maintains the (source, bin) count
+    matrix as permanent state — bounded by |sources|·20 rows no matter
+    how long the stream runs.  The PSI algebra then runs over the
+    DRAINED counts via the shared :func:`..operators.text
+    .psi_from_counts`, so the live dashboard is value-equal to the
+    fully-batch oracle: monitoring drift at ingest loses nothing vs
+    re-scanning the corpus offline (counts are monotone integers —
+    the drained state equals the batch aggregate exactly)."""
+    from ..operators.text import psi_bin_col, psi_from_counts
+
+    binned = _docs_stream(spark, sf_dir).select("source", psi_bin_col().alias("bin"))
+    counts = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c"))
+    run_stream_to_table(counts, "stream_psi_counts", "complete")
+    return psi_from_counts(spark.table("stream_psi_counts"))
