@@ -859,3 +859,142 @@ WHERE t.pr_rank <= {PR_TOP_K}
 def engagement_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return engagement_pagerank(t["events"], t["documents"])
+
+
+# ---------------------------------------------------------------------------
+# seeded trust rank: personalized PageRank from purchase-verified seeds
+# ---------------------------------------------------------------------------
+
+
+def seeded_trust_rank(events: DataFrame, docs: DataFrame,
+                      iters: int = PR_ITERS) -> DataFrame:
+    """Personalized PageRank over the same bipartite engagement graph as
+    :func:`engagement_pagerank`, but the teleport mass lands ONLY on
+    SEED documents (those with at least one purchase event — the
+    strongest behavioral quality signal): rank measures proximity to
+    verified-valuable content through shared engagement, not global
+    centrality, so a never-purchased doc that purchase-heavy users also
+    read outranks a high-traffic doc in a click-farm neighborhood.
+
+    Same integer fixed-point discipline (micro-units, ``DIV`` degree
+    contributions, 85/100 damping — bit-identical cross-engine): the
+    only change is the per-round base term, ``is_seed · (1−d)·scale``
+    via a doc-keyed left join of the seed relation (co-keyed with the
+    inflow aggregate — no extra shuffle pattern beyond the unseeded
+    loop).  Seeds with zero inflow in a round keep their teleport mass
+    because the inflow aggregate covers every doc with an edge (the
+    join against the user relation always produces its group, value 0
+    or not)."""
+    e = _engagement_edges(events)
+    seeds = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.get_json_object("props", "$.k").cast("bigint").alias("doc_id"))
+        .filter(F.col("doc_id").isNotNull())
+        .distinct()
+        .select("doc_id", F.lit(1).cast("bigint").alias("is_seed"))
+    )
+    ddeg = e.select("doc_id", "doc_deg").distinct()
+    r = ddeg.join(seeds, "doc_id", "left").select(
+        "doc_id",
+        (F.coalesce("is_seed", F.lit(0)) * PR_SCALE).cast("bigint").alias("pr"),
+    )
+    for _ in range(iters):
+        u = (
+            e.join(r, "doc_id")
+            .select("user_id", F.expr("pr DIV doc_deg").alias("c"))
+            .groupBy("user_id")
+            .agg(F.sum("c").cast("bigint").alias("us"))
+        )
+        r = (
+            e.join(u, "user_id")
+            .select("doc_id", F.expr("us DIV user_deg").alias("c"))
+            .groupBy("doc_id")
+            .agg(F.sum("c").cast("bigint").alias("inflow"))
+            .join(seeds, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.expr(
+                    f"CAST(COALESCE(is_seed, 0) * {PR_BASE}"
+                    f" + ({PR_DNUM} * inflow) DIV {PR_DDEN} AS BIGINT)"
+                ).alias("pr"),
+            )
+        )
+    top = r.orderBy(F.col("pr").desc(), "doc_id").limit(PR_TOP_K)
+    w = Window.orderBy(F.col("pr").desc(), "doc_id")
+    ranked = top.withColumn(
+        "pr_rank", F.row_number().over(w).cast("integer")
+    ).select("doc_id", F.col("pr").alias("pr_micro"), "pr_rank")
+    with_seed = F.broadcast(ranked).join(seeds, "doc_id", "left").select(
+        "doc_id", "pr_micro", "pr_rank",
+        F.coalesce("is_seed", F.lit(0)).alias("is_seed"),
+    )
+    return F.broadcast(with_seed).join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    ).select("doc_id", "lang", "source", "is_seed", "pr_micro", "pr_rank")
+
+
+def _duck_trust_rank_sql(iters: int = PR_ITERS) -> str:
+    ctes = [
+        """ref AS (
+  SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS doc_id
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+    AND json_extract_string(props, '$.k') IS NOT NULL
+)""",
+        """seeds AS (
+  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS doc_id,
+         CAST(1 AS BIGINT) AS is_seed
+  FROM events
+  WHERE event_type = 'purchase'
+    AND json_extract_string(props, '$.k') IS NOT NULL
+)""",
+        "ddeg AS (SELECT doc_id, COUNT(*) AS doc_deg FROM ref GROUP BY 1)",
+        "udeg AS (SELECT user_id, COUNT(*) AS user_deg FROM ref GROUP BY 1)",
+        """e AS (
+  SELECT r.user_id, r.doc_id, d.doc_deg, u.user_deg
+  FROM ref r JOIN ddeg d USING (doc_id) JOIN udeg u USING (user_id)
+)""",
+        f"""r0 AS (
+  SELECT d.doc_id, CAST(COALESCE(s.is_seed, 0) * {PR_SCALE} AS BIGINT) AS pr
+  FROM ddeg d LEFT JOIN seeds s USING (doc_id)
+)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""u{i} AS (
+  SELECT user_id, CAST(SUM(pr // doc_deg) AS BIGINT) AS us
+  FROM e JOIN r{i - 1} USING (doc_id) GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+  SELECT t.doc_id,
+         CAST(COALESCE(s.is_seed, 0) * {PR_BASE}
+              + ({PR_DNUM} * t.inflow) // {PR_DDEN} AS BIGINT) AS pr
+  FROM (
+    SELECT doc_id, CAST(SUM(us // user_deg) AS BIGINT) AS inflow
+    FROM e JOIN u{i} USING (user_id) GROUP BY 1
+  ) t LEFT JOIN seeds s USING (doc_id)
+)"""
+        )
+    return f"""
+WITH {', '.join(ctes)},
+ranked AS (
+  SELECT doc_id, pr AS pr_micro,
+         CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, doc_id) AS INTEGER) AS pr_rank
+  FROM r{iters}
+)
+SELECT t.doc_id, d.lang, d.source,
+       CAST(COALESCE(s.is_seed, 0) AS BIGINT) AS is_seed,
+       t.pr_micro, t.pr_rank
+FROM ranked t
+LEFT JOIN seeds s USING (doc_id)
+JOIN documents d USING (doc_id)
+WHERE t.pr_rank <= {PR_TOP_K}
+"""
+
+
+@query("seeded_trust_rank", _duck_trust_rank_sql())
+def seeded_trust_rank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return seeded_trust_rank(t["events"], t["documents"])
