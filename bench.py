@@ -74,6 +74,7 @@ HEADLINE = [
     "kmv_distinct_by_source",
     "kmv_pairwise_jaccard",
     "engagement_pagerank",
+    "seeded_trust_rank",
     "event_path_trigrams",
     "crossmodal_label_purity",
     "shard_manifest",
