@@ -998,3 +998,97 @@ WHERE t.pr_rank <= {PR_TOP_K}
 def seeded_trust_rank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return seeded_trust_rank(t["events"], t["documents"])
+
+
+# ---------------------------------------------------------------------------
+# co-engagement top-k: item-item signal with a bounded pair explosion
+# ---------------------------------------------------------------------------
+
+CO_ENG_MAX_FANOUT = 40   # users engaging more docs than this generate NO
+                         # pairs: a heavy user's fan-out² is the quadratic
+                         # term, and their co-occurrence carries the least
+                         # signal (they co-engage with everything)
+CO_ENG_TOP_K = 5
+
+
+def co_engagement_topk(events: DataFrame) -> DataFrame:
+    """Top co-engaged documents per document (item-item co-occurrence)
+    — the "docs that travel together" curation signal: near-identical
+    co-engagement neighborhoods flag redundant content the text-level
+    dedup family can't see (same story, different words), and the list
+    doubles as a behavioral retrieval candidate set.
+
+    The quadratic term is CAPPED at the source: only users with
+    ≤ ``CO_ENG_MAX_FANOUT`` engaged docs generate pairs, so pair count
+    is ≤ |users|·C(cap,2) — linear in users by construction, never
+    corpus² (the same degrade-the-hot-key discipline as the LSH bucket
+    cap, mirrored in the oracle).  Dropping heavy users is standard for
+    co-occurrence signals: a user who engages everything co-occurs with
+    everything and carries no discrimination.
+
+    Shapes: the shared persisted edge relation (already carrying
+    user_deg) filters map-side, self-joins on user_id (renamed
+    projections — new attribute ids), one (doc_a, doc_b) partial+final
+    count, and a per-doc top-k window over the symmetrized pair
+    relation (bounded by pairs, not corpus)."""
+    e = _engagement_edges(events)
+    f1 = e.filter(F.col("user_deg") <= CO_ENG_MAX_FANOUT)
+    a = f1.select(F.col("user_id").alias("u"), F.col("doc_id").alias("doc_a"))
+    b = f1.select(F.col("user_id").alias("u2"), F.col("doc_id").alias("doc_b"))
+    pairs = (
+        a.join(b, (F.col("u") == F.col("u2")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common_users"))
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("co_doc"), "n_common_users"
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("co_doc"), "n_common_users"
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_common_users").desc(), "co_doc"
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("integer"))
+        .filter(F.col("rank") <= CO_ENG_TOP_K)
+        .select("doc_id", "co_doc", "n_common_users", "rank")
+    )
+
+
+_DUCK_CO_ENGAGEMENT_SQL = f"""
+WITH ref AS (
+  SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS doc_id
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+    AND json_extract_string(props, '$.k') IS NOT NULL
+), udeg AS (
+  SELECT user_id, COUNT(*) AS user_deg FROM ref GROUP BY 1
+), f AS (
+  SELECT r.user_id, r.doc_id
+  FROM ref r JOIN udeg USING (user_id)
+  WHERE user_deg <= {CO_ENG_MAX_FANOUT}
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common_users
+  FROM f a JOIN f b ON a.user_id = b.user_id AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sym AS (
+  SELECT doc_a AS doc_id, doc_b AS co_doc, n_common_users FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a, n_common_users FROM pairs
+)
+SELECT doc_id, co_doc, n_common_users, CAST(rnk AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY n_common_users DESC, co_doc) AS rnk
+  FROM sym
+)
+WHERE rnk <= {CO_ENG_TOP_K}
+"""
+
+
+@query("co_engagement_topk", _DUCK_CO_ENGAGEMENT_SQL)
+def co_engagement_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return co_engagement_topk(load_tables(spark, sf_dir)["events"])
