@@ -75,6 +75,7 @@ HEADLINE = [
     "kmv_pairwise_jaccard",
     "engagement_pagerank",
     "seeded_trust_rank",
+    "co_engagement_topk",
     "event_path_trigrams",
     "crossmodal_label_purity",
     "shard_manifest",
