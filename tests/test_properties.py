@@ -864,3 +864,65 @@ def test_streaming_kmv_update_converges_to_batch(hashes, cuts):
     # merge-fold soundness: union of ALL emissions re-bottom-k'd == final
     merged = sorted({h for e in emitted for h in e})[:KMV_K]
     assert merged == final
+
+
+@SLOW
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(1, 5), st.integers(1, 8)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_engagement_pagerank_matches_python_reference(spark, edges):
+    """For ANY bipartite engagement graph: the Spark integer fixed-point
+    power iteration equals a 15-line pure-Python fold of the SAME
+    recurrence.  The DuckDB oracle shares the formula with the Spark
+    plan, so the hash match can't catch a shared-formula bug — this
+    pins the recurrence against an independent implementation
+    (degrees, DIV floors, damping, iteration count, tie-broken
+    ranking)."""
+    from duckdb_extension_kafquack_spark.operators.events import (
+        PR_BASE,
+        PR_DDEN,
+        PR_DNUM,
+        PR_ITERS,
+        PR_SCALE,
+        engagement_pagerank,
+    )
+
+    docs_of: dict[int, list[int]] = {}
+    users_of: dict[int, list[int]] = {}
+    for u, d in edges:
+        docs_of.setdefault(u, []).append(d)
+        users_of.setdefault(d, []).append(u)
+    ddeg = {d: len(us) for d, us in users_of.items()}
+    udeg = {u: len(ds) for u, ds in docs_of.items()}
+    r = {d: PR_SCALE for d in users_of}
+    for _ in range(PR_ITERS):
+        us = {
+            u: sum(r[d] // ddeg[d] for d in ds) for u, ds in docs_of.items()
+        }
+        r = {
+            d: PR_BASE + (PR_DNUM * sum(us[u] // udeg[u] for u in uss)) // PR_DDEN
+            for d, uss in users_of.items()
+        }
+
+    ev_rows = [
+        (i, "2024-01-01 00:00:00", u, "view", 1.0, '{"k": %d}' % d)
+        for i, (u, d) in enumerate(sorted(edges))
+    ]
+    events = spark.createDataFrame(
+        ev_rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    docs = spark.createDataFrame(
+        [(d, "en", "s") for d in sorted(users_of)],
+        "doc_id bigint, lang string, source string",
+    )
+    got = {
+        row.doc_id: (row.pr_micro, row.n_users)
+        for row in engagement_pagerank(events, docs).collect()
+    }
+    assert got == {d: (r[d], ddeg[d]) for d in users_of}
