@@ -76,6 +76,7 @@ HEADLINE = [
     "engagement_pagerank",
     "seeded_trust_rank",
     "co_engagement_topk",
+    "doc_transitions_topk",
     "event_path_trigrams",
     "crossmodal_label_purity",
     "shard_manifest",

@@ -1092,3 +1092,86 @@ WHERE rnk <= {CO_ENG_TOP_K}
 @query("co_engagement_topk", _DUCK_CO_ENGAGEMENT_SQL)
 def co_engagement_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return co_engagement_topk(load_tables(spark, sf_dir)["events"])
+
+
+# ---------------------------------------------------------------------------
+# doc transition mining: the content navigation graph from user journeys
+# ---------------------------------------------------------------------------
+
+DOC_TRANS_TOP_K = 50
+
+
+def doc_transitions_topk(events: DataFrame) -> DataFrame:
+    """Top doc→doc transitions across user journeys: order each user's
+    engaged events by time and count consecutive document pairs — the
+    content-sequencing signal (what users read NEXT) that
+    `event_path_trigrams` gives at event-type level, here at document
+    level: strong transition edges are curriculum-ordering and
+    related-content candidates, and a transition matrix dominated by a
+    single hub doc flags navigational boilerplate.
+
+    One user-keyed window shuffle produces every transition (lead over
+    the time-ordered journey — transitions per user = events−1, linear
+    by construction); the (doc_from, doc_to) rollup is partial+final,
+    and the global top-k is TakeOrderedAndProject over that rollup.
+    Deterministic (ts, event_id) tie-break and a total (count, pair)
+    rank order keep both engines' top lists identical."""
+    ref = (
+        events.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("doc_id"),
+        )
+        .filter(F.col("doc_id").isNotNull())
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ref.select(
+            F.col("doc_id").alias("doc_from"),
+            F.lead("doc_id").over(w).alias("doc_to"),
+        )
+        .filter(F.col("doc_to").isNotNull() & (F.col("doc_from") != F.col("doc_to")))
+        .groupBy("doc_from", "doc_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+    top = pairs.orderBy(
+        F.col("n_transitions").desc(), "doc_from", "doc_to"
+    ).limit(DOC_TRANS_TOP_K)
+    wr = Window.orderBy(F.col("n_transitions").desc(), "doc_from", "doc_to")
+    return top.withColumn("rank", F.row_number().over(wr).cast("integer")).select(
+        "doc_from", "doc_to", "n_transitions", "rank"
+    )
+
+
+_DUCK_DOC_TRANSITIONS_SQL = f"""
+WITH ref AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS doc_id
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+    AND json_extract_string(props, '$.k') IS NOT NULL
+), seq AS (
+  SELECT doc_id AS doc_from,
+         LEAD(doc_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS doc_to
+  FROM ref
+), pairs AS (
+  SELECT doc_from, doc_to, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM seq
+  WHERE doc_to IS NOT NULL AND doc_from <> doc_to
+  GROUP BY 1, 2
+)
+SELECT doc_from, doc_to, n_transitions, CAST(rnk AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY n_transitions DESC, doc_from, doc_to) AS rnk
+  FROM pairs
+)
+WHERE rnk <= {DOC_TRANS_TOP_K}
+"""
+
+
+@query("doc_transitions_topk", _DUCK_DOC_TRANSITIONS_SQL)
+def doc_transitions_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_transitions_topk(load_tables(spark, sf_dir)["events"])
