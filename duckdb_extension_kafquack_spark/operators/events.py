@@ -1136,6 +1136,13 @@ def doc_transitions_topk(events: DataFrame) -> DataFrame:
         .groupBy("doc_from", "doc_to")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
     )
+    return _rank_transitions(pairs)
+
+
+def _rank_transitions(pairs: DataFrame) -> DataFrame:
+    """Deterministic global top-k over a (doc_from, doc_to,
+    n_transitions) relation — the tail shared by the batch operator and
+    the streaming twin (which feeds it the summed drained state)."""
     top = pairs.orderBy(
         F.col("n_transitions").desc(), "doc_from", "doc_to"
     ).limit(DOC_TRANS_TOP_K)

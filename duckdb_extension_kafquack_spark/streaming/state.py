@@ -371,3 +371,101 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("__all__").alias("source"), "sk")
     )
     return _kmv_stats(per_src.unionByName(merged))
+
+
+# ---------------------------------------------------------------------------
+# streaming doc transitions: cross-batch journey stitching as GroupState
+# ---------------------------------------------------------------------------
+
+_TRANS_OUT_SCHEMA = "doc_from bigint, doc_to bigint, n bigint"
+_TRANS_STATE_SCHEMA = "ts_us bigint, event_id bigint, doc_id bigint"
+
+
+def _update_doc_transitions(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Emit this batch's new doc→doc transitions for one user and carry
+    the LAST engaged event as state, so the pair spanning a micro-batch
+    boundary is stitched instead of lost — state is ONE (ts, event_id,
+    doc) row per user forever.  Events are sorted (ts_us, event_id)
+    within the batch — the same total order as the batch operator's
+    window — and each transition is emitted in exactly the batch that
+    contains its LATER event, so summing all update-mode emissions
+    equals the batch count (assuming per-user event-time-ordered
+    arrival across batches, which the availableNow and prefix-split
+    harnesses provide)."""
+    rows = [pdf for pdf in batches if len(pdf)]
+    if not rows:
+        return
+    pdf = pd.concat(rows).sort_values(["ts_us", "event_id"], kind="mergesort")
+    seq = list(
+        zip(
+            pdf["ts_us"].astype("int64"),
+            pdf["event_id"].astype("int64"),
+            pdf["doc_id"].astype("int64"),
+        )
+    )
+    if state.exists:
+        seq = [tuple(int(x) for x in state.get)] + seq
+    counts: dict[tuple[int, int], int] = {}
+    for (_, _, d1), (_, _, d2) in zip(seq, seq[1:]):
+        if d1 != d2:
+            counts[(d1, d2)] = counts.get((d1, d2), 0) + 1
+    state.update(tuple(int(x) for x in seq[-1]))
+    if counts:
+        ks = sorted(counts)
+        yield pd.DataFrame(
+            {
+                "doc_from": pd.Series([a for a, _ in ks], dtype="int64"),
+                "doc_to": pd.Series([b for _, b in ks], dtype="int64"),
+                "n": pd.Series([counts[k] for k in ks], dtype="int64"),
+            }
+        )
+
+
+def _duck_streaming_transitions_sql() -> str:
+    from ..operators.events import _DUCK_DOC_TRANSITIONS_SQL
+
+    return _DUCK_DOC_TRANSITIONS_SQL
+
+
+@query("streaming_doc_transitions", _duck_streaming_transitions_sql())
+def streaming_doc_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc→doc transition miner over the LIVE event stream: journeys
+    are stitched ACROSS micro-batches by carrying each user's last
+    engaged event as explicit GroupState (a window's ``lead`` cannot
+    reach into the previous batch — this is what custom stateful
+    processing is for).  State is one row per user regardless of stream
+    length; each batch emits only its new transitions, so the drained
+    update-mode rows SUM to the batch counts, and the shared ranking
+    tail (:func:`..operators.events._rank_transitions`) makes the live
+    result value-equal to the fully-batch oracle."""
+    from ..operators.events import _rank_transitions
+
+    ref = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("doc_id"),
+        )
+        .filter(F.col("doc_id").isNotNull())
+    )
+    trans = ref.groupBy("user_id").applyInPandasWithState(
+        _update_doc_transitions,
+        outputStructType=_TRANS_OUT_SCHEMA,
+        stateStructType=_TRANS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    run_stream_to_table(trans, "stream_doc_transitions", "update")
+    pairs = (
+        spark.table("stream_doc_transitions")
+        .groupBy("doc_from", "doc_to")
+        .agg(F.sum("n").cast("bigint").alias("n_transitions"))
+    )
+    return _rank_transitions(pairs)

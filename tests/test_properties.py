@@ -926,3 +926,60 @@ def test_engagement_pagerank_matches_python_reference(spark, edges):
         for row in engagement_pagerank(events, docs).collect()
     }
     assert got == {d: (r[d], ddeg[d]) for d in users_of}
+
+
+@FAST
+@given(
+    docs=st.lists(st.integers(1, 6), min_size=0, max_size=40),
+    cuts=st.lists(st.integers(min_value=0, max_value=40), max_size=5),
+)
+def test_streaming_transitions_stitch_across_any_batch_split(docs, cuts):
+    """For ANY per-user journey and ANY event-time-ordered micro-batch
+    split of it: the GroupState update's summed emissions equal the
+    batch pair counts — including the transition that SPANS each batch
+    boundary (the stitch the state exists for; a plain per-batch lead
+    would drop one pair per cut)."""
+    import pandas as pd
+
+    from duckdb_extension_kafquack_spark.streaming.state import (
+        _update_doc_transitions,
+    )
+
+    class FakeState:
+        exists = False
+        get = None
+
+        def update(self, v):
+            self.exists, self.get = True, v
+
+    events = [(i * 10, i, d) for i, d in enumerate(docs)]  # (ts_us, event_id, doc)
+    want: dict[tuple[int, int], int] = {}
+    for (_, _, a), (_, _, b) in zip(events, events[1:]):
+        if a != b:
+            want[(a, b)] = want.get((a, b), 0) + 1
+
+    bounds = sorted({min(c, len(events)) for c in cuts} | {0, len(events)})
+    state, got = FakeState(), {}
+    for lo, hi in zip(bounds, bounds[1:]):
+        batch = events[lo:hi]
+        out = list(
+            _update_doc_transitions(
+                (7,),
+                iter(
+                    [
+                        pd.DataFrame(
+                            {
+                                "ts_us": pd.Series([e[0] for e in batch], dtype="int64"),
+                                "event_id": pd.Series([e[1] for e in batch], dtype="int64"),
+                                "doc_id": pd.Series([e[2] for e in batch], dtype="int64"),
+                            }
+                        )
+                    ]
+                ),
+                state,
+            )
+        )
+        for pdf in out:
+            for a, b, n in zip(pdf["doc_from"], pdf["doc_to"], pdf["n"]):
+                got[(int(a), int(b))] = got.get((int(a), int(b)), 0) + int(n)
+    assert got == want
