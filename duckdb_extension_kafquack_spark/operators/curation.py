@@ -1240,3 +1240,128 @@ def padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(total_tokens + {L - 1}) DIV {L} AS packed_chunks",
         f"padded_chunks - (total_tokens + {L - 1}) DIV {L} AS saved_chunks",
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy decontamination: MinHash-LSH near-match vs the benchmark slice
+# ---------------------------------------------------------------------------
+
+FUZZY_CONTAM_THRESHOLD = 0.5   # looser than dedup's 0.6: paraphrased or
+                               # partially-quoted benchmark items still leak
+FUZZY_BENCH_MOD = 7            # a LARGER held-out slice than exact
+                               # contamination's % 97: the fixture's near-dup
+                               # clusters must straddle the boundary at every
+                               # SF for the near-match path to be exercised
+                               # (with % 97 the sf0.01 result is empty — a
+                               # trivially-green gate row proves nothing)
+
+
+def fuzzy_contamination(docs: DataFrame) -> DataFrame:
+    """Fuzzy train/test decontamination: corpus docs whose shingle-set
+    Jaccard against ANY benchmark-slice doc (doc_id % FUZZY_BENCH_MOD == 0) reaches
+    ``FUZZY_CONTAM_THRESHOLD`` — the near-match complement to
+    :func:`contamination_counts`'s exact n-gram overlap (a paraphrased
+    or lightly-edited benchmark item shares few exact 5-grams but keeps
+    most of its 3-gram shingle set; fuzzy matching is how GPT-3-style
+    decontamination is actually run).
+
+    Physical shape: ONE map-only signature pass over the whole corpus
+    (the shared persisted relation), then a banded corpus×benchmark
+    join with the BENCHMARK side broadcast — the correct direction at
+    100 TB, where the corpus grows and the benchmark suite is fixed
+    thousands of docs.  No bucket cap is needed on this join (unlike
+    the self-join): a hot band bucket fans out row-locally inside the
+    broadcast hash probe — no shuffle skew, no straggler task.  The
+    exact verify joins the (small) candidate relation and the
+    broadcast benchmark sets back to the corpus-side sig scan; the
+    per-source rollup broadcasts the flagged ids into the documents
+    scan.  Jaccard stays a single int/int IEEE division; ``max()`` over
+    exact doubles is exact — nothing rounded."""
+    from .dedup import _persisted_sig_sets, minhash_bands
+
+    sig = _persisted_sig_sets(docs)
+    bands = minhash_bands(sig)
+    bench_bands = bands.filter(F.col("doc_id") % FUZZY_BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "band", "band_sig"
+    )
+    corpus_bands = bands.filter(F.col("doc_id") % FUZZY_BENCH_MOD != 0)
+    cand = (
+        corpus_bands.join(F.broadcast(bench_bands), ["band", "band_sig"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    c1 = sig.select("doc_id", F.col("stoks").alias("t1"), F.col("n").alias("n1"))
+    b2 = sig.filter(F.col("doc_id") % FUZZY_BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.col("stoks").alias("t2"),
+        F.col("n").alias("n2"),
+    )
+    flagged = (
+        c1.join(F.broadcast(cand), "doc_id")
+        .join(F.broadcast(b2), "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            (
+                F.size(F.array_intersect("t1", "t2"))
+                / (F.col("n1") + F.col("n2") - F.size(F.array_intersect("t1", "t2")))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= FUZZY_CONTAM_THRESHOLD)
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bench_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return (
+        F.broadcast(per_doc)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("contaminated_docs"),
+            F.sum("n_bench_matches").cast("bigint").alias("n_pairs"),
+            F.max("max_jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+def _duck_fuzzy_contamination_sql() -> str:
+    from .dedup import _duck_band_ctes
+
+    return f"""{_duck_band_ctes()}, cand AS (
+  SELECT DISTINCT a.doc_id, b.doc_id AS bench_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id % {FUZZY_BENCH_MOD} <> 0 AND b.doc_id % {FUZZY_BENCH_MOD} = 0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_id, c.bench_id, COUNT(*) AS icnt
+  FROM cand c
+  JOIN tok t1 ON t1.doc_id = c.doc_id
+  JOIN tok t2 ON t2.doc_id = c.bench_id AND t2.tok = t1.tok
+  GROUP BY c.doc_id, c.bench_id
+), flagged AS (
+  SELECT i.doc_id, i.bench_id,
+         icnt::DOUBLE / (s1.n + s2.n - icnt) AS jaccard
+  FROM inter i
+  JOIN sizes s1 ON s1.doc_id = i.doc_id
+  JOIN sizes s2 ON s2.doc_id = i.bench_id
+  WHERE icnt::DOUBLE / (s1.n + s2.n - icnt) >= {FUZZY_CONTAM_THRESHOLD}
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
+         MAX(jaccard) AS max_jaccard
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS contaminated_docs,
+       CAST(SUM(p.n_bench_matches) AS BIGINT) AS n_pairs,
+       MAX(p.max_jaccard) AS max_jaccard
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+@query("fuzzy_contamination", _duck_fuzzy_contamination_sql())
+def fuzzy_contamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fuzzy_contamination(load_tables(spark, sf_dir)["documents"])

@@ -407,10 +407,12 @@ def minhash_near_duplicates(
     )
 
 
-def _duck_minhash_ctes() -> str:
-    """The shared CTE chain (shingles → signatures → bands → capped
-    bucket join → candidate pairs → exact intersections) reused by the
-    near-dup oracle and the calibration oracle."""
+def _duck_band_ctes() -> str:
+    """The CTE chain up through the per-doc LSH band relation
+    (shingles → minhash signatures → bands) — ONE definition of the
+    signature/band construction shared by the self-join oracles
+    (near-dup, calibration) and the cross-relation fuzzy-contamination
+    oracle, so the band math can never diverge between them."""
     mh_cols = ",\n         ".join(
         f"min({duck_seeded_md5('tok', s)}) AS mh{s}" for s in range(NUM_HASHES)
     )
@@ -434,7 +436,14 @@ WITH tok AS (
   FROM mh
 ), bands AS (
 {band_union}
-), hot AS (
+)"""
+
+
+def _duck_minhash_ctes() -> str:
+    """The shared CTE chain (shingles → signatures → bands → capped
+    bucket join → candidate pairs → exact intersections) reused by the
+    near-dup oracle and the calibration oracle."""
+    return f"""{_duck_band_ctes()}, hot AS (
   SELECT band, band_sig, CAST(CEIL(COUNT(*) / {MAX_LSH_BUCKET}.0) AS BIGINT) AS nsub
   FROM bands GROUP BY band, band_sig HAVING COUNT(*) > {MAX_LSH_BUCKET}
 ), bands_sub AS (
