@@ -65,6 +65,7 @@ HEADLINE = [
     "text_oov_rate",
     "embedding_outliers",
     "dedup_minhash_calibration",
+    "fuzzy_contamination",
     "text_bigram_surprisal",
     "quality_rank_normalized",
     "semantic_retrieval_join",

@@ -1272,11 +1272,17 @@ def fuzzy_contamination(docs: DataFrame) -> DataFrame:
     thousands of docs.  No bucket cap is needed on this join (unlike
     the self-join): a hot band bucket fans out row-locally inside the
     broadcast hash probe — no shuffle skew, no straggler task.  The
-    exact verify joins the (small) candidate relation and the
-    broadcast benchmark sets back to the corpus-side sig scan; the
-    per-source rollup broadcasts the flagged ids into the documents
-    scan.  Jaccard stays a single int/int IEEE division; ``max()`` over
-    exact doubles is exact — nothing rounded."""
+    exact verify joins the candidate relation and the broadcast
+    benchmark sets back to the corpus-side sig scan; the per-source
+    rollup joins the flagged ids to the documents scan.  Only the
+    benchmark-derived relations (``bench_bands``, ``b2``) carry
+    ``F.broadcast`` hints — they are bounded by the fixed benchmark
+    slice at any corpus size.  ``cand`` and ``per_doc`` grow with
+    corpus size × contamination density, so their joins are left to
+    AQE's runtime-size decision (same rationale as
+    ``containment_pairs``, whose forced candidate broadcast OOM'd the
+    16× scaling probe).  Jaccard stays a single int/int IEEE division;
+    ``max()`` over exact doubles is exact — nothing rounded."""
     from .dedup import _persisted_sig_sets, minhash_bands
 
     sig = _persisted_sig_sets(docs)
@@ -1297,7 +1303,7 @@ def fuzzy_contamination(docs: DataFrame) -> DataFrame:
         F.col("n").alias("n2"),
     )
     flagged = (
-        c1.join(F.broadcast(cand), "doc_id")
+        c1.join(cand, "doc_id")
         .join(F.broadcast(b2), "bench_id")
         .select(
             "doc_id",
@@ -1314,7 +1320,7 @@ def fuzzy_contamination(docs: DataFrame) -> DataFrame:
         F.max("jaccard").alias("max_jaccard"),
     )
     return (
-        F.broadcast(per_doc)
+        per_doc
         .join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(

@@ -1143,6 +1143,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAINMENT_NUM = 4
 CONTAINMENT_DEN = 5
 CONTAINMENT_THRESHOLD = CONTAINMENT_NUM / CONTAINMENT_DEN
+# Prefix positions beyond the minimal lossless length: raises the
+# pair-level count lower bound from 1 to 1+PREFIX_EXTRA (pigeonhole —
+# see containment_pairs), trading a slightly wider inverted-index join
+# for a candidate set that shrinks to ≈ the true pair count.
+PREFIX_EXTRA = 4
 
 
 def _containment_sets(docs: DataFrame) -> DataFrame:
@@ -1187,11 +1192,48 @@ def containment_pairs(docs: DataFrame,
     Σ df(sh) over ~(1−c)·|S(A)|+1 rare shingles — the
     frequency-ascending order is what keeps the inverted-index join
     linear-ish in practice (joining common shingles would fan out by
-    their df).  Shapes, in order: one word-count groupBy for df, one
-    doc-keyed aggregate (sorted prefix slice via HOF — per-doc state
-    bounded by doc length, never a per-shingle window), the prefix ×
-    index hash join on the uniform 60-bit shingle hash, and the exact
-    verify off the persisted sets joined against the candidate pairs.
+    their df).
+
+    POSITIONAL + COUNT filtering (the PPJoin family — Xiao, Wang, Lin
+    & Yu, "Efficient similarity joins for near duplicate detection",
+    WWW 2008; public knowledge) prunes candidates BEFORE the exact
+    verify.  The prefix is EXTENDED by ``PREFIX_EXTRA`` positions
+    beyond the minimal lossless length: with prefix length
+    ``p = n_a − t + 1 + e`` (t = ⌈c·n_a⌉ the required overlap), a true
+    pair must match ≥ ``t − (n_a − p) = 1 + e`` prefix shingles
+    (pigeonhole: at most n_a − p common shingles sit outside the
+    prefix), so the pair-level aggregate ``cnt`` carries a count lower
+    bound instead of the bare existence the minimal prefix gives.
+    Both sides carry each shingle's 1-based rank in its doc under the
+    SAME global (df, sh) order, which makes common shingles appear in
+    CONSISTENT order in both docs, giving two more lossless pair-level
+    bounds from the match-position aggregates:
+
+    - first-match positional (PPJoin): all t common shingles sit at or
+      after the globally-first common shingle (positions min_i, min_j —
+      always generated, since the first common shingle is inside even
+      the minimal prefix), so ``1 + min(n_a − min_i, n_b − min_j) ≥ t``;
+    - count + tail: common shingles outside A's prefix sit after the
+      LAST generated match in BOTH docs (higher global rank), so
+      ``cnt + min(n_a − p_eff, n_b − max_j) ≥ t``;
+    - size: overlap ≤ n_b, so ``n_b ≥ t`` (applied pre-aggregate — it
+      is pair-invariant, so it cannot undercount cnt).
+
+    On the fixture the three bounds cut the candidate relation from
+    ~173k pairs (minimal prefix, existence only) to ~512 — the true
+    pair count — making the exact verify a near-no-op.  The driver's
+    hash compare against the ground-truth oracle verifies losslessness
+    empirically every round.
+
+    Shapes, in order: one word-count groupBy for df, ONE doc-keyed
+    aggregate building the globally-ranked shingle array (sorted HOF —
+    per-doc state bounded by doc length, never a per-shingle window;
+    persisted, since both the prefix side and the positional inverted
+    index posexplode it), the prefix × index hash join on the uniform
+    60-bit shingle hash (per-pair match aggregate with map-side
+    partials replaces the old pair distinct — same shuffle key, no new
+    stage), the integer bounds above, and the exact verify off the
+    persisted sets joined against the surviving pairs.
     The candidate relation is NOT force-broadcast: unlike the
     banded-LSH pair relations (bounded by the bucket cap), prefix
     candidates grow with dup density × prefix fan-out — on a
@@ -1207,26 +1249,55 @@ def containment_pairs(docs: DataFrame,
     shingles are covered by doc_sup at ratio ``containment``; the final
     division is one IEEE divide of exact ints (bit-identical in the
     oracle, never rounded)."""
+    from pyspark import StorageLevel
+
     sets = _containment_sets(docs)
     occ = sets.selectExpr("doc_id", "n", "explode(stoks) AS sh")
     df_rel = occ.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    # prefix length n − ⌈(num/den)·n⌉ + 1 in exact integer arithmetic:
-    # ⌈num·n/den⌉ = (num·n + den − 1) div den
-    pref_len = f"CAST(n - (({num} * n + {den - 1}) DIV {den}) + 1 AS INT)"
-    prefix = (
+    # prefix length n − ⌈(num/den)·n⌉ + 1 + e in exact integer
+    # arithmetic: ⌈num·n/den⌉ = (num·n + den − 1) div den
+    extra = PREFIX_EXTRA
+    pref_len = f"CAST(n - (({num} * n + {den - 1}) DIV {den}) + 1 + {extra} AS INT)"
+    # every doc's shingles in GLOBAL (df, sh)-ascending order; persisted
+    # because both join sides posexplode it (prefix slice / full index)
+    ranked = (
         occ.join(df_rel, "sh")
         .groupBy("doc_id", "n")
-        .agg(F.expr("array_sort(collect_list(struct(df, sh)))").alias("ranked"))
-        .selectExpr(
-            "doc_id AS doc_sub",
-            f"explode(transform(slice(ranked, 1, {pref_len}), r -> r.sh)) AS sh",
+        .agg(F.expr("array_sort(collect_list(struct(df, sh)))").alias("rk"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prefix = ranked.selectExpr(
+        "doc_id AS doc_sub",
+        "n AS n_sub",
+        f"posexplode(slice(rk, 1, {pref_len})) AS (i0, r)",
+    ).selectExpr("doc_sub", "n_sub", "i0 + 1 AS i", "r.sh AS sh")
+    index = ranked.selectExpr(
+        "doc_id AS doc_sup", "n AS n_sup", "posexplode(rk) AS (j0, r)"
+    ).selectExpr("doc_sup", "n_sup", "j0 + 1 AS j", "r.sh AS sh")
+    # required overlap t = ⌈c·n_sub⌉ and effective prefix length,
+    # all-integer; the size bound is pair-invariant so filtering it
+    # BEFORE the aggregate cannot undercount cnt
+    t_sub = f"(({num} * n_sub + {den - 1}) DIV {den})"
+    p_eff = (
+        f"least(n_sub, CAST(n_sub - (({num} * n_sub + {den - 1}) DIV {den})"
+        f" + 1 + {extra} AS INT))"
+    )
+    pair_stats = (
+        prefix.join(index, "sh")
+        .filter(F.col("doc_sub") != F.col("doc_sup"))
+        .filter(F.expr(f"n_sup >= {t_sub}"))
+        .groupBy("doc_sub", "n_sub", "doc_sup", "n_sup")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("i").alias("i1"),
+            F.min("j").alias("j1"),
+            F.max("j").alias("jm"),
         )
     )
     cand = (
-        prefix.join(occ.select(F.col("doc_id").alias("doc_sup"), "sh"), "sh")
-        .filter(F.col("doc_sub") != F.col("doc_sup"))
+        pair_stats.filter(F.expr(f"1 + least(n_sub - i1, n_sup - j1) >= {t_sub}"))
+        .filter(F.expr(f"cnt + least(n_sub - {p_eff}, n_sup - jm) >= {t_sub}"))
         .select("doc_sub", "doc_sup")
-        .distinct()
     )
     s1 = sets.select(
         F.col("doc_id").alias("doc_sub"),

@@ -758,11 +758,13 @@ def engagement_pagerank(events: DataFrame, docs: DataFrame,
     sums commute exactly, so the result is bit-identical across
     engines, partitionings, and cluster sizes — no order-dependent
     float reduction anywhere, the property an (1/deg)-weighted float
-    PageRank can never give.  Overflow headroom: per-doc inflow is
-    bounded by the TOTAL rank mass ≈ scale·|docs| ≤ 9.2e18 for
-    |docs| ≤ 9e12 — documented, not silently wrapped (the DuckDB
-    mirror CASTs each round to BIGINT, so divergence would error
-    loudly there first).
+    PageRank can never give.  Overflow headroom: the plan computes
+    ``85 * inflow`` BEFORE the DIV, and per-doc inflow is bounded by
+    the TOTAL rank mass ≈ scale·|docs|, so the binding constraint is
+    85·1e6·|docs| ≤ 9.2e18 → |docs| ≲ 1e11 — documented, not silently
+    wrapped (the DuckDB mirror CASTs each round to BIGINT, so
+    divergence would error loudly there first; rearranging to divide
+    before multiplying would not be exact, so the bound stands).
 
     The loop is pure PLAN construction (iters is a fixed constant) —
     no driver-side data movement; the final top-k is

@@ -495,21 +495,14 @@ def kmv_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw key stream, so the hash match verifies the merge algebra
     by value, the same standard :func:`hll_merge_by_source` is held
     to."""
-    from .dedup import _SPARK_SHINGLES, _repartition_if_narrow
+    from .dedup import _repartition_if_narrow
 
     docs = _repartition_if_narrow(load_tables(spark, sf_dir)["documents"])
-    keyed = (
-        docs.select(
-            "source", F.filter(F.split("text", " "), lambda t: t != "").alias("toks")
-        )
-        .select("source", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok"))
-        .select("source", spark_hash64(F.col("tok")).alias("h"))
-    )
-    from pyspark import StorageLevel
-
-    # ~|sources| rows; persisted so the merged-global branch re-reads
-    # the sketches instead of re-scanning the corpus
-    per_src = kmv_bottomk(keyed).persist(StorageLevel.MEMORY_AND_DISK)
+    # the shared persisted sketch relation (one tokenize+hash definition,
+    # column-reordered projection — see _persisted_kmv_sketches); ~|sources|
+    # rows, so the merged-global branch re-reads the sketches instead of
+    # re-scanning the corpus
+    per_src = _persisted_kmv_sketches(docs).select("source", "sk")
     merged = (
         per_src.select(F.col("sk").alias("hs"))
         .agg(

@@ -393,9 +393,11 @@ def _update_doc_transitions(
     within the batch — the same total order as the batch operator's
     window — and each transition is emitted in exactly the batch that
     contains its LATER event, so summing all update-mode emissions
-    equals the batch count (assuming per-user event-time-ordered
-    arrival across batches, which the availableNow and prefix-split
-    harnesses provide)."""
+    equals the batch count.  Per-user event-time-ordered arrival across
+    batches (which the availableNow and prefix-split harnesses provide)
+    is a PRECONDITION, and it is enforced: a batch whose earliest
+    (ts_us, event_id) precedes the carried state raises instead of
+    silently producing wrong counts."""
     rows = [pdf for pdf in batches if len(pdf)]
     if not rows:
         return
@@ -408,7 +410,22 @@ def _update_doc_transitions(
         )
     )
     if state.exists:
-        seq = [tuple(int(x) for x in state.get)] + seq
+        carried = tuple(int(x) for x in state.get)
+        # The stitch is only sound if the carried event really is the
+        # earliest: an arriving event OLDER than the carried state means
+        # the harness/fixture violated per-user event-time-ordered
+        # delivery, and silently prepending would corrupt the counts
+        # (the boundary transition was attributed to the wrong pair).
+        # Fail loudly instead — update-mode emissions cannot retract.
+        if seq and seq[0][:2] < carried[:2]:
+            raise ValueError(
+                "streaming_doc_transitions: out-of-order arrival for "
+                f"user {key[0]!r}: batch min (ts_us, event_id)="
+                f"{seq[0][:2]} precedes carried state {carried[:2]}; "
+                "per-user event-time-ordered delivery is a precondition "
+                "of the cross-batch stitch"
+            )
+        seq = [carried] + seq
     counts: dict[tuple[int, int], int] = {}
     for (_, _, d1), (_, _, d2) in zip(seq, seq[1:]):
         if d1 != d2:

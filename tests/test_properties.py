@@ -983,3 +983,52 @@ def test_streaming_transitions_stitch_across_any_batch_split(docs, cuts):
             for a, b, n in zip(pdf["doc_from"], pdf["doc_to"], pdf["n"]):
                 got[(int(a), int(b))] = got.get((int(a), int(b)), 0) + int(n)
     assert got == want
+
+
+def test_streaming_transitions_rejects_out_of_order_arrival():
+    """The cross-batch stitch's precondition (per-user event-time-ordered
+    delivery) is ENFORCED: a batch containing an event older than the
+    carried state must raise, not silently mis-stitch — update-mode
+    emissions cannot be retracted, so a harness ordering drift would
+    otherwise corrupt counts with no detection."""
+    import pandas as pd
+    import pytest
+
+    from duckdb_extension_kafquack_spark.streaming.state import (
+        _update_doc_transitions,
+    )
+
+    class FakeState:
+        exists = False
+        get = None
+
+        def update(self, v):
+            self.exists, self.get = True, v
+
+    def batch(events):
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "ts_us": pd.Series([e[0] for e in events], dtype="int64"),
+                        "event_id": pd.Series([e[1] for e in events], dtype="int64"),
+                        "doc_id": pd.Series([e[2] for e in events], dtype="int64"),
+                    }
+                )
+            ]
+        )
+
+    state = FakeState()
+    list(_update_doc_transitions((7,), batch([(10, 0, 1), (20, 1, 2)]), state))
+    assert state.exists and tuple(state.get)[:2] == (20, 1)
+    # ts 15 < carried ts 20 → out of order → loud failure
+    with pytest.raises(ValueError, match="out-of-order"):
+        list(_update_doc_transitions((7,), batch([(15, 2, 3)]), state))
+    # equal-or-later arrival still works (same ts, later event_id)
+    out = list(_update_doc_transitions((7,), batch([(20, 2, 3)]), state))
+    got = {
+        (int(a), int(b)): int(n)
+        for pdf in out
+        for a, b, n in zip(pdf["doc_from"], pdf["doc_to"], pdf["n"])
+    }
+    assert got == {(2, 3): 1}

@@ -89,3 +89,25 @@ def test_driver_order_tiers_unverified_first():
     # 50-query cap so CORRECTNESS_r{N+1} gives it a verdict
     unverified = [n for n in order if coarse_tier(n) == 0]
     assert all(order.index(n) < 50 for n in unverified)
+
+
+def test_plans_md_covers_every_batch_llm_pipeline_query():
+    """r7 verdict item 4: every registered batch query from the
+    LLM-pipeline modules (operators/*, functions/udf) must appear in
+    PLANS.md, so a last-minute query can't skip the plan audit (the way
+    fuzzy_contamination did in round 7).  Streaming queries are exempt
+    by module — their returned DataFrame is a memory-sink read, not the
+    streaming plan."""
+    import re
+
+    with open("/root/repo/PLANS.md") as f:
+        audited = set(re.findall(r"^## (\S+)", f.read(), re.M))
+    batch_llm = tuple(
+        f"duckdb_extension_kafquack_spark.{m}"
+        for m in ("operators.", "functions.udf")
+    )
+    required = {
+        n for n, q in REGISTRY.items() if q.fn.__module__.startswith(batch_llm)
+    }
+    missing = sorted(required - audited)
+    assert not missing, f"queries missing from PLANS.md: {missing}"
