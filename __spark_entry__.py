@@ -110,36 +110,74 @@ def _git_commit_times(paths: list[str]) -> dict[str, int | None]:
     return out
 
 
+def _fingerprint_staleness() -> dict[str, bool] | None:
+    """name → "code changed since its last verdict", at QUERY
+    granularity via the source-closure fingerprints
+    (`duckdb_extension_kafquack_spark.fingerprint`): a query is stale
+    iff its current fingerprint differs from the one recorded in
+    ``tools/verdict_fingerprints.json`` when its verdict landed (or no
+    record exists).  Returns None when the sidecar is absent, letting
+    the caller fall back to module-commit-time staleness.
+
+    Rounds 1-7 used module granularity, which marked ~¾ of the registry
+    stale whenever ANY query in a shared module changed — the genuinely
+    reworked queries kept spilling past the driver's 50-query cap no
+    matter the within-tier order (round-7 verdict item 4)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    sidecar = os.path.join(here, "tools", "verdict_fingerprints.json")
+    if not os.path.exists(sidecar):
+        return None
+    import json
+
+    try:
+        with open(sidecar) as f:
+            recorded = json.load(f)
+        from duckdb_extension_kafquack_spark.fingerprint import (
+            registry_fingerprints,
+        )
+
+        current = registry_fingerprints()
+    except Exception:  # noqa: BLE001 — staleness is best-effort, never breaks the gate
+        return None
+    return {n: recorded.get(n) != fp for n, fp in current.items()}
+
+
 def _driver_order() -> list[str]:
     """Three tiers from the committed driver verdicts:
 
     0. never driver-sampled (no verdict in any CORRECTNESS file);
     1. latest verdict red (err, or any *_match false) — re-check fixes —
-       or latest verdict green but STALE: the query's implementing
-       module was committed (or edited) after the CORRECTNESS file that
-       recorded the verdict, so this round's driver sample re-covers
-       what the round actually touched instead of re-verifying greens
-       nothing changed under;
-    2. latest verdict green and current — re-verify last, only if
-       budget remains.
+       or latest verdict green but STALE: the query's source closure
+       changed since the verdict (fingerprint mismatch; module commit
+       time as fallback when the sidecar is missing);
+    2. latest verdict green and current.
+
+    Tiers 1 and 2 are each ordered oldest-verdict-first, so the stale
+    tier drains bounded-staleness-first and leftover cap re-verifies
+    the greens with the oldest evidence.
     """
     verdicts = _latest_driver_verdicts()
     names = list(suite.REGISTRY)
+    fp_stale = _fingerprint_staleness()
 
     fn_file = {
         n: getattr(suite.REGISTRY[n].fn, "__code__", None)
         and suite.REGISTRY[n].fn.__code__.co_filename
         for n in names
     }
-    tracked = sorted(
-        {p for p in fn_file.values() if p}
-        | {path for _, path in verdicts.values()}
-    )
-    ctimes = _git_commit_times(tracked)
+    ctimes: dict[str, int | None] = {}
+    if fp_stale is None:
+        tracked = sorted(
+            {p for p in fn_file.values() if p}
+            | {path for _, path in verdicts.values()}
+        )
+        ctimes = _git_commit_times(tracked)
 
     def stale(n: str) -> bool:
         if n not in verdicts:
             return False
+        if fp_stale is not None:
+            return fp_stale.get(n, True)
         _, vpath = verdicts[n]
         mod = fn_file.get(n)
         if not mod or not ctimes:
@@ -159,17 +197,17 @@ def _driver_order() -> list[str]:
         )
         return 2 if green and not stale(n) else 1
 
-    def recency(n: str) -> float:
-        """Most-recently-changed module first WITHIN a tier, so when the
-        stale set exceeds the driver's 50-query cap, this round's edits
-        outrank last round's."""
-        mod = fn_file.get(n)
-        ct = ctimes.get(mod) if mod else 0
-        if mod and mod in ctimes and ctimes[mod] is None:
-            return float("inf")  # dirty working tree: changed right now
-        return float(ct or 0)
+    def verdict_age(n: str) -> int:
+        """Round number of the query's latest verdict (-1 if none)."""
+        import re
 
-    return sorted(names, key=lambda n: (tier(n), -recency(n), names.index(n)))
+        v = verdicts.get(n)
+        if v is None:
+            return -1
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(v[1]))
+        return int(m.group(1)) if m else -1
+
+    return sorted(names, key=lambda n: (tier(n), verdict_age(n), names.index(n)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

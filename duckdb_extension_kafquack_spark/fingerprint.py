@@ -1,0 +1,133 @@
+"""Per-query source-closure fingerprints for driver-gate staleness.
+
+The driver's correctness gate samples 50 of the 196 registered queries
+per round; deciding WHICH 50 needs a staleness signal.  Git commit
+times at module granularity (rounds 1-7) mark ~¾ of the registry stale
+whenever any query in a shared module changes, so the genuinely
+reworked queries kept spilling past the cap (round-7 verdict item 4).
+
+A query's fingerprint is the md5 of its TRANSITIVE SOURCE CLOSURE:
+the registered function's source, its DuckDB oracle SQL, and —
+followed recursively through ``co_names`` / nested code objects — the
+source of every package-local function it references plus the repr of
+every package-local module constant.  Names that don't resolve through
+``fn.__globals__`` (e.g. ``from .dedup import X`` executed inside the
+body) are resolved against every loaded package module that defines
+them — an over-approximation that can only err toward re-verifying.
+
+``tools/record_fingerprints.py`` snapshots fingerprints for queries
+whose verdict is fresh (present in the latest CORRECTNESS file) into
+``tools/verdict_fingerprints.json``; ``__spark_entry__._driver_order``
+compares the current fingerprint against the snapshot — a mismatch (or
+a missing record) means the query's code really changed since its
+verdict, at exactly query granularity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import sys
+import types
+
+_PKG = "duckdb_extension_kafquack_spark"
+_LOCAL_PREFIXES = (_PKG, "__spark_entry__")
+
+
+def _is_local_function(obj: object) -> bool:
+    return isinstance(obj, types.FunctionType) and (
+        (obj.__module__ or "").startswith(_LOCAL_PREFIXES)
+    )
+
+
+def _local_modules() -> list[types.ModuleType]:
+    return [
+        m
+        for name, m in sorted(sys.modules.items())
+        if m is not None and name.startswith(_PKG)
+    ]
+
+
+def _closure_parts(fn: types.FunctionType) -> dict[str, str]:
+    """{stable_key: source_or_repr} for fn's transitive reference set.
+
+    Keys are (module, qualname) strings so the final hash is
+    independent of traversal order and interpreter identity."""
+    parts: dict[str, str] = {}
+    visited: set[tuple[str, str]] = set()
+
+    def add_function(f: types.FunctionType) -> None:
+        key = (f.__module__ or "?", f.__qualname__)
+        if key in visited:
+            return
+        visited.add(key)
+        try:
+            src = inspect.getsource(f)
+        except (OSError, TypeError):
+            src = repr(f)
+        parts[f"fn:{key[0]}:{key[1]}"] = src
+        visit_code(f.__code__, f.__globals__)
+
+    def add_constant(mod: str, name: str, obj: object) -> None:
+        parts[f"const:{mod}:{name}"] = repr(obj)
+
+    def resolve_everywhere(name: str) -> None:
+        """Resolve a name against every loaded package module — catches
+        functions imported INSIDE a function body, which never appear
+        in the outer function's globals."""
+        for m in _local_modules():
+            obj = m.__dict__.get(name)
+            if obj is None:
+                continue
+            if _is_local_function(obj):
+                add_function(obj)
+            elif isinstance(obj, (int, float, str, bytes, tuple, frozenset)):
+                add_constant(m.__name__, name, obj)
+
+    def visit_code(code: types.CodeType, globals_: dict) -> None:
+        for const in code.co_consts:
+            if isinstance(const, types.CodeType):
+                visit_code(const, globals_)
+        for name in code.co_names:
+            obj = globals_.get(name)
+            if _is_local_function(obj):
+                add_function(obj)
+            elif isinstance(obj, types.ModuleType) and obj.__name__.startswith(
+                _PKG
+            ):
+                # module-attribute access: over-approximate by checking
+                # every co_name against the module's namespace
+                for attr in code.co_names:
+                    sub = obj.__dict__.get(attr)
+                    if _is_local_function(sub):
+                        add_function(sub)
+            elif obj is None:
+                resolve_everywhere(name)
+            elif isinstance(obj, (int, float, str, bytes, tuple, frozenset)):
+                mod = globals_.get("__name__", "?")
+                if str(mod).startswith(_LOCAL_PREFIXES):
+                    add_constant(str(mod), name, obj)
+
+    add_function(fn)
+    return parts
+
+
+def query_fingerprint(fn: types.FunctionType, oracle: str | None) -> str:
+    """Stable md5 of the query's source closure + oracle SQL."""
+    parts = _closure_parts(fn)
+    h = hashlib.md5()
+    h.update((oracle or "").encode())
+    for key in sorted(parts):
+        h.update(key.encode())
+        h.update(parts[key].encode())
+    return h.hexdigest()
+
+
+def registry_fingerprints() -> dict[str, str]:
+    """name → fingerprint for every registered query (registration
+    modules must already be imported by the caller)."""
+    from .suite import REGISTRY
+
+    return {
+        name: query_fingerprint(q.fn, q.oracle) for name, q in REGISTRY.items()
+    }

@@ -91,6 +91,29 @@ def test_driver_order_tiers_unverified_first():
     assert all(order.index(n) < 50 for n in unverified)
 
 
+def test_fingerprint_closure_reaches_helpers_and_is_stable():
+    """Driver staleness is decided by per-query source-closure
+    fingerprints: the closure must reach through the registered wrapper
+    into the operator helpers and module constants it composes (editing
+    containment_pairs or PREFIX_EXTRA must change dedup_containment's
+    fingerprint), and the hash must be deterministic across calls."""
+    from duckdb_extension_kafquack_spark.fingerprint import (
+        _closure_parts,
+        registry_fingerprints,
+    )
+
+    parts = _closure_parts(REGISTRY["dedup_containment"].fn)
+    assert any(k.endswith(":containment_pairs") for k in parts)
+    assert any(k.endswith(":_containment_sets") for k in parts)
+    assert any(k.endswith(":PREFIX_EXTRA") for k in parts)
+    fp1, fp2 = registry_fingerprints(), registry_fingerprints()
+    assert fp1 == fp2 and len(fp1) == len(REGISTRY)
+    # runtime-import resolution: fuzzy_contamination imports its dedup
+    # helpers INSIDE the function body, not at module level
+    fparts = _closure_parts(REGISTRY["fuzzy_contamination"].fn)
+    assert any(k.endswith(":minhash_bands") for k in fparts)
+
+
 def test_plans_md_covers_every_batch_llm_pipeline_query():
     """r7 verdict item 4: every registered batch query from the
     LLM-pipeline modules (operators/*, functions/udf) must appear in
