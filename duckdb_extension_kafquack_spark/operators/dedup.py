@@ -150,16 +150,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _repartition_if_narrow(df: DataFrame) -> DataFrame:
+def _repartition_if_narrow(df: DataFrame, cap: int | None = None) -> DataFrame:
     """Map-only plans inherit the scan's split count — a single small
     parquet file means ONE task no matter how many cores.  At real scale
     the input has many splits and this is a no-op; locally it spreads
-    the per-doc signature work across the session's cores."""
+    the per-doc signature work across the session's cores.
+
+    ``cap`` bounds the local spread for relations whose per-row work is
+    too small to amortize a Python worker per partition (the kmeans
+    trainer's 2k-row embedding fixture spends more time spinning 32
+    Arrow workers per stage than computing); it only changes the
+    local-fixture task count — at scale the scan's own splits rule."""
     import os
 
     if df.isStreaming:  # no .rdd on streams; micro-batches split upstream
         return df
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if cap is not None:
+        cpus = min(cpus, cap)
     return df.repartition(cpus) if df.rdd.getNumPartitions() < cpus else df
 
 
