@@ -809,6 +809,119 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming fuzzy decontamination: the near-match benchmark gate at ingest
+# ---------------------------------------------------------------------------
+
+def _duck_streaming_fuzzy_sql() -> str:
+    from ..operators.curation import _duck_fuzzy_contamination_sql
+
+    return _duck_fuzzy_contamination_sql()
+
+
+@query("streaming_fuzzy_contamination", _duck_streaming_fuzzy_sql())
+def streaming_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy train/test decontamination at INGEST: the nightly crawl
+    streams through the banded MinHash benchmark probe, so a paraphrased
+    benchmark item is caught the moment it arrives instead of at the
+    next batch sweep — the near-match complement to the exact n-gram
+    gate, value-equal to the batch
+    :func:`..operators.curation.fuzzy_contamination` oracle.
+
+    The in-stream gate is completely STATELESS — strictly tighter than
+    a per-doc flag aggregate: signatures and band keys are map-only
+    expressions on the incoming doc, the benchmark relation (bands +
+    shingle sets, the fixed-size side at 100 TB) is a broadcast
+    stream-static inner join, and the exact-Jaccard verify is an inline
+    filter, so the query runs in append mode with zero streaming state
+    and the sink holds only flagged (doc, bench) matches.  A doc
+    matching a bench item in several bands emits several rows; the
+    batch tail over the drained table dedups per (doc, bench) before
+    the per-doc and per-source rollups (the ``max()`` is over identical
+    jaccard doubles — nothing order-dependent)."""
+    from ..operators.curation import FUZZY_BENCH_MOD, FUZZY_CONTAM_THRESHOLD
+    from ..operators.dedup import (
+        _SPARK_SHINGLES,
+        BANDS,
+        NUM_HASHES,
+        ROWS_PER_BAND,
+        minhash_bands,
+        minhash_sig_sets,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    bench = docs.filter(F.col("doc_id") % FUZZY_BENCH_MOD == 0)
+    bsig = minhash_sig_sets(bench)
+    brel = (
+        minhash_bands(bsig)
+        .select(F.col("doc_id").alias("bench_id"), "band", "band_sig")
+        .join(
+            bsig.select(
+                F.col("doc_id").alias("bench_id"),
+                F.col("stoks").alias("t2"),
+                F.col("n").alias("n2"),
+            ),
+            "bench_id",
+        )
+    )
+    mh_cols = [
+        f"array_min(transform(stoks, t -> md5('{s}:' || t))) AS mh{s}"
+        for s in range(NUM_HASHES)
+    ]
+    ssig = (
+        _docs_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % FUZZY_BENCH_MOD != 0)
+        .selectExpr(
+            "doc_id", "source",
+            "filter(split(text, ' '), t -> t != '') AS toks",
+        )
+        .selectExpr(
+            "doc_id", "source", f"array_distinct({_SPARK_SHINGLES}) AS stoks"
+        )
+        .selectExpr("doc_id", "source", "stoks", "size(stoks) AS n", *mh_cols)
+    )
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat(
+                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                )
+            ).alias("band_sig"),
+        )
+        for b in range(BANDS)
+    ]
+    s = ssig.select(
+        "doc_id", "source",
+        F.col("stoks").alias("t1"), F.col("n").alias("n1"),
+        F.explode(F.array(*band_rows)).alias("bb"),
+    ).select("doc_id", "source", "t1", "n1", "bb.band", "bb.band_sig")
+    icnt = F.size(F.array_intersect("t1", "t2"))
+    flagged = (
+        s.join(F.broadcast(brel), ["band", "band_sig"])
+        .select(
+            "doc_id", "source", "bench_id",
+            (icnt / (F.col("n1") + F.col("n2") - icnt)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= FUZZY_CONTAM_THRESHOLD)
+    )
+    run_stream_to_table(flagged, "stream_fuzzy_contam", "append")
+    pairs = (
+        spark.table("stream_fuzzy_contam")
+        .groupBy("doc_id", "source", "bench_id")
+        .agg(F.max("jaccard").alias("jaccard"))
+    )
+    per_doc = pairs.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bench_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("contaminated_docs"),
+        F.sum("n_bench_matches").cast("bigint").alias("n_pairs"),
+        F.max("max_jaccard").alias("max_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming Bloom gate: constant-state seen-before filtering on ingest
 # ---------------------------------------------------------------------------
 
