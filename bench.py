@@ -5,10 +5,12 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 noop sink (no driver-side collect — measures the distributed plan, not
 the toPandas transfer).
 
-Measurement protocol (round-7 verdict item 7): the parent process runs
-the whole suite in TWO fresh JVM sessions (child subprocesses) and keeps
-the per-query MIN across sessions; each child is itself min-of-2 per
-query.  Round-over-round deltas then measure plans, not GC pressure or
+Measurement protocol (round-7 verdict item 7 + round-8 order swap): the
+parent process runs the whole suite in TWO fresh JVM sessions (child
+subprocesses) — the first in HEADLINE order, the second REVERSED, so a
+query's position-dependent costs (GC buildup, codegen-cache pollution)
+differ between sessions — and keeps the per-query MIN across sessions;
+each child is itself min-of-2 per query.  Round-over-round deltas then measure plans, not GC pressure or
 codegen-cache luck accumulated over a 60-query session — three of round
 6's four apparent regressions disagreed with a dedicated quiet run by
 >1.4× for exactly that reason.  Set SPARK_GRAFT_BENCH_SESSIONS=1 to get
@@ -117,8 +119,18 @@ def _run_session(sf_dir: str) -> dict[str, float]:
         "overwrite"
     ).save()
 
+    # session-order swap (round-8, r7 verdict item 6): the parent runs
+    # one forward and one REVERSED pass, so a query's position in the
+    # suite (accumulated GC pressure, codegen-cache pollution at slot
+    # #k) differs between the sessions and the per-query min cancels
+    # position effects instead of replaying them identically twice —
+    # text_fingerprint disagreed 1.4× between the driver bench and a
+    # dedicated quiet run for exactly this reason.
+    order = list(HEADLINE)
+    if os.environ.get("SPARK_GRAFT_BENCH_ORDER") == "reverse":
+        order.reverse()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in order:
         q = suite.REGISTRY[name]
         best = float("inf")
         for _ in range(2):  # min-of-2: steady-state plan cost, not scheduler noise
@@ -141,7 +153,11 @@ def main() -> None:
         timings = {}
         here = os.path.abspath(__file__)
         for i in range(n_sessions):
-            env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_BENCH_CHILD="1",
+                SPARK_GRAFT_BENCH_ORDER="reverse" if i % 2 else "forward",
+            )
             r = subprocess.run(
                 [sys.executable, here], capture_output=True, text=True, env=env
             )

@@ -85,6 +85,7 @@ def main() -> None:
     )
     from duckdb_extension_kafquack_spark.operators.curation import (
         contamination_counts,
+        fuzzy_contamination,
         repetition_scores,
     )
     from duckdb_extension_kafquack_spark.operators.events import (
@@ -169,6 +170,7 @@ def main() -> None:
         bench("minhash_lsh_dedup", k, lambda: minhash_near_duplicates(docs))
         bench("simhash_signatures", k, lambda: simhash_signatures(docs))
         bench("contamination_check", k, lambda: contamination_counts(docs))
+        bench("fuzzy_contamination", k, lambda: fuzzy_contamination(docs))
         bench("repetition_scores", k, lambda: repetition_scores(docs))
         bench("dup_span_coverage", k, lambda: dup_span_coverage(docs))
         bench("ngram_novelty", k, lambda: ngram_novelty_by_source(docs))
@@ -212,11 +214,23 @@ def main() -> None:
     # compare the k=64 PREDICTION against the measurement — a hidden
     # corpus² term would overshoot the pair model's prediction hard
     # (rows grow 4× from 16×→64×, pairs 16.8×, corpus² 16×·on-top).
-    DEEP = ("minhash_lsh_dedup", "cross_source_dup_matrix", "keep_best_quality")
+    DEEP = (
+        "minhash_lsh_dedup",
+        "cross_source_dup_matrix",
+        "keep_best_quality",
+        # round-8 additions (r7 verdict item 7): the steepest 16× row and
+        # the two rows that previously had no out-of-sample cell
+        "containment_pairs",
+        "fuzzy_contamination",
+        "bigram_surprisal",
+    )
     docs = replicate_docs(docs0, 64).localCheckpoint()
     bench("minhash_lsh_dedup", 64, lambda: minhash_near_duplicates(docs))
     bench("cross_source_dup_matrix", 64, lambda: cross_source_dup_matrix(docs))
     bench("keep_best_quality", 64, lambda: keep_best_quality_report(docs))
+    bench("containment_pairs", 64, lambda: containment_pairs(docs))
+    bench("fuzzy_contamination", 64, lambda: fuzzy_contamination(docs))
+    bench("bigram_surprisal", 64, lambda: bigram_surprisal_scores(docs))
     print("k=64: " + ", ".join(f"{n}={results[n][64]}s" for n in DEEP))
 
     deep_rows = []
@@ -271,7 +285,7 @@ def main() -> None:
         "floor means the banded/bounded stages dominate; between linear",
         "and the pair ceiling means cost tracks the (by-construction",
         "quadratic) pair output; anywhere near the corpus² column would",
-        "be a real scale-killer.  All three land at "
+        "be a real scale-killer.  All rows land at "
         f"{min(m / l for *_, l, _p, _s, m in deep_rows):.1f}–"
         f"{max(m / l for *_, l, _p, _s, m in deep_rows):.1f}× the linear",
         "floor — far below both ceilings (the anchor itself carries the",
@@ -280,6 +294,10 @@ def main() -> None:
         "",
         "| operator | linear t16·4 | pair-output t16·16.8 | corpus² t16·64 | measured 64× | ×linear |",
         "|---|---|---|---|---|---|",
+        # bigram_surprisal's model is LINEAR (word-count shape) — its
+        # pair-output column is printed for table uniformity but the
+        # verdict for it is the ×linear cell alone; the dedup composites
+        # and containment/fuzzy rows are judged against the pair model.
     ]
     for name, t, lin, pair, sq, meas in deep_rows:
         lines.append(
@@ -355,13 +373,14 @@ def main() -> None:
         "* `token_entropy` — per-doc sorted run-length HOF fold inside one",
         "  projection, no shuffle at all; linear (flat rows = scheduling",
         "  floor).",
-        "* `containment_pairs` — prefix-filtered containment join: the df",
-        "  aggregate and per-doc prefix rank are word-count shape (linear);",
-        "  candidate fan-out is Σ df over each doc's ~(1−c)·|S|+1 RAREST",
-        "  shingles, and the replica probe inflates exactly that df by k,",
-        "  so candidates (and true ordered pairs, n·k(k−1)) follow the",
-        "  same pair-output model as the LSH rows — judge against it, not",
-        "  flatness.",
+        "* `containment_pairs` — prefix-filtered containment join with",
+        "  PPJoin-style count+positional bounds (round 8): the df",
+        "  aggregate and per-doc global ranking are word-count shape",
+        "  (linear); prefix fan-out is Σ df over each doc's",
+        "  ~(1−c)·|S|+1+e RAREST shingles (the replica probe inflates",
+        "  that df by k), and the pair-level count filter prunes the",
+        "  aggregated candidates to ≈ the true ordered pairs, n·k(k−1) —",
+        "  judge against the pair-output model, not flatness.",
         "* `engagement_pagerank` / `seeded_trust_rank` — per iteration: two",
         "  joins + two partial+final aggs over the edge relation (the",
         "  seeded variant adds one co-keyed seed join per round); edges",
@@ -373,10 +392,12 @@ def main() -> None:
         "  fan-out), so pair output and cost grow k×, linear by",
         "  construction — the cap is what a heavy-user corpus can't",
         "  break.",
-        "  partial+final aggs over the edge relation; edges grow k× under",
-        "  replication (disjoint replica users, same per-user fan-out) so",
-        "  the whole loop is linear-in-edges; iteration count is a fixed",
-        "  constant, never data-dependent.",
+        "* `fuzzy_contamination` — banded corpus×benchmark join with the",
+        "  benchmark side broadcast; the probe replicates BOTH sides",
+        "  (bench slice is 1/7 of the replicated corpus), so flagged",
+        "  pairs grow ~k²/7 — judge against the pair model, not flatness.",
+        "  The candidate and per-doc relations are NOT force-broadcast",
+        "  (they grow with corpus × contamination density; AQE decides).",
         "* `kmv_pairwise_jaccard` — the corpus scan building the sketches",
         "  is linear; the pair join runs over |sources|²·k CONSTANT-size",
         "  arrays (replication adds docs, not sources), so growth is the",
