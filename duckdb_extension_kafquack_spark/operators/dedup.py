@@ -171,9 +171,14 @@ def _repartition_if_narrow(df: DataFrame, cap: int | None = None) -> DataFrame:
     return df.repartition(cpus) if df.rdd.getNumPartitions() < cpus else df
 
 
-def minhash_sig_sets(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
-    """(doc_id, stoks, n, mh0..mh{k-1}) — per-doc distinct shingle set,
-    its size, and the MinHash signature, ALL computed map-side.
+def minhash_sig_sets(
+    docs: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, [passthrough...], stoks, n, mh0..mh{k-1}) — per-doc
+    distinct shingle set, its size, and the MinHash signature, ALL
+    computed map-side.
 
     MinHash via lexical min of seeded md5 digests: ``min(md5(seed||tok))``
     is the min over an (approximately) random permutation of the shingle
@@ -183,16 +188,24 @@ def minhash_sig_sets(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame
     shuffles the entire shingle relation just to regroup it by the doc
     it came from).  The shingle set rides along for the later exact-
     Jaccard verify — per-doc state, linear in corpus size.
+
+    ``passthrough`` carries extra input columns (e.g. ``source`` or a
+    precomputed content hash) through the projection chain — this is the
+    ONE definition of the seeded-MinHash expression, shared by the batch
+    pipelines AND the streaming twins (``_repartition_if_narrow`` is a
+    no-op on streams), so the seeding scheme can never diverge between
+    a streaming query and its batch oracle.
     """
+    pt = list(passthrough)
     mh_cols = [
         f"array_min(transform(stoks, t -> md5('{s}:' || t))) AS mh{s}"
         for s in range(num_hashes)
     ]
     return (
         _repartition_if_narrow(docs)
-        .selectExpr("doc_id", "filter(split(text, ' '), t -> t != '') AS toks")
-        .selectExpr("doc_id", f"array_distinct({_SPARK_SHINGLES}) AS stoks")
-        .selectExpr("doc_id", "stoks", "size(stoks) AS n", *mh_cols)
+        .selectExpr("doc_id", *pt, "filter(split(text, ' '), t -> t != '') AS toks")
+        .selectExpr("doc_id", *pt, f"array_distinct({_SPARK_SHINGLES}) AS stoks")
+        .selectExpr("doc_id", *pt, "stoks", "size(stoks) AS n", *mh_cols)
     )
 
 
@@ -222,17 +235,40 @@ def _persisted_sig_sets(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFr
     return sig.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
 
 
-def minhash_bands(sigs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
-    """(doc_id, band, band_sig): md5 of the band's concatenated minhashes."""
+def minhash_band_structs(bands: int = BANDS, rows: int = ROWS_PER_BAND) -> list:
+    """The per-band (band, band_sig) struct expressions — md5 of the
+    band's concatenated minhashes.  ONE definition of the banding
+    scheme, shared by :func:`minhash_bands` and any caller that needs
+    the structs inline."""
     band_rows = []
     for b in range(bands):
         concat = F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
         band_rows.append(
             F.struct(F.lit(b).alias("band"), F.md5(concat).alias("band_sig"))
         )
+    return band_rows
+
+
+def minhash_bands(
+    sigs: DataFrame,
+    bands: int = BANDS,
+    rows: int = ROWS_PER_BAND,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, [passthrough...], band, band_sig): md5 of the band's
+    concatenated minhashes.  ``passthrough`` carries extra columns
+    (e.g. the shingle set for an inline verify) through the explode —
+    the streaming twins use it so band construction has exactly one
+    definition repo-wide."""
+    pt = list(passthrough)
+    band_rows = minhash_band_structs(bands, rows)
     return sigs.select(
-        "doc_id", F.explode(F.array(*band_rows)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
+        "doc_id", *pt, F.explode(F.array(*band_rows)).alias("bb")
+    ).select(
+        "doc_id", *pt,
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_sig").alias("band_sig"),
+    )
 
 
 def _with_bucket_sub(bands_df: DataFrame, max_bucket_size: int) -> DataFrame:
@@ -381,10 +417,14 @@ def minhash_near_duplicates(
     Physical shape: signatures AND shingle sets come out of one map-only
     pass (:func:`minhash_sig_sets`, persisted — it feeds the band join
     and both sides of the verify).  The ONLY data-sized shuffle is the
-    banded candidate self-join; the verify joins the (small by LSH
-    construction) candidate pairs back to the persisted sig relation and
-    counts ``array_intersect`` per pair — no re-shuffle of the shingle
-    relation at all.
+    banded candidate self-join; the verify joins the candidate pairs
+    back to the persisted sig relation and counts ``array_intersect``
+    per pair.  The pair relation carries NO broadcast hint: it is small
+    by LSH construction at any fixed dup density, but it grows linearly
+    with corpus size, so a forced hint is a latent driver OOM at 100 TB
+    (the containment-pairs lesson, :func:`containment_pairs`) — AQE's
+    runtime-size decision broadcasts it when it is actually small and
+    degrades to a shuffled join when it is not.
     """
     sig = _persisted_sig_sets(docs)
     pairs = candidate_pairs(minhash_bands(sig))
@@ -397,7 +437,7 @@ def minhash_near_duplicates(
     # no rounding: the Jaccard is a single IEEE division of exact ints —
     # bit-identical in the oracle; round() only adds tie-boundary risk
     return (
-        s1.join(F.broadcast(pairs), "doc1")
+        s1.join(pairs, "doc1")
         .join(s2, "doc2")
         .select(
             "doc1",
@@ -539,7 +579,7 @@ def minhash_calibration(docs: DataFrame) -> DataFrame:
         matches = term if matches is None else matches + term
     icnt = F.size(F.array_intersect("t1", "t2"))
     return (
-        s1.join(F.broadcast(pairs), "doc1")
+        s1.join(pairs, "doc1")
         .join(s2, "doc2")
         .select(
             "doc1",
@@ -1053,8 +1093,9 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = NGRAM_THRESHOLD) -> 
     )
     # no rounding: the Jaccard is a single IEEE division of exact ints —
     # bit-identical in the oracle; round() only adds tie-boundary risk
+    # (no broadcast hint on pairs: dup-density-scaled — AQE decides)
     return (
-        s1.join(F.broadcast(pairs), "doc1")
+        s1.join(pairs, "doc1")
         .join(s2, "doc2")
         .select(
             "doc1",
@@ -1424,8 +1465,10 @@ def incremental_dedup_report(docs: DataFrame) -> DataFrame:
     sc = sig.select(
         F.col("doc_id").alias("corpus_doc"), F.col("stoks").alias("t2"), F.col("n").alias("n2")
     )
+    # cand is dup-density-scaled (grows with corpus size at fixed dup
+    # rate) — no forced broadcast; AQE decides at runtime size
     near_ids = (
-        sb.join(F.broadcast(cand), "batch_doc")
+        sb.join(cand, "batch_doc")
         .join(sc, "corpus_doc")
         .select(
             "batch_doc",
@@ -1528,8 +1571,8 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     split must not have (a test doc whose near-duplicate was trained on
     is not held out).  Composes the banded LSH pair generator with the
     deterministic hash split; the join back to split labels is two
-    broadcast-sized lookups of the (small) pair set — no corpus
-    shuffle beyond the LSH pipeline's own.
+    unhinted lookups of the pair set (AQE broadcasts it when small) —
+    no corpus shuffle beyond the LSH pipeline's own.
 
     Output: unordered split-pair counts with the cross-split subset
     counted as ``n_leaks`` (nonzero train↔test rows are the audit
@@ -1572,14 +1615,16 @@ def canonical_corpus(docs: DataFrame) -> DataFrame:
     cluster's minimum doc_id — deterministic, engine-independent).
 
     Composes the banded MinHash pair generator with pointer-doubling
-    connected components; the removal itself is a broadcast-sized
-    left-anti join (the drop list is |clusters|·(avg size − 1) rows —
-    tiny relative to the corpus by LSH construction), so the only
+    connected components; the removal is a left-anti join against the
+    drop list (|clusters|·(avg size − 1) rows — small relative to the
+    corpus by LSH construction, but it GROWS with corpus size at fixed
+    dup density, so it carries no forced broadcast hint: AQE broadcasts
+    it when actually small and shuffles when not), so the only
     corpus-scale work remains the LSH pipeline's own single shuffle."""
     pairs = minhash_near_duplicates(docs).select("doc1", "doc2")
     comp = connected_components(pairs)
     drop = comp.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    return docs.join(F.broadcast(drop), "doc_id", "left_anti")
+    return docs.join(drop, "doc_id", "left_anti")
 
 
 def _duck_canonical_sql() -> str:
@@ -1622,7 +1667,7 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id", F.lit(1).alias("is_dup")
     )
-    flagged = docs.join(F.broadcast(drop), "doc_id", "left")
+    flagged = docs.join(drop, "doc_id", "left")
     return flagged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.count(F.col("is_dup")).alias("n_dropped"),
@@ -1853,20 +1898,21 @@ def cross_source_dup_matrix(docs: DataFrame) -> DataFrame:
 
     Composes the verified MinHash-LSH pair relation (the ONLY
     data-sized shuffle; pairs are small by LSH construction) with two
-    broadcast joins of the pair ids into the documents scan — the
-    corpus never re-shuffles — then a rollup bounded by sources², never
-    corpus².  ``max_jaccard`` is an order-independent MAX over
-    bit-identical doubles (unrounded by the float rules)."""
+    joins of the pair ids into the documents scan, then a rollup
+    bounded by sources², never corpus².  The pair-sized relations carry
+    NO forced broadcast hint — they grow linearly with corpus size at
+    fixed dup density, so AQE's runtime-size decision picks broadcast
+    (small corpora: the corpus scan never re-shuffles) or a shuffled
+    join (a billion-doc corpus at 1% near-dups is a multi-GB "small"
+    side that would OOM a forced hint).  ``max_jaccard`` is an
+    order-independent MAX over bit-identical doubles (unrounded by the
+    float rules)."""
     pairs = minhash_near_duplicates(docs)
     src = docs.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("doc1"), F.col("source").alias("s1"))
     b = src.select(F.col("doc_id").alias("doc2"), F.col("source").alias("s2"))
-    # broadcast the SMALL side both times: first the pair ids into the
-    # first corpus scan, then the (still pair-sized) half-tagged result
-    # into the second — the corpus relation itself never broadcasts and
-    # never re-shuffles
-    half = a.join(F.broadcast(pairs), "doc1")
-    tagged = b.join(F.broadcast(half), "doc2").select(
+    half = a.join(pairs, "doc1")
+    tagged = b.join(half, "doc2").select(
         F.least("s1", "s2").alias("source_a"),
         F.greatest("s1", "s2").alias("source_b"),
         "jaccard",
@@ -1974,14 +2020,16 @@ def keep_best_quality_report(docs: DataFrame) -> DataFrame:
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality_score").desc(), F.col("doc_id")
     )
+    # comp / drop are dup-density-scaled (cluster members only, but
+    # linear in corpus size at fixed dup rate) — no forced broadcast
     drop = (
         scored.select("doc_id", "quality_score")
-        .join(F.broadcast(comp), "doc_id")
+        .join(comp, "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") > 1)
         .select("doc_id", F.lit(1).alias("is_dup"))
     )
-    flagged = scored.join(F.broadcast(drop), "doc_id", "left")
+    flagged = scored.join(drop, "doc_id", "left")
     return flagged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.count(F.col("is_dup")).alias("n_dropped"),

@@ -1,6 +1,9 @@
 from .explain import (
+    analyzed_plan,
+    broadcast_hint_count,
     count_exchanges,
     executed_plan,
+    final_executed_plan,
     has_partial_aggregation,
     optimized_plan,
     partition_filters,
@@ -11,7 +14,10 @@ from .explain import (
 )
 
 __all__ = [
+    "analyzed_plan",
+    "broadcast_hint_count",
     "executed_plan",
+    "final_executed_plan",
     "optimized_plan",
     "read_schemas",
     "pushed_filters",

@@ -67,6 +67,33 @@ def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in executed_plan(df) or "BroadcastNestedLoopJoin" in executed_plan(df)
 
 
+def analyzed_plan(df: DataFrame) -> str:
+    """The analyzed LOGICAL plan — works on streaming DataFrames too
+    (no physical planning required), which is what makes it the right
+    surface for asserting broadcast-HINT hygiene on readStream plans."""
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of explicit ``F.broadcast``/hint("broadcast") nodes in the
+    logical plan.  Zero means every join strategy is left to Catalyst
+    stats + AQE's runtime-size decision — the contract for joins whose
+    small side grows with corpus size or dup density (a FORCED hint
+    passes every small-SF test and OOMs the driver at 100 TB; see the
+    containment-pairs lesson, operators/dedup.py)."""
+    plan = analyzed_plan(df)
+    return plan.count("ResolvedHint") + plan.count("UnresolvedHint")
+
+
+def final_executed_plan(df: DataFrame) -> str:
+    """Execute the frame (bounded-output frames only!) and return the
+    FINAL adaptive plan — after AQE's runtime re-optimization, which is
+    where an unhinted join over a genuinely-small relation shows up as
+    BroadcastHashJoin even though the static plan says sort-merge."""
+    df.collect()
+    return executed_plan(df)
+
+
 def has_partial_aggregation(df: DataFrame) -> bool:
     """Map-side combine before the shuffle (partial+final hash agg)."""
     plan = executed_plan(df)

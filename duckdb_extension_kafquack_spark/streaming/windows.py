@@ -710,27 +710,27 @@ FROM cls GROUP BY source
 """
 
 
-@query("streaming_incremental_dedup", _duck_streaming_incr_sql())
-def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nightly-ingest dedup as a LIVE stream: the incoming batch (odd
-    doc_ids) arrives via ``readStream``; each micro-batch classifies its
-    docs against the STATIC corpus (even ids) — exact duplicates via a
-    stream-static left join on the corpus md5 set, near-duplicates via a
-    stream-static band join against the corpus's precomputed MinHash
-    band signatures (the live twin of ``store_band_signatures``) with
-    the exact-Jaccard verify inline.  Signatures on the stream side are
-    map-only expressions (no state); the single stateful operator is the
-    per-doc flag aggregation, so the query scales as stream-static joins
-    do — corpus state is broadcast/static, stream state is one row per
-    in-flight doc.  The per-source rollup reads the drained table.  No
-    bucket cap on this join (the corpus side is the static index; the
-    oracle mirrors the uncapped join exactly)."""
+def _build_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming per-doc classification plan for
+    :func:`streaming_incremental_dedup`, factored out so plan tests can
+    assert broadcast-hint hygiene on the analyzed plan before any
+    micro-batch runs.
+
+    The corpus-derived relations (``corpus_hash`` — one md5 row per
+    corpus doc — and ``crel`` — band signatures joined with full shingle
+    sets, many KB per doc) carry NO broadcast hint: both grow linearly
+    with the corpus, so a forced hint is a guaranteed driver OOM at
+    100 TB (the batch twin ``dedup_incremental`` broadcasts the ARRIVING
+    side, which is the bounded one).  Stream-static joins support
+    shuffled exchanges, and AQE is disabled inside stateful streaming
+    plans, so Catalyst's STATIC size estimate picks the strategy per
+    micro-batch — corpus-scale stats exceed the broadcast threshold, so
+    the join degrades safely to a shuffle; pre-bucketing the corpus
+    index on the join key (``store_band_signatures``) is the
+    nightly-production refinement."""
     from ..operators.dedup import (
-        _SPARK_SHINGLES,
-        BANDS,
         JACCARD_THRESHOLD,
         NUM_HASHES,
-        ROWS_PER_BAND,
         minhash_bands,
         minhash_sig_sets,
     )
@@ -751,32 +751,24 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "corpus_doc",
     )
-    mh_cols = [
-        f"array_min(transform(stoks, t -> md5('{s}:' || t))) AS mh{s}"
-        for s in range(NUM_HASHES)
-    ]
-    ssig = (
+    # ONE definition of the seeded-MinHash + banding scheme repo-wide:
+    # the stream side rides the same minhash_sig_sets/minhash_bands the
+    # batch pipelines (and the oracle mirrors) use, with source/h/shingle
+    # set carried via passthrough
+    sdocs = (
         _docs_stream(spark, sf_dir)
         .filter(F.col("doc_id") % 2 == 1)
-        .selectExpr(
-            "doc_id", "source", "md5(text) AS h",
-            "filter(split(text, ' '), t -> t != '') AS toks",
-        )
-        .selectExpr("doc_id", "source", "h", f"array_distinct({_SPARK_SHINGLES}) AS stoks")
-        .selectExpr("doc_id", "source", "h", "stoks", "size(stoks) AS n", *mh_cols)
+        .withColumn("h", F.md5("text"))
     )
-    band_rows = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat(*[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])).alias("band_sig"),
-        )
-        for b in range(BANDS)
-    ]
-    s = ssig.select(
-        "doc_id", "source", "h",
-        F.col("stoks").alias("t1"), F.col("n").alias("n1"),
-        F.explode(F.array(*band_rows)).alias("bb"),
-    ).select("doc_id", "source", "h", "t1", "n1", "bb.band", "bb.band_sig")
+    ssig = minhash_sig_sets(sdocs, passthrough=("source", "h"))
+    s = minhash_bands(
+        ssig.select(
+            "doc_id", "source", "h",
+            F.col("stoks").alias("t1"), F.col("n").alias("n1"),
+            *[f"mh{i}" for i in range(NUM_HASHES)],
+        ),
+        passthrough=("source", "h", "t1", "n1"),
+    )
     icnt = F.size(F.array_intersect("t1", "t2"))
     near_flag = F.when(
         F.col("corpus_doc").isNotNull()
@@ -784,17 +776,37 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     ).otherwise(0)
     flagged = (
-        s.join(F.broadcast(corpus_hash), "h", "left")
-        .join(F.broadcast(crel), ["band", "band_sig"], "left")
+        s.join(corpus_hash, "h", "left")
+        .join(crel, ["band", "band_sig"], "left")
         .select(
             "doc_id", "source",
             F.coalesce(F.col("_ex"), F.lit(0)).alias("ex_flag"),
             near_flag.alias("nr_flag"),
         )
     )
-    per_doc = flagged.groupBy("doc_id", "source").agg(
+    return flagged.groupBy("doc_id", "source").agg(
         F.max("ex_flag").alias("ex"), F.max("nr_flag").alias("nr")
     )
+
+
+@query("streaming_incremental_dedup", _duck_streaming_incr_sql())
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-ingest dedup as a LIVE stream: the incoming batch (odd
+    doc_ids) arrives via ``readStream``; each micro-batch classifies its
+    docs against the STATIC corpus (even ids) — exact duplicates via a
+    stream-static left join on the corpus md5 set, near-duplicates via a
+    stream-static band join against the corpus's precomputed MinHash
+    band signatures (the live twin of ``store_band_signatures``) with
+    the exact-Jaccard verify inline.  Signatures on the stream side are
+    map-only expressions (no state); the single stateful operator is the
+    per-doc flag aggregation, so the query scales as stream-static joins
+    do — the corpus index joins UNHINTED (shuffled when big, broadcast
+    when Catalyst measures it small; see
+    :func:`_build_incremental_dedup_stream`), stream state is one row
+    per in-flight doc.  The per-source rollup reads the drained table.
+    No bucket cap on this join (the corpus side is the static index; the
+    oracle mirrors the uncapped join exactly)."""
+    per_doc = _build_incremental_dedup_stream(spark, sf_dir)
     run_stream_to_table(per_doc, "stream_incr_dedup", "complete")
     return (
         spark.table("stream_incr_dedup")
@@ -840,10 +852,7 @@ def streaming_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     jaccard doubles — nothing order-dependent)."""
     from ..operators.curation import FUZZY_BENCH_MOD, FUZZY_CONTAM_THRESHOLD
     from ..operators.dedup import (
-        _SPARK_SHINGLES,
-        BANDS,
         NUM_HASHES,
-        ROWS_PER_BAND,
         minhash_bands,
         minhash_sig_sets,
     )
@@ -863,38 +872,20 @@ def streaming_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
             "bench_id",
         )
     )
-    mh_cols = [
-        f"array_min(transform(stoks, t -> md5('{s}:' || t))) AS mh{s}"
-        for s in range(NUM_HASHES)
-    ]
-    ssig = (
-        _docs_stream(spark, sf_dir)
-        .filter(F.col("doc_id") % FUZZY_BENCH_MOD != 0)
-        .selectExpr(
-            "doc_id", "source",
-            "filter(split(text, ' '), t -> t != '') AS toks",
-        )
-        .selectExpr(
-            "doc_id", "source", f"array_distinct({_SPARK_SHINGLES}) AS stoks"
-        )
-        .selectExpr("doc_id", "source", "stoks", "size(stoks) AS n", *mh_cols)
+    # stream side rides the SAME minhash_sig_sets/minhash_bands the
+    # batch oracle mirrors — one definition of seeding + banding
+    ssig = minhash_sig_sets(
+        _docs_stream(spark, sf_dir).filter(F.col("doc_id") % FUZZY_BENCH_MOD != 0),
+        passthrough=("source",),
     )
-    band_rows = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat(
-                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-                )
-            ).alias("band_sig"),
-        )
-        for b in range(BANDS)
-    ]
-    s = ssig.select(
-        "doc_id", "source",
-        F.col("stoks").alias("t1"), F.col("n").alias("n1"),
-        F.explode(F.array(*band_rows)).alias("bb"),
-    ).select("doc_id", "source", "t1", "n1", "bb.band", "bb.band_sig")
+    s = minhash_bands(
+        ssig.select(
+            "doc_id", "source",
+            F.col("stoks").alias("t1"), F.col("n").alias("n1"),
+            *[f"mh{i}" for i in range(NUM_HASHES)],
+        ),
+        passthrough=("source", "t1", "n1"),
+    )
     icnt = F.size(F.array_intersect("t1", "t2"))
     flagged = (
         s.join(F.broadcast(brel), ["band", "band_sig"])
@@ -958,20 +949,19 @@ LEFT JOIN corpus_keys c USING (h)
 """
 
 
-@query("streaming_bloom_gate", _duck_bloom_gate_sql())
-def streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seen-before content gating on a LIVE ingest stream: the corpus's
-    md5(text) keys are folded into an m-bit Bloom filter ONCE (a ≤ m-row
-    static relation — constant state no matter how large the history),
-    and each arriving doc's k bit probes are a stream-static broadcast
-    join + one stateful per-doc count.  ``bloom_positive`` docs route to
-    the expensive exact/near verify; negatives are guaranteed-new (the
-    Bloom no-false-negative invariant, which the oracle enforces by
-    comparing against ``is_actual_dup``).  This is the production shape
-    for "have we crawled this page before?" at 100 TB: the alternative —
-    a stream-static join against the full history — re-reads the corpus
-    per micro-batch, while the filter is a broadcast-sized bitmap
-    rebuilt only on compaction."""
+def _build_bloom_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming verdict plan for :func:`streaming_bloom_gate`,
+    factored out so plan tests can pin the broadcast-hint budget on the
+    analyzed plan: exactly ONE forced broadcast — ``filter_bits``, the
+    ≤ m-row Bloom bitmap whose size is a design constant no matter how
+    large the corpus.  The ``is_actual_dup`` ground-truth audit column
+    joins the full corpus key set UNHINTED: that relation grows with the
+    corpus (a forced broadcast would defeat the filter's whole reason to
+    exist), so Catalyst's stats-based planner picks shuffled vs
+    broadcast per micro-batch (AQE is disabled inside stateful streaming
+    plans — the static size estimate is what guards the driver here);
+    in production the audit column is dropped entirely and only the
+    constant-size gate remains."""
     from ..operators.sketch import BLOOM_K, bloom_bits, bloom_build
 
     docs = load_tables(spark, sf_dir)["documents"]
@@ -990,18 +980,37 @@ def streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = (
         stream.select("doc_id", "h", F.explode(bits_arr).alias("bit"))
         .join(F.broadcast(filter_bits.withColumn("_b", F.lit(1))), "bit", "left")
-        .join(F.broadcast(corpus_members), "h", "left")
+        .join(corpus_members, "h", "left")
         .groupBy("doc_id")
         .agg(
             F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0)).alias("bits_set"),
             F.max(F.coalesce("_m", F.lit(0))).alias("_is_dup"),
         )
     )
-    verdicts = probed.select(
+    return probed.select(
         "doc_id",
         (F.col("bits_set") == BLOOM_K).alias("bloom_positive"),
         (F.col("_is_dup") == 1).alias("is_actual_dup"),
     )
+
+
+@query("streaming_bloom_gate", _duck_bloom_gate_sql())
+def streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seen-before content gating on a LIVE ingest stream: the corpus's
+    md5(text) keys are folded into an m-bit Bloom filter ONCE (a ≤ m-row
+    static relation — constant state no matter how large the history),
+    and each arriving doc's k bit probes are a stream-static broadcast
+    join + one stateful per-doc count.  ``bloom_positive`` docs route to
+    the expensive exact/near verify; negatives are guaranteed-new (the
+    Bloom no-false-negative invariant, which the oracle enforces by
+    comparing against ``is_actual_dup`` — an audit-only column whose
+    corpus-sized join is deliberately UNHINTED, see
+    :func:`_build_bloom_gate_stream`).  This is the production shape
+    for "have we crawled this page before?" at 100 TB: the alternative —
+    a stream-static join against the full history — re-reads the corpus
+    per micro-batch, while the filter is a broadcast-sized bitmap
+    rebuilt only on compaction."""
+    verdicts = _build_bloom_gate_stream(spark, sf_dir)
     run_stream_to_table(verdicts, "stream_bloom_gate", "complete")
     return spark.table("stream_bloom_gate")
 

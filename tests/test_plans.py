@@ -496,11 +496,86 @@ def test_boilerplate_phrases_topk_before_shuffle(spark):
 
 
 def test_cross_source_dup_matrix_broadcasts_pairs(spark):
-    """The near-dup pair relation (small by LSH construction) must
-    broadcast into the documents joins — the corpus never re-shuffles
-    for the source tagging."""
+    """The near-dup pair relation is small by LSH construction but
+    dup-density-scaled, so it must carry NO forced hint (a forced
+    broadcast OOMs the driver on a billion-doc corpus) — AND at small SF
+    AQE's runtime-size decision must still broadcast it into the
+    documents joins (the corpus never re-shuffles for source tagging).
+    Both halves matter: hint hygiene guards 100 TB, the final-plan check
+    proves unhinting didn't cost the small-relation fast path."""
+    from duckdb_extension_kafquack_spark.plans import (
+        broadcast_hint_count,
+        final_executed_plan,
+    )
+
     df = REGISTRY["cross_source_dup_matrix"].fn(spark, SF_DIR)
-    assert uses_broadcast_join(df)
+    assert broadcast_hint_count(df) == 0
+    assert "BroadcastHashJoin" in final_executed_plan(df)
+
+
+def test_dedup_family_no_density_scaled_broadcast_hints(spark):
+    """Repo-wide propagation of the containment lesson (its forced hint
+    OOM'd the 16×-replica probe): every relation whose size grows with
+    corpus size × dup density — candidate pairs, drop lists, component
+    maps — joins UNHINTED, leaving the strategy to AQE's runtime size.
+    The only allowed hint in the whole family is `_with_bucket_sub`'s
+    hot-bucket map, which is bounded by MAX_HOT_BUCKETS (a design
+    constant) and materialized through a capped collect."""
+    from duckdb_extension_kafquack_spark.plans import broadcast_hint_count
+
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_minhash_calibration",
+        "dedup_ngram_jaccard",
+        "dedup_incremental",
+        "dedup_canonical_corpus",
+        "dedup_keep_best_quality",
+        "split_leakage",
+        "dedup_containment",
+    ):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        assert broadcast_hint_count(df) == 0, name
+
+
+def test_streaming_incremental_dedup_no_corpus_broadcast_hints(spark):
+    """The corpus-derived relations (md5 key set, band+shingle index)
+    grow linearly with the corpus: forced broadcasts here are a driver
+    OOM at 100 TB (AQE is disabled in stateful streaming plans, so the
+    static stats estimate is the only guard).  Zero hints anywhere in
+    the streaming classification plan."""
+    from duckdb_extension_kafquack_spark.plans import broadcast_hint_count
+    from duckdb_extension_kafquack_spark.streaming.windows import (
+        _build_incremental_dedup_stream,
+    )
+
+    df = _build_incremental_dedup_stream(spark, SF_DIR)
+    assert df.isStreaming
+    assert broadcast_hint_count(df) == 0
+
+
+def test_streaming_bloom_gate_single_hint_is_filter_bits(spark):
+    """Exactly ONE forced broadcast in the bloom gate — the ≤ m-row
+    filter bitmap (constant-size by design).  The ground-truth audit
+    join against the full corpus key set must stay unhinted, or the
+    gate re-ships the entire history every micro-batch."""
+    from duckdb_extension_kafquack_spark.plans import (
+        analyzed_plan,
+        broadcast_hint_count,
+    )
+    from duckdb_extension_kafquack_spark.streaming.windows import (
+        _build_bloom_gate_stream,
+    )
+
+    df = _build_bloom_gate_stream(spark, SF_DIR)
+    assert df.isStreaming
+    assert broadcast_hint_count(df) == 1
+    # the hinted subtree is the bit-level join (filter_bits), not the
+    # md5-key audit join: the hint node must sit above a plan slice that
+    # mentions the bit column, and the plan's single hint appears before
+    # the corpus-members join resolves h
+    plan = analyzed_plan(df)
+    hint_pos = plan.find("ResolvedHint")
+    assert hint_pos >= 0 and "bit" in plan[hint_pos : hint_pos + 2000]
 
 
 def test_token_entropy_is_map_only(spark):
