@@ -436,8 +436,14 @@ def minhash_near_duplicates(
     )
     # no rounding: the Jaccard is a single IEEE division of exact ints —
     # bit-identical in the oracle; round() only adds tie-boundary risk
+    # shuffle_hash on the pair-verify intermediate: it carries the t1
+    # shingle arrays, so past ~10 MB AQE stops broadcasting it and the
+    # default SMJ would SORT the whole corpus sig relation; a
+    # shuffled-hash build (per-partition, executor-side — no driver
+    # transit, scale-safe on a density-scaled relation) skips that sort
     return (
         s1.join(pairs, "doc1")
+        .hint("shuffle_hash")
         .join(s2, "doc2")
         .select(
             "doc1",
@@ -578,8 +584,11 @@ def minhash_calibration(docs: DataFrame) -> DataFrame:
         term = F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
         matches = term if matches is None else matches + term
     icnt = F.size(F.array_intersect("t1", "t2"))
+    # shuffle_hash: same sort-skip as minhash_near_duplicates (the
+    # intermediate carries t1 + the full signature columns)
     return (
         s1.join(pairs, "doc1")
+        .hint("shuffle_hash")
         .join(s2, "doc2")
         .select(
             "doc1",
@@ -1093,9 +1102,12 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = NGRAM_THRESHOLD) -> 
     )
     # no rounding: the Jaccard is a single IEEE division of exact ints —
     # bit-identical in the oracle; round() only adds tie-boundary risk
-    # (no broadcast hint on pairs: dup-density-scaled — AQE decides)
+    # (no broadcast hint on pairs: dup-density-scaled — AQE decides;
+    # shuffle_hash skips the corpus-side sort once the array-carrying
+    # intermediate outgrows the adaptive broadcast threshold)
     return (
         s1.join(pairs, "doc1")
+        .hint("shuffle_hash")
         .join(s2, "doc2")
         .select(
             "doc1",
@@ -1466,9 +1478,12 @@ def incremental_dedup_report(docs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("corpus_doc"), F.col("stoks").alias("t2"), F.col("n").alias("n2")
     )
     # cand is dup-density-scaled (grows with corpus size at fixed dup
-    # rate) — no forced broadcast; AQE decides at runtime size
+    # rate) — no forced broadcast; AQE decides at runtime size, and
+    # shuffle_hash spares the corpus sig relation a sort when the
+    # array-carrying intermediate outgrows the broadcast threshold
     near_ids = (
         sb.join(cand, "batch_doc")
+        .hint("shuffle_hash")
         .join(sc, "corpus_doc")
         .select(
             "batch_doc",

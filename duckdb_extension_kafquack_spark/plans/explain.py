@@ -76,13 +76,19 @@ def analyzed_plan(df: DataFrame) -> str:
 
 def broadcast_hint_count(df: DataFrame) -> int:
     """Number of explicit ``F.broadcast``/hint("broadcast") nodes in the
-    logical plan.  Zero means every join strategy is left to Catalyst
-    stats + AQE's runtime-size decision — the contract for joins whose
-    small side grows with corpus size or dup density (a FORCED hint
-    passes every small-SF test and OOMs the driver at 100 TB; see the
-    containment-pairs lesson, operators/dedup.py)."""
+    logical plan.  Zero means no join ships a relation through the
+    DRIVER by fiat — the contract for joins whose small side grows with
+    corpus size or dup density (a forced broadcast passes every
+    small-SF test and OOMs the driver at 100 TB; see the
+    containment-pairs lesson, operators/dedup.py).  SHUFFLE_HASH hints
+    are deliberately NOT counted: they pick an executor-side strategy
+    (per-partition build, no driver transit, no sort) and are
+    scale-safe on density-scaled relations."""
     plan = analyzed_plan(df)
-    return plan.count("ResolvedHint") + plan.count("UnresolvedHint")
+    n = plan.count("ResolvedHint (strategy=broadcast)")
+    for name in ("BROADCAST", "BROADCASTJOIN", "MAPJOIN"):
+        n += plan.count(f"UnresolvedHint {name}")
+    return n
 
 
 def final_executed_plan(df: DataFrame) -> str:
