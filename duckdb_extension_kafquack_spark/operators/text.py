@@ -772,11 +772,24 @@ def bigram_surprisal_scores(docs: DataFrame) -> DataFrame:
     (``c1(w1) = Σ c12(w1, ·)`` — identical integers, distinct-bigram
     scale instead of a second occurrence-scale shuffle), the two count
     relations join at distinct-bigram scale, and the occurrence stream
-    is shuffled exactly once (the join-back by bigram) before the
-    per-doc rollup — word-count shape, linear, no skew beyond natural
-    token frequency (absorbed by partial aggregation).  The round-6
-    shape paid three occurrence-scale exchanges (bigram join, prefix
-    join, rollup); this pays two."""
+    is shuffled at most once (AQE broadcasts the distinct-bigram stats
+    relation into the join-back while it is small; at vocabulary scale
+    the join degrades to one shuffled exchange) before the per-doc
+    rollup — word-count shape, linear, no skew beyond natural token
+    frequency (absorbed by partial aggregation).
+
+    Round-9 note: a groupBy(doc_id, bigram) pre-count and a per-doc
+    run-length HOF fold were both measured SLOWER at sf0.1 (1.30s /
+    0.92s vs 0.78s) — per-doc bigram counts barely compress (most
+    bigrams occur once per doc), so pre-counting only loses the
+    map-side combine that already collapses the c12 shuffle to
+    distinct-bigram scale.  The capped local spread is the one lever
+    that moved: the tokenize+explode otherwise runs on the fixture's
+    single parquet split (no-op at scale, where the scan has real
+    splits)."""
+    from .dedup import _repartition_if_narrow
+
+    docs = _repartition_if_narrow(docs, cap=8)
     bg = (
         docs.selectExpr("doc_id", "filter(split(text, ' '), t -> t != '') AS toks")
         .filter(F.expr("size(toks) >= 2"))
