@@ -717,6 +717,27 @@ PR_DNUM, PR_DDEN = 85, 100       # damping 0.85 as an integer ratio
 PR_BASE = (PR_DDEN - PR_DNUM) * PR_SCALE // PR_DDEN   # (1-d)·scale = 150000
 PR_ITERS = 3
 PR_TOP_K = 50
+#: iteration count past which the power-iteration loops truncate rank
+#: lineage (r8-verdict watch item: the printed plan nests every prior
+#: round — linear in plan NODES but super-linear in analysis/codegen
+#: cost — so production iteration counts need a periodic cut)
+PR_CHECKPOINT_THRESHOLD = 8
+PR_CHECKPOINT_EVERY = 4
+
+
+def _maybe_checkpoint_rank(r: DataFrame, i: int, iters: int) -> DataFrame:
+    """Lineage guard for the power-iteration loops: when ``iters``
+    exceeds :data:`PR_CHECKPOINT_THRESHOLD`, replace the rank relation's
+    plan with a lazy ``localCheckpoint`` every
+    :data:`PR_CHECKPOINT_EVERY` rounds.  Lazy (``eager=False``) so no
+    extra job runs at build time — the checkpoint materializes with the
+    round that first executes it; executor-local storage, no HDFS
+    round-trip.  Values are unchanged by construction (all-integer fixed
+    point; truncation swaps lineage for materialized partitions), which
+    the 12-iteration property test checks against an unguarded loop."""
+    if iters > PR_CHECKPOINT_THRESHOLD and (i + 1) % PR_CHECKPOINT_EVERY == 0 and (i + 1) < iters:
+        return r.localCheckpoint(eager=False)
+    return r
 
 
 def _engagement_edges(events: DataFrame) -> DataFrame:
@@ -772,13 +793,19 @@ def engagement_pagerank(events: DataFrame, docs: DataFrame,
     50-row result re-broadcasts into the degree and corpus joins.
     The printed plan grows with iteration depth (each r_i's lineage
     nests r_{i-1}'s) but the persisted edge relation executes ONCE —
-    exchanges over it are cache reads; past ~10 iterations a
-    ``localCheckpoint()`` per round would truncate the lineage, at 3
-    it would only add materialization jobs."""
+    exchanges over it are cache reads.  Past
+    :data:`PR_CHECKPOINT_THRESHOLD` iterations the loop truncates the
+    rank lineage with a lazy ``localCheckpoint`` every
+    :data:`PR_CHECKPOINT_EVERY` rounds (``_maybe_checkpoint_rank``) so
+    production iteration counts can't hit super-linear plan-analysis
+    cost; at the oracled 3 iterations the guard never fires and the
+    plan — and its bit-exact integer values — are unchanged (values are
+    checkpoint-invariant anyway: the truncation only swaps lineage for
+    materialized partitions)."""
     e = _engagement_edges(events)
     ddeg = e.select("doc_id", "doc_deg").distinct()
     r = ddeg.select("doc_id", F.lit(PR_SCALE).cast("bigint").alias("pr"))
-    for _ in range(iters):
+    for i in range(iters):
         u = (
             e.join(r, "doc_id")
             .select("user_id", F.expr("pr DIV doc_deg").alias("c"))
@@ -797,6 +824,7 @@ def engagement_pagerank(events: DataFrame, docs: DataFrame,
                 ).alias("pr"),
             )
         )
+        r = _maybe_checkpoint_rank(r, i, iters)
     top = r.orderBy(F.col("pr").desc(), "doc_id").limit(PR_TOP_K)
     w = Window.orderBy(F.col("pr").desc(), "doc_id")
     ranked = top.withColumn(
@@ -900,7 +928,7 @@ def seeded_trust_rank(events: DataFrame, docs: DataFrame,
         "doc_id",
         (F.coalesce("is_seed", F.lit(0)) * PR_SCALE).cast("bigint").alias("pr"),
     )
-    for _ in range(iters):
+    for i in range(iters):
         u = (
             e.join(r, "doc_id")
             .select("user_id", F.expr("pr DIV doc_deg").alias("c"))
@@ -921,6 +949,7 @@ def seeded_trust_rank(events: DataFrame, docs: DataFrame,
                 ).alias("pr"),
             )
         )
+        r = _maybe_checkpoint_rank(r, i, iters)
     top = r.orderBy(F.col("pr").desc(), "doc_id").limit(PR_TOP_K)
     w = Window.orderBy(F.col("pr").desc(), "doc_id")
     ranked = top.withColumn(

@@ -928,6 +928,83 @@ def test_engagement_pagerank_matches_python_reference(spark, edges):
     assert got == {d: (r[d], ddeg[d]) for d in users_of}
 
 
+def test_pagerank_lineage_guard_bounds_plan_at_high_iters(spark):
+    """r8-verdict item 6: past PR_CHECKPOINT_THRESHOLD iterations the
+    power loop must truncate rank lineage (lazy localCheckpoint every
+    PR_CHECKPOINT_EVERY rounds) so production iteration counts keep
+    plan-analysis cost bounded — while the all-integer values stay
+    bit-identical to the unguarded recurrence (checkpointing swaps
+    lineage for materialized partitions, nothing else).  At the oracled
+    3 iterations the guard must NOT fire (plan free of RDD scans, so
+    the driver-gate plans are unchanged)."""
+    from duckdb_extension_kafquack_spark.operators.events import (
+        PR_BASE,
+        PR_DDEN,
+        PR_DNUM,
+        PR_SCALE,
+        engagement_pagerank,
+    )
+
+    edges = sorted({(1, 1), (1, 2), (2, 2), (2, 3), (3, 1), (3, 3), (4, 2), (4, 4)})
+    docs_of: dict[int, list[int]] = {}
+    users_of: dict[int, list[int]] = {}
+    for u, d in edges:
+        docs_of.setdefault(u, []).append(d)
+        users_of.setdefault(d, []).append(u)
+    ddeg = {d: len(us) for d, us in users_of.items()}
+    udeg = {u: len(ds) for u, ds in docs_of.items()}
+    ITERS = 12
+    r = {d: PR_SCALE for d in users_of}
+    for _ in range(ITERS):
+        us = {u: sum(r[d] // ddeg[d] for d in ds) for u, ds in docs_of.items()}
+        r = {
+            d: PR_BASE + (PR_DNUM * sum(us[u] // udeg[u] for u in uss)) // PR_DDEN
+            for d, uss in users_of.items()
+        }
+
+    ev_rows = [
+        (i, "2024-01-01 00:00:00", u, "view", 1.0, '{"k": %d}' % d)
+        for i, (u, d) in enumerate(edges)
+    ]
+    events = spark.createDataFrame(
+        ev_rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    docs = spark.createDataFrame(
+        [(d, "en", "s") for d in sorted(users_of)],
+        "doc_id bigint, lang string, source string",
+    )
+
+    import duckdb_extension_kafquack_spark.operators.events as ev_mod
+
+    guarded = engagement_pagerank(events, docs, iters=ITERS)
+    old_thresh = ev_mod.PR_CHECKPOINT_THRESHOLD
+    ev_mod.PR_CHECKPOINT_THRESHOLD = 10**9  # disable the guard
+    try:
+        unguarded = engagement_pagerank(events, docs, iters=ITERS)
+    finally:
+        ev_mod.PR_CHECKPOINT_THRESHOLD = old_thresh
+    pg = guarded._jdf.queryExecution().analyzed().toString()
+    pu = unguarded._jdf.queryExecution().analyzed().toString()
+    # lineage truncated: the guarded plan keeps only the post-checkpoint
+    # tail (≤ PR_CHECKPOINT_EVERY rounds of join lineage, each round
+    # nesting the edge relation's own joins) while the unguarded plan
+    # nests all 12 rounds — at least a 2× join-node reduction here
+    assert pg.count("Join") * 2 <= pu.count("Join")
+    # values are checkpoint-invariant AND match the pure-Python fold of
+    # the same integer recurrence at 12 iterations
+    got = {row.doc_id: row.pr_micro for row in guarded.collect()}
+    assert got == r
+    assert {row.doc_id: row.pr_micro for row in unguarded.collect()} == r
+
+    # the oracled iteration count sits below the threshold, so the
+    # driver-gate queries can never pick up a checkpoint node
+    from duckdb_extension_kafquack_spark.operators.events import PR_ITERS
+
+    assert PR_ITERS <= ev_mod.PR_CHECKPOINT_THRESHOLD
+
+
 @FAST
 @given(
     docs=st.lists(st.integers(1, 6), min_size=0, max_size=40),
