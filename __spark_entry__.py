@@ -20,10 +20,14 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from duckdb_extension_kafquack_spark import suite  # noqa: E402
-from duckdb_extension_kafquack_spark import operators  # noqa: E402,F401  (registers north-star queries)
-from duckdb_extension_kafquack_spark import tpch  # noqa: E402,F401  (registers TPC-H-shaped queries)
-from duckdb_extension_kafquack_spark import streaming  # noqa: E402,F401  (registers streaming queries)
-from duckdb_extension_kafquack_spark.functions import udf  # noqa: E402,F401  (registers UDF/UDAF/UDTF queries)
+from duckdb_extension_kafquack_spark.fingerprint import (  # noqa: E402
+    import_registering_modules,
+)
+
+# registers every query (north-star, TPC-H, streaming, UDF) via the ONE
+# import list also used by tools/record_fingerprints.py — fingerprints
+# depend on the loaded module set, so the two sides must match exactly
+import_registering_modules()
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -152,9 +156,14 @@ def _driver_order() -> list[str]:
        time as fallback when the sidecar is missing);
     2. latest verdict green and current.
 
-    Tiers 1 and 2 are each ordered oldest-verdict-first, so the stale
-    tier drains bounded-staleness-first and leftover cap re-verifies
-    the greens with the oldest evidence.
+    Within tier 1, fingerprint-mismatch queries (code REALLY changed
+    since the verdict) outrank red-but-unchanged ones — otherwise a
+    query edited this round whose last green verdict is recent sorts
+    behind long-stale entries and this round's actual edits are the
+    ones that spill past the driver's 50-query cap (r8-advice item 3).
+    Each sub-tier, and tier 2, is then ordered oldest-verdict-first, so
+    the stale tier drains bounded-staleness-first and leftover cap
+    re-verifies the greens with the oldest evidence.
     """
     verdicts = _latest_driver_verdicts()
     names = list(suite.REGISTRY)
@@ -207,7 +216,17 @@ def _driver_order() -> list[str]:
         m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(v[1]))
         return int(m.group(1)) if m else -1
 
-    return sorted(names, key=lambda n: (tier(n), verdict_age(n), names.index(n)))
+    def subtier(n: str) -> int:
+        """Within tier 1: 0 = code changed since verdict (fingerprint
+        mismatch / commit-time fallback), 1 = red but unchanged.  Tiers
+        0 and 2 are constant under this key (never-stale / all-current),
+        so it only refines tier 1."""
+        return 0 if stale(n) else 1
+
+    return sorted(
+        names,
+        key=lambda n: (tier(n), subtier(n), verdict_age(n), names.index(n)),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

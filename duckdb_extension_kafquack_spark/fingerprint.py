@@ -9,8 +9,15 @@ reworked queries kept spilling past the cap (round-7 verdict item 4).
 A query's fingerprint is the md5 of its TRANSITIVE SOURCE CLOSURE:
 the registered function's source, its DuckDB oracle SQL, and —
 followed recursively through ``co_names`` / nested code objects — the
-source of every package-local function it references plus the repr of
-every package-local module constant.  Names that don't resolve through
+source of every package-local function it references plus a STABLE
+repr of every package-local module constant, including list/dict/set
+containers (r8-advice: a helper reached only through a list constant —
+e.g. ``similarity._PLANES`` — was invisible to the gate, so editing it
+changed results without changing any fingerprint).  Container reprs
+normalize set iteration order and replace address-bearing reprs with
+type names, so hash randomization can't flip fingerprints between
+processes; local functions found INSIDE containers are fingerprinted
+by their own source.  Names that don't resolve through
 ``fn.__globals__`` (e.g. ``from .dedup import X`` executed inside the
 body) are resolved against every loaded package module that defines
 them — an over-approximation that can only err toward re-verifying.
@@ -33,6 +40,28 @@ import types
 _PKG = "duckdb_extension_kafquack_spark"
 _LOCAL_PREFIXES = (_PKG, "__spark_entry__")
 
+#: every module that registers queries — the ONE list shared by the
+#: driver adapter (__spark_entry__) and tools/record_fingerprints.py.
+#: Fingerprints are a function of the loaded package-module set
+#: (``resolve_everywhere`` scans sys.modules), so the snapshot writer
+#: and the staleness reader MUST import identical sets: a divergence
+#: silently marks swaths of the registry stale and burns the driver's
+#: 50-query budget (r8-advice item 2).
+REGISTERING_MODULES = (
+    f"{_PKG}.operators",
+    f"{_PKG}.tpch",
+    f"{_PKG}.streaming",
+    f"{_PKG}.functions.udf",
+)
+
+
+def import_registering_modules() -> None:
+    """Import every query-registering module (idempotent)."""
+    import importlib
+
+    for name in REGISTERING_MODULES:
+        importlib.import_module(name)
+
 
 def _is_local_function(obj: object) -> bool:
     return isinstance(obj, types.FunctionType) and (
@@ -46,6 +75,11 @@ def _local_modules() -> list[types.ModuleType]:
         for name, m in sorted(sys.modules.items())
         if m is not None and name.startswith(_PKG)
     ]
+
+
+#: constant types worth fingerprinting — scalars AND containers (a
+#: query can reach a helper or a tuning value only through a list/dict)
+_CONST_TYPES = (int, float, str, bytes, bool, tuple, frozenset, list, dict, set)
 
 
 def _closure_parts(fn: types.FunctionType) -> dict[str, str]:
@@ -68,8 +102,36 @@ def _closure_parts(fn: types.FunctionType) -> dict[str, str]:
         parts[f"fn:{key[0]}:{key[1]}"] = src
         visit_code(f.__code__, f.__globals__)
 
+    def stable_repr(obj: object) -> str:
+        """Deterministic, process-independent repr: sets sort, nested
+        local functions fingerprint by qualname (AND get their source
+        pulled into the closure), and anything whose repr carries a
+        memory address collapses to its type name — an address in the
+        hash would mark every dependent stale every round and burn the
+        driver's 50-query budget on noise."""
+        if _is_local_function(obj):
+            add_function(obj)
+            return f"<fn {obj.__module__}:{obj.__qualname__}>"
+        if isinstance(obj, (set, frozenset)):
+            return "set{" + ",".join(sorted(stable_repr(x) for x in obj)) + "}"
+        if isinstance(obj, (list, tuple)):
+            tag = "list" if isinstance(obj, list) else "tuple"
+            return tag + "[" + ",".join(stable_repr(x) for x in obj) + "]"
+        if isinstance(obj, dict):
+            return (
+                "dict{"
+                + ",".join(
+                    f"{stable_repr(k)}:{stable_repr(v)}" for k, v in obj.items()
+                )
+                + "}"
+            )
+        r = repr(obj)
+        if " at 0x" in r:
+            return f"<{type(obj).__module__}.{type(obj).__qualname__}>"
+        return r
+
     def add_constant(mod: str, name: str, obj: object) -> None:
-        parts[f"const:{mod}:{name}"] = repr(obj)
+        parts[f"const:{mod}:{name}"] = stable_repr(obj)
 
     def resolve_everywhere(name: str) -> None:
         """Resolve a name against every loaded package module — catches
@@ -81,7 +143,7 @@ def _closure_parts(fn: types.FunctionType) -> dict[str, str]:
                 continue
             if _is_local_function(obj):
                 add_function(obj)
-            elif isinstance(obj, (int, float, str, bytes, tuple, frozenset)):
+            elif isinstance(obj, _CONST_TYPES):
                 add_constant(m.__name__, name, obj)
 
     def visit_code(code: types.CodeType, globals_: dict) -> None:
@@ -103,7 +165,7 @@ def _closure_parts(fn: types.FunctionType) -> dict[str, str]:
                         add_function(sub)
             elif obj is None:
                 resolve_everywhere(name)
-            elif isinstance(obj, (int, float, str, bytes, tuple, frozenset)):
+            elif isinstance(obj, _CONST_TYPES):
                 mod = globals_.get("__name__", "?")
                 if str(mod).startswith(_LOCAL_PREFIXES):
                     add_constant(str(mod), name, obj)

@@ -33,14 +33,14 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
-    import duckdb_extension_kafquack_spark.functions.udf  # noqa: F401
-    import duckdb_extension_kafquack_spark.operators  # noqa: F401
-    import duckdb_extension_kafquack_spark.streaming  # noqa: F401
-    import duckdb_extension_kafquack_spark.tpch  # noqa: F401
     from duckdb_extension_kafquack_spark.fingerprint import (
+        import_registering_modules,
         registry_fingerprints,
     )
 
+    # the SAME import list __spark_entry__ uses — fingerprints depend on
+    # the loaded module set, so writer and reader must match exactly
+    import_registering_modules()
     current = registry_fingerprints()
     recorded: dict[str, str] = {}
     if os.path.exists(SIDECAR):
