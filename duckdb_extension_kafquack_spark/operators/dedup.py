@@ -435,15 +435,17 @@ def minhash_near_duplicates(
         F.col("doc_id").alias("doc2"), F.col("stoks").alias("t2"), F.col("n").alias("n2")
     )
     # no rounding: the Jaccard is a single IEEE division of exact ints —
-    # bit-identical in the oracle; round() only adds tie-boundary risk
-    # shuffle_hash on the pair-verify intermediate: it carries the t1
-    # shingle arrays, so past ~10 MB AQE stops broadcasting it and the
-    # default SMJ would SORT the whole corpus sig relation; a
-    # shuffled-hash build (per-partition, executor-side — no driver
-    # transit, scale-safe on a density-scaled relation) skips that sort
+    # bit-identical in the oracle; round() only adds tie-boundary risk.
+    # NO join-strategy hint anywhere in the verify: AQE broadcasts the
+    # pair relation while it is small and falls back to sort-merge (the
+    # only strategy whose build side SPILLS) when it is not.  A
+    # SHUFFLE_HASH hint was measured here in round 9 and REVERTED: the
+    # per-partition hash build cannot spill, and at the 64×-replica
+    # probe's dup density it failed task memory acquisition ("Can't
+    # acquire 536870912 bytes to build hash relation") — trading the
+    # forced-broadcast driver OOM for an executor OOM.
     return (
         s1.join(pairs, "doc1")
-        .hint("shuffle_hash")
         .join(s2, "doc2")
         .select(
             "doc1",
@@ -584,11 +586,10 @@ def minhash_calibration(docs: DataFrame) -> DataFrame:
         term = F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
         matches = term if matches is None else matches + term
     icnt = F.size(F.array_intersect("t1", "t2"))
-    # shuffle_hash: same sort-skip as minhash_near_duplicates (the
-    # intermediate carries t1 + the full signature columns)
+    # unhinted verify joins — see minhash_near_duplicates for why
+    # (AQE-decided; SHUFFLE_HASH reverted after the 64× probe OOM)
     return (
         s1.join(pairs, "doc1")
-        .hint("shuffle_hash")
         .join(s2, "doc2")
         .select(
             "doc1",
@@ -1102,12 +1103,10 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = NGRAM_THRESHOLD) -> 
     )
     # no rounding: the Jaccard is a single IEEE division of exact ints —
     # bit-identical in the oracle; round() only adds tie-boundary risk
-    # (no broadcast hint on pairs: dup-density-scaled — AQE decides;
-    # shuffle_hash skips the corpus-side sort once the array-carrying
-    # intermediate outgrows the adaptive broadcast threshold)
+    # (no join-strategy hint on pairs: dup-density-scaled — AQE decides;
+    # see minhash_near_duplicates for the reverted-SHUFFLE_HASH note)
     return (
         s1.join(pairs, "doc1")
-        .hint("shuffle_hash")
         .join(s2, "doc2")
         .select(
             "doc1",
@@ -1478,12 +1477,11 @@ def incremental_dedup_report(docs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("corpus_doc"), F.col("stoks").alias("t2"), F.col("n").alias("n2")
     )
     # cand is dup-density-scaled (grows with corpus size at fixed dup
-    # rate) — no forced broadcast; AQE decides at runtime size, and
-    # shuffle_hash spares the corpus sig relation a sort when the
-    # array-carrying intermediate outgrows the broadcast threshold
+    # rate) — no forced broadcast and no strategy hint; AQE decides at
+    # runtime size (see minhash_near_duplicates for the
+    # reverted-SHUFFLE_HASH note)
     near_ids = (
         sb.join(cand, "batch_doc")
-        .hint("shuffle_hash")
         .join(sc, "corpus_doc")
         .select(
             "batch_doc",
