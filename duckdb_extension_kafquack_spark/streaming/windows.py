@@ -710,58 +710,23 @@ FROM cls GROUP BY source
 """
 
 
-def _build_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The streaming per-doc classification plan for
-    :func:`streaming_incremental_dedup`, factored out so plan tests can
-    assert broadcast-hint hygiene on the analyzed plan before any
-    micro-batch runs.
+def _incr_stream_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The arriving-batch side of incremental dedup as a STREAM:
+    (doc_id, source, h, t1, n1, band, band_sig) — md5 content key,
+    shingle set, set size, and exploded band keys, all map-only
+    expressions on the incoming doc.  ONE definition of the
+    seeded-MinHash + banding scheme repo-wide: rides the same
+    minhash_sig_sets/minhash_bands the batch pipelines (and the oracle
+    mirrors) use, with source/h/shingle set carried via passthrough."""
+    from ..operators.dedup import NUM_HASHES, minhash_bands, minhash_sig_sets
 
-    The corpus-derived relations (``corpus_hash`` — one md5 row per
-    corpus doc — and ``crel`` — band signatures joined with full shingle
-    sets, many KB per doc) carry NO broadcast hint: both grow linearly
-    with the corpus, so a forced hint is a guaranteed driver OOM at
-    100 TB (the batch twin ``dedup_incremental`` broadcasts the ARRIVING
-    side, which is the bounded one).  Stream-static joins support
-    shuffled exchanges, and AQE is disabled inside stateful streaming
-    plans, so Catalyst's STATIC size estimate picks the strategy per
-    micro-batch — corpus-scale stats exceed the broadcast threshold, so
-    the join degrades safely to a shuffle; pre-bucketing the corpus
-    index on the join key (``store_band_signatures``) is the
-    nightly-production refinement."""
-    from ..operators.dedup import (
-        JACCARD_THRESHOLD,
-        NUM_HASHES,
-        minhash_bands,
-        minhash_sig_sets,
-    )
-
-    docs = load_tables(spark, sf_dir)["documents"]
-    corpus = docs.filter(F.col("doc_id") % 2 == 0)
-    corpus_hash = (
-        corpus.select(F.md5("text").alias("h")).distinct().withColumn("_ex", F.lit(1))
-    )
-    csig = minhash_sig_sets(corpus)
-    crel = minhash_bands(csig).select(
-        F.col("doc_id").alias("corpus_doc"), "band", "band_sig"
-    ).join(
-        csig.select(
-            F.col("doc_id").alias("corpus_doc"),
-            F.col("stoks").alias("t2"),
-            F.col("n").alias("n2"),
-        ),
-        "corpus_doc",
-    )
-    # ONE definition of the seeded-MinHash + banding scheme repo-wide:
-    # the stream side rides the same minhash_sig_sets/minhash_bands the
-    # batch pipelines (and the oracle mirrors) use, with source/h/shingle
-    # set carried via passthrough
     sdocs = (
         _docs_stream(spark, sf_dir)
         .filter(F.col("doc_id") % 2 == 1)
         .withColumn("h", F.md5("text"))
     )
     ssig = minhash_sig_sets(sdocs, passthrough=("source", "h"))
-    s = minhash_bands(
+    return minhash_bands(
         ssig.select(
             "doc_id", "source", "h",
             F.col("stoks").alias("t1"), F.col("n").alias("n1"),
@@ -769,6 +734,24 @@ def _build_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFra
         ),
         passthrough=("source", "h", "t1", "n1"),
     )
+
+
+def _incr_classify(
+    s: DataFrame, corpus_hash: DataFrame, crel: DataFrame
+) -> DataFrame:
+    """Per-doc (ex, nr) classification of the stream side against the
+    corpus state: exact dups via the md5 key set, near-dups via the
+    band join + inline exact-Jaccard verify, then the single stateful
+    per-doc flag aggregation.  The corpus-derived relations carry NO
+    broadcast hint — both grow linearly with the corpus, so a forced
+    hint is a guaranteed driver OOM at 100 TB (the batch twin
+    ``dedup_incremental`` broadcasts the ARRIVING side, which is the
+    bounded one).  Stream-static joins support shuffled exchanges, and
+    AQE is disabled inside stateful streaming plans, so Catalyst's
+    STATIC size estimate picks the strategy per micro-batch — and
+    degrades safely to a shuffle at corpus scale."""
+    from ..operators.dedup import JACCARD_THRESHOLD
+
     icnt = F.size(F.array_intersect("t1", "t2"))
     near_flag = F.when(
         F.col("corpus_doc").isNotNull()
@@ -787,6 +770,71 @@ def _build_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFra
     return flagged.groupBy("doc_id", "source").agg(
         F.max("ex_flag").alias("ex"), F.max("nr_flag").alias("nr")
     )
+
+
+def _build_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming per-doc classification plan for
+    :func:`streaming_incremental_dedup`, factored out so plan tests can
+    assert broadcast-hint hygiene on the analyzed plan before any
+    micro-batch runs.  The corpus index (md5 keys, band signatures +
+    shingle sets) is recomputed from the corpus text INLINE — the
+    from-scratch shape; :func:`_build_incremental_dedup_stored_stream`
+    is the production variant that reads the same state from the
+    prebuilt store instead."""
+    from ..operators.dedup import minhash_bands, minhash_sig_sets
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    corpus_hash = (
+        corpus.select(F.md5("text").alias("h")).distinct().withColumn("_ex", F.lit(1))
+    )
+    csig = minhash_sig_sets(corpus)
+    crel = minhash_bands(csig).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "band_sig"
+    ).join(
+        csig.select(
+            F.col("doc_id").alias("corpus_doc"),
+            F.col("stoks").alias("t2"),
+            F.col("n").alias("n2"),
+        ),
+        "corpus_doc",
+    )
+    return _incr_classify(_incr_stream_side(spark, sf_dir), corpus_hash, crel)
+
+
+def _build_incremental_dedup_stored_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STORED-INDEX variant of the incremental-dedup stream: the
+    corpus state (band_sig-bucketed signature table, shingle-set
+    parquet, md5 key parquet — :func:`..operators.dedup.
+    ensure_incremental_store`) is built at most once per process, and
+    each micro-batch reads ONLY the stores: no corpus text re-read, no
+    signature recompute, ever.  This is the 100 TB nightly-ingest
+    contract — re-shingling the corpus per ingest is the cost that
+    kills naive incremental dedup — and the bucketed band table gives
+    the candidate join bucket locality (one-sided shuffle) when the
+    planner degrades from broadcast.  Same unhinted-join policy as
+    :func:`_build_incremental_dedup_stream`; value-equal by
+    construction (the stores persist exactly the relations the inline
+    variant derives)."""
+    from ..operators.dedup import ensure_incremental_store
+
+    bands_table, sets_path, hash_path = ensure_incremental_store(spark, sf_dir)
+    corpus_hash = spark.read.parquet(hash_path).withColumn("_ex", F.lit(1))
+    crel = (
+        spark.table(bands_table)
+        .select(F.col("doc_id").alias("corpus_doc"), "band", "band_sig")
+        .join(
+            spark.read.parquet(sets_path).select(
+                F.col("doc_id").alias("corpus_doc"),
+                F.col("stoks").alias("t2"),
+                F.col("n").alias("n2"),
+            ),
+            "corpus_doc",
+        )
+    )
+    return _incr_classify(_incr_stream_side(spark, sf_dir), corpus_hash, crel)
 
 
 @query("streaming_incremental_dedup", _duck_streaming_incr_sql())
@@ -808,8 +856,13 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle mirrors the uncapped join exactly)."""
     per_doc = _build_incremental_dedup_stream(spark, sf_dir)
     run_stream_to_table(per_doc, "stream_incr_dedup", "complete")
+    return _incr_rollup(spark, "stream_incr_dedup")
+
+
+def _incr_rollup(spark: SparkSession, table: str) -> DataFrame:
+    """Per-source rollup of a drained incremental-dedup verdict table."""
     return (
-        spark.table("stream_incr_dedup")
+        spark.table(table)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_batch"),
@@ -818,6 +871,26 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when((F.col("ex") == 0) & (F.col("nr") == 0), 1)).alias("n_unique"),
         )
     )
+
+
+@query("streaming_incremental_dedup_stored", _duck_streaming_incr_sql())
+def streaming_incremental_dedup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-ingest dedup against the PREBUILT corpus index — the
+    steady-state production shape of :func:`streaming_incremental_dedup`
+    (which recomputes the corpus index inline): the band_sig-bucketed
+    signature table, shingle-set store, and md5 key store are built at
+    most once per process (the scheduled nightly cost,
+    :func:`..operators.dedup.ensure_incremental_store`), and each
+    arriving micro-batch classifies against the STORES alone — no
+    corpus text re-read, no signature recompute.  At 100 TB this is the
+    difference between an ingest that costs O(batch) and one that
+    re-shingles the corpus per run.  Value-equal to the inline variant
+    (the stores persist exactly the relations it derives), so the two
+    queries share the DuckDB oracle — the hash match proves the
+    store round-trip lossless."""
+    per_doc = _build_incremental_dedup_stored_stream(spark, sf_dir)
+    run_stream_to_table(per_doc, "stream_incr_dedup_stored", "complete")
+    return _incr_rollup(spark, "stream_incr_dedup_stored")
 
 
 # ---------------------------------------------------------------------------

@@ -553,6 +553,30 @@ def test_streaming_incremental_dedup_no_corpus_broadcast_hints(spark):
     assert broadcast_hint_count(df) == 0
 
 
+def test_streaming_incremental_dedup_stored_reads_stores_unhinted(spark):
+    """The stored-index variant must classify against the PREBUILT
+    corpus state — parquet/bucketed-table scans, no documents-text
+    re-derivation on the static side — and carry zero broadcast hints
+    (same policy as the inline variant).  The stream plan's only
+    documents scan is the arriving batch itself."""
+    from duckdb_extension_kafquack_spark.plans import (
+        analyzed_plan,
+        broadcast_hint_count,
+    )
+    from duckdb_extension_kafquack_spark.streaming.windows import (
+        _build_incremental_dedup_stored_stream,
+    )
+
+    df = _build_incremental_dedup_stored_stream(spark, SF_DIR)
+    assert df.isStreaming
+    assert broadcast_hint_count(df) == 0
+    plan = analyzed_plan(df)
+    assert "kafquack_corpus_bands" in plan  # bucketed band table scanned
+    # exactly one streaming documents relation (the arriving batch);
+    # the corpus side reads stores, never the documents parquet
+    assert plan.count("StreamingRelation") == 1
+
+
 def test_streaming_bloom_gate_single_hint_is_filter_bits(spark):
     """Exactly ONE forced broadcast in the bloom gate — the ≤ m-row
     filter bitmap (constant-size by design).  The ground-truth audit
