@@ -106,6 +106,7 @@ def main() -> None:
         streaming_bloom_gate,
         streaming_fuzzy_contamination,
         streaming_incremental_dedup,
+        streaming_incremental_dedup_stored,
     )
 
     import glob as globmod
@@ -247,6 +248,11 @@ def main() -> None:
         sdir = write_docs_fixture(docs, k)
         bench("streaming_incremental_dedup", k,
               lambda: streaming_incremental_dedup(spark, sdir))
+        # first run builds the corpus store (memoized per dir), so the
+        # min-of-2 measures the STEADY-STATE serve — the store-serve
+        # semantics the query exists for
+        bench("streaming_incr_dedup_stored", k,
+              lambda: streaming_incremental_dedup_stored(spark, sdir))
         bench("streaming_bloom_gate", k, lambda: streaming_bloom_gate(spark, sdir))
         bench("streaming_fuzzy_contamination", k,
               lambda: streaming_fuzzy_contamination(spark, sdir))
@@ -339,13 +345,24 @@ def main() -> None:
         "be a real scale-killer.  All rows land at "
         f"{min(m / l for *_, l, _p, _s, m in deep_rows):.1f}–"
         f"{max(m / l for *_, l, _p, _s, m in deep_rows):.1f}× the linear",
-        "floor and at or below the pair-output ceiling — far below the",
-        "corpus² column everywhere (the anchor itself carries the ±20%",
-        "single-run noise, so the ×linear column wobbles between probe",
-        "runs; the corpus²-column distance is the stable signal).  A row",
-        "NEAR its pair ceiling (containment at 64×) is the probe's",
-        "replica construction talking: candidates ≈ true pairs there, so",
-        "cost is output-bound — the result set itself is quadratic in k.",
+        f"floor, at most {max(m / p for *_, p, _s, m in deep_rows):.1f}×",
+        f"the pair-output ceiling, and at most "
+        f"{max(m / s for *_, s, m in deep_rows):.2f}× of the corpus²",
+        "column (the anchor itself carries the ±20% single-run noise, so",
+        "the ×linear column wobbles between probe runs; the",
+        "corpus²-column distance is the stable signal).  A row NEAR its",
+        "pair ceiling (containment at 64×) is the probe's replica",
+        "construction talking: candidates ≈ true pairs there, so cost is",
+        "output-bound — the result set itself is quadratic in k.  A row",
+        "somewhat ABOVE its pair ceiling (fuzzy at 64× since the round-9",
+        "hint removal) is a join-strategy SHIFT between anchor and",
+        "measurement, not a new quadratic term: at the 16× anchor AQE",
+        "still broadcasts the benchmark-derived relations, at 64× they",
+        "exceed the threshold and the joins degrade to the spill-safe",
+        "sort-merge — so the anchored model inherits the cheap-strategy",
+        "constant.  (The removed FORCED broadcast was faster in this",
+        "single-JVM harness and is exactly what OOMs a real driver; the",
+        "honest distributed plan pays the sorts measured here.)",
         "",
         "| operator | linear t16·4 | pair-output t16·16.8 | corpus² t16·64 | measured 64× | ×linear |",
         "|---|---|---|---|---|---|",
@@ -482,6 +499,13 @@ def main() -> None:
         "  batch `incremental_dedup` row, not flatness; the bloom gate's",
         "  filter is constant-size by design, so its growth is the",
         "  stream scan + the audit join alone.",
+        "* `streaming_incr_dedup_stored` — the STEADY-STATE serve cost:",
+        "  the corpus store (bucketed band table + set/key parquet) is",
+        "  built on the row's FIRST run and memoized per fixture dir, so",
+        "  the min-of-2 measures classify-against-stores alone — the",
+        "  O(batch)-per-ingest contract; compare against the inline",
+        "  `streaming_incremental_dedup` row, which re-derives the corpus",
+        "  index per run.",
     ]
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
