@@ -1738,7 +1738,8 @@ def store_quantized_codes(
     path: str,
     n_centroids: int = IVF_CENTROIDS,
     files_per_cell: int = 1,
-) -> None:
+    stats_cache_key: str | None = None,
+) -> tuple:
     """Materialize the scalar-quantized code store PARTITIONED BY IVF
     CELL — the production artifact every int8/IVF docstring above refers
     to.  At query time :func:`int8_ivf_from_store` filters on ``cell``
@@ -1751,11 +1752,27 @@ def store_quantized_codes(
     (mn/mx per dimension) ride along in a 1-row ``_meta`` sidecar so a
     later query batch quantizes identically without rescanning the
     corpus.  Writing is one numpy pass over the corpus scan — the same
-    kernel the in-memory path uses."""
+    kernel the in-memory path uses.
+
+    Returns the freshly-derived ``(mn, mx, cent_ids, cents)`` codebook
+    so a build+serve lifecycle can hand it straight to
+    :func:`int8_ivf_from_store` instead of re-reading the sidecar and
+    centroid rows it just wrote (two driver jobs saved per rebuild).
+    ``stats_cache_key`` memoizes the minmax stats per immutable input
+    (same contract as :func:`int8_topk`)."""
     import numpy as np
 
     spark = embeddings.sparkSession
-    mn, mx = _sq_minmax_np(embeddings)
+    mnmx = (
+        _SQ_MINMAX_CACHE.get(stats_cache_key)
+        if stats_cache_key is not None
+        else None
+    )
+    if mnmx is None:
+        mnmx = _sq_minmax_np(embeddings)
+        if stats_cache_key is not None:
+            _SQ_MINMAX_CACHE[stats_cache_key] = mnmx
+    mn, mx = mnmx
     seed_rows = (
         embeddings.filter(F.col("vec_id") < n_centroids)
         .select("vec_id", "embedding")
@@ -1824,6 +1841,7 @@ def store_quantized_codes(
         [(mn.tolist(), mx.tolist())], "mn array<double>, mx array<double>"
     )
     meta.write.mode("overwrite").parquet(path + "_meta")
+    return mn, mx, cent_ids, cents
 
 
 # serve-path codebook memo: store path -> (mn, mx, cent_ids, cents).
@@ -1842,6 +1860,7 @@ def int8_ivf_from_store(
     k: int = TOPK,
     n_probe: int = IVF_PROBES,
     cache_codebook: bool = False,
+    codebook: tuple | None = None,
 ) -> DataFrame:
     """IVF-pruned int8 top-k SERVED FROM THE MATERIALIZED STORE: query
     codes + probe cells are computed driver-side from the sidecar stats
@@ -1849,10 +1868,17 @@ def int8_ivf_from_store(
     — partition pruning drops every unprobed cell's files (asserted in
     tests via PartitionFilters), and the per-batch kernel only scores
     rows whose partition survived.  Results are bit-identical to
-    :func:`int8_ivf_topk` computing everything from the raw floats."""
+    :func:`int8_ivf_topk` computing everything from the raw floats.
+
+    ``codebook``: the ``(mn, mx, cent_ids, cents)`` tuple a just-run
+    :func:`store_quantized_codes` returned — a build+serve lifecycle
+    passes it to skip re-reading the sidecar + centroid rows it wrote
+    moments ago (takes precedence over the path-keyed cache)."""
     import numpy as np
 
-    cb = _CODEBOOK_CACHE.get(path) if cache_codebook else None
+    cb = codebook
+    if cb is None and cache_codebook:
+        cb = _CODEBOOK_CACHE.get(path)
     if cb is None:
         meta = spark.read.parquet(path + "_meta").collect()[0]
         mn = np.array(meta["mn"], dtype=np.float64)
@@ -1970,9 +1996,14 @@ def ann_int8_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     path = os.path.join(warehouse.removeprefix("file:"), "kafquack_int8_store")
-    store_quantized_codes(_repartition_if_narrow(emb), path)
+    # the builder just derived the codebook — hand it to the serve call
+    # instead of re-reading the sidecar/centroids it wrote moments ago;
+    # minmax stats memoized per immutable fixture dir
+    cb = store_quantized_codes(
+        _repartition_if_narrow(emb), path, stats_cache_key=sf_dir
+    )
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-    return int8_ivf_from_store(spark, path, queries)
+    return int8_ivf_from_store(spark, path, queries, codebook=cb)
 
 
 # built-store memo for the serve-only path: sf_dir -> on-disk store path.
