@@ -1,6 +1,6 @@
 """Per-query source-closure fingerprints for driver-gate staleness.
 
-The driver's correctness gate samples 50 of the 196 registered queries
+The driver's correctness gate samples 50 of the registry's queries
 per round; deciding WHICH 50 needs a staleness signal.  Git commit
 times at module granularity (rounds 1-7) mark ~¾ of the registry stale
 whenever any query in a shared module changes, so the genuinely
@@ -102,32 +102,54 @@ def _closure_parts(fn: types.FunctionType) -> dict[str, str]:
         parts[f"fn:{key[0]}:{key[1]}"] = src
         visit_code(f.__code__, f.__globals__)
 
+    repr_stack: set[int] = set()
+
     def stable_repr(obj: object) -> str:
         """Deterministic, process-independent repr: sets sort, nested
         local functions fingerprint by qualname (AND get their source
         pulled into the closure), and anything whose repr carries a
-        memory address collapses to its type name — an address in the
-        hash would mark every dependent stale every round and burn the
-        driver's 50-query budget on noise."""
+        memory address collapses to its type + qualified name — an
+        address in the hash would mark every dependent stale every
+        round and burn the driver's 50-query budget on noise, but a
+        bare type name alone would make swapping one non-local callable
+        for another inside a container invisible (r9 advice).  A
+        recursion STACK (pushed on entry, popped on exit — not a
+        visited set, so DAG-shared acyclic objects still repr fully)
+        breaks self-referential container constants."""
         if _is_local_function(obj):
             add_function(obj)
             return f"<fn {obj.__module__}:{obj.__qualname__}>"
-        if isinstance(obj, (set, frozenset)):
-            return "set{" + ",".join(sorted(stable_repr(x) for x in obj)) + "}"
-        if isinstance(obj, (list, tuple)):
-            tag = "list" if isinstance(obj, list) else "tuple"
-            return tag + "[" + ",".join(stable_repr(x) for x in obj) + "]"
-        if isinstance(obj, dict):
-            return (
-                "dict{"
-                + ",".join(
-                    f"{stable_repr(k)}:{stable_repr(v)}" for k, v in obj.items()
+        if isinstance(obj, (set, frozenset, list, tuple, dict)):
+            oid = id(obj)
+            if oid in repr_stack:
+                return "<cycle>"
+            repr_stack.add(oid)
+            try:
+                if isinstance(obj, (set, frozenset)):
+                    return (
+                        "set{"
+                        + ",".join(sorted(stable_repr(x) for x in obj))
+                        + "}"
+                    )
+                if isinstance(obj, (list, tuple)):
+                    tag = "list" if isinstance(obj, list) else "tuple"
+                    return tag + "[" + ",".join(stable_repr(x) for x in obj) + "]"
+                return (
+                    "dict{"
+                    + ",".join(
+                        f"{stable_repr(k)}:{stable_repr(v)}"
+                        for k, v in obj.items()
+                    )
+                    + "}"
                 )
-                + "}"
-            )
+            finally:
+                repr_stack.discard(oid)
         r = repr(obj)
         if " at 0x" in r:
-            return f"<{type(obj).__module__}.{type(obj).__qualname__}>"
+            qual = getattr(obj, "__qualname__", "") or getattr(
+                obj, "__name__", ""
+            )
+            return f"<{type(obj).__module__}.{type(obj).__qualname__} {qual}>"
         return r
 
     def add_constant(mod: str, name: str, obj: object) -> None:

@@ -201,9 +201,10 @@ def minhash_sig_sets(
     ``passthrough`` carries extra input columns (e.g. ``source`` or a
     precomputed content hash) through the projection chain — this is the
     ONE definition of the seeded-MinHash expression, shared by the batch
-    pipelines AND the streaming twins (``_repartition_if_narrow`` is a
-    no-op on streams), so the seeding scheme can never diverge between
-    a streaming query and its batch oracle.
+    pipelines AND the streaming twins (``_repartition_if_narrow``
+    repartitions streaming inputs to full width too — the 60x
+    streaming-twin fix), so the seeding scheme can never diverge
+    between a streaming query and its batch oracle.
     """
     pt = list(passthrough)
     mh_cols = [
@@ -1762,7 +1763,16 @@ def ensure_incremental_store(
     got = _INCR_STORES.get(sf_dir)
     if got is not None:
         return got
-    tag = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(sf_dir.rstrip("/")))
+    # tag folds in a hash of the FULL path: two fixture dirs sharing a
+    # basename must never share on-disk stores (r9 advice — the second
+    # build would silently overwrite the first's corpus state)
+    import hashlib
+
+    tag = (
+        re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(sf_dir.rstrip("/")))
+        + "_"
+        + hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    )
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")

@@ -786,7 +786,19 @@ def bigram_surprisal_scores(docs: DataFrame) -> DataFrame:
     distinct-bigram scale.  The capped local spread is the one lever
     that moved: the tokenize+explode otherwise runs on the fixture's
     single parquet split (no-op at scale, where the scan has real
-    splits)."""
+    splits).
+
+    Round-10 rework: the bigram key is a STRUCT ``(w1, w2)``, never a
+    concatenated string — the old ``array_join(slice(toks, i, 2))``
+    built an occurrence-scale string column only to re-``split`` it
+    twice for the prefix; struct keys group/join identically (tokens
+    contain no spaces, so struct equality ⇔ the old string equality —
+    the counts are bit-identical) at ~1.7× less CPU (1.06s → 0.63s at
+    sf0.1).  A window-fused c1 and a doc_id hash partitioning were
+    both measured neutral; a one-pass window-over-occurrences shape
+    was REJECTED despite fusing the two tokenize passes — partitioning
+    occurrences by w1 re-introduces the stop-word skew the partial
+    aggregation absorbs."""
     from .dedup import _repartition_if_narrow
 
     docs = _repartition_if_narrow(docs, cap=8)
@@ -796,18 +808,16 @@ def bigram_surprisal_scores(docs: DataFrame) -> DataFrame:
         .selectExpr(
             "doc_id",
             "explode(transform(sequence(1, size(toks) - 1), "
-            "i -> array_join(slice(toks, i, 2), ' '))) AS bigram",
+            "i -> named_struct('w1', toks[i-1], 'w2', toks[i]))) AS bigram",
         )
     )
     c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
     c1 = (
-        c12.withColumn("prefix", F.element_at(F.split("bigram", " "), 1))
-        .groupBy("prefix")
+        c12.groupBy(F.col("bigram.w1").alias("prefix"))
         .agg(F.sum("c12").alias("c1"))
     )
     stats = (
-        c12.withColumn("prefix", F.element_at(F.split("bigram", " "), 1))
-        .join(c1, "prefix")
+        c12.join(c1, c12["bigram.w1"] == c1["prefix"])
         .select("bigram", (F.col("c1") / F.col("c12")).alias("inv_p"))
     )
     scored = bg.join(stats, "bigram").select("doc_id", "inv_p")

@@ -594,12 +594,19 @@ def test_streaming_bloom_gate_single_hint_is_filter_bits(spark):
     assert df.isStreaming
     assert broadcast_hint_count(df) == 1
     # the hinted subtree is the bit-level join (filter_bits), not the
-    # md5-key audit join: the hint node must sit above a plan slice that
-    # mentions the bit column, and the plan's single hint appears before
-    # the corpus-members join resolves h
+    # md5-key audit join: the hint node's IMMEDIATE child must be the
+    # bitmap projection — it carries the resolved `AS _b#` marker
+    # attribute that only the filter_bits side projects (the audit
+    # relation projects `AS _m#`), so moving the hint onto the
+    # corpus-members join fails this, unlike a bare substring search
+    # for "bit" which matches ubiquitous plan text (r9 advice)
     plan = analyzed_plan(df)
     hint_pos = plan.find("ResolvedHint")
-    assert hint_pos >= 0 and "bit" in plan[hint_pos : hint_pos + 2000]
+    assert hint_pos >= 0
+    hint_lines = plan[hint_pos:].splitlines()
+    first_child = hint_lines[1]
+    assert "AS _b#" in first_child and "bit#" in first_child
+    assert "AS _m#" not in first_child
 
 
 def test_token_entropy_is_map_only(spark):
