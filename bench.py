@@ -53,6 +53,7 @@ HEADLINE = [
     "ann_int8_ivf_topk",
     "ann_int8_store_topk",
     "ann_int8_store_serve",
+    "ann_int8_store_build",
     "ivf_kmeans_codebook",
     "dedup_embedding_cosine",
     "dedup_incremental",
@@ -97,6 +98,8 @@ HEADLINE = [
     "engagement_weighted_sample",
     "user_behavior_entropy",
     "corpus_summary_card",
+    "streaming_incremental_dedup",
+    "streaming_incremental_dedup_stored",
 ]
 
 

@@ -1975,35 +1975,113 @@ def int8_ivf_from_store(
     )
 
 
+def _store_tag(sf_dir: str) -> str:
+    """Path tag folding in a hash of the FULL fixture path — two dirs
+    sharing a basename must never share on-disk stores (the round-9
+    advice on ``ensure_incremental_store``, applied here too)."""
+    import hashlib
+    import os
+
+    clean = sf_dir.rstrip("/")
+    return (
+        os.path.basename(clean).replace(".", "_")
+        + "_"
+        + hashlib.md5(clean.encode()).hexdigest()[:8]
+    )
+
+
+# build+serve lifecycle memo: sf_dir -> (store path, codebook).  The
+# nightly rebuild runs AT MOST ONCE per process (the
+# ensure_incremental_store pattern, r9 verdict item 3) so the benched
+# row measures the steady-state serve contract; the rebuild cost itself
+# is a first-class row of its own (ann_int8_store_build).
+_LIFECYCLE_STORES: dict[str, tuple] = {}
+
+
 @query("ann_int8_store_topk", _duck_sq_ivf_sql())
 def ann_int8_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production ANN serving lifecycle end-to-end: materialize the
+    """The production ANN serving lifecycle: materialize the
     cell-partitioned int8 code store (one corpus encode pass +
-    partitioned write), then serve the standard query batch FROM the
-    store — partition pruning on ``cell`` replaces per-batch
-    re-assignment, so serving touches only probed cells' files and
-    never the float vectors.  Bit-identical to :func:`int8_ivf_topk`
-    computing everything from raw floats, hence the shared oracle.
+    partitioned write) AT MOST ONCE per process, then serve the
+    standard query batch FROM the store — partition pruning on ``cell``
+    replaces per-batch re-assignment, so serving touches only probed
+    cells' files and never the float vectors.  Bit-identical to
+    :func:`int8_ivf_topk` computing everything from raw floats, hence
+    the shared oracle.
 
-    The store lands in the session warehouse dir (same convention as
-    the minhash signature store) and is rewritten per call — the
-    registered query measures the full build+serve lifecycle, which is
-    what a nightly index rebuild pays."""
+    Round-10 measurement split (r9 verdict item 3): the build is
+    memoized per fixture dir, so this row now measures the
+    steady-state serve off the builder's IN-MEMORY codebook (vs
+    :func:`ann_int8_store_serve`, which re-derives the codebook from
+    the written sidecar — the cold-serving-tier path); the one-time
+    rebuild cost is its own oracled row, :func:`ann_int8_store_build`.
+    """
+    import os
+
+    from .dedup import _repartition_if_narrow
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    got = _LIFECYCLE_STORES.get(sf_dir)
+    if got is not None and os.path.exists(
+        os.path.join(got[0] + "_meta", "_SUCCESS")
+    ):
+        path, cb = got
+    else:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        path = os.path.join(
+            warehouse.removeprefix("file:"),
+            "kafquack_int8_store_" + _store_tag(sf_dir),
+        )
+        # the builder just derived the codebook — hand it to the serve
+        # call instead of re-reading the sidecar/centroids it wrote
+        # moments ago; minmax stats memoized per immutable fixture dir
+        cb = store_quantized_codes(
+            _repartition_if_narrow(emb), path, stats_cache_key=sf_dir
+        )
+        _LIFECYCLE_STORES[sf_dir] = (path, cb)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return int8_ivf_from_store(spark, path, queries, codebook=cb)
+
+
+def _duck_store_build_sql() -> str:
+    """Oracle for the build row: the per-cell code counts of the store
+    the builder writes — the quantization + assignment CTEs are
+    verbatim from :func:`_duck_sq_ivf_sql`, aggregated per cell."""
+    base = _duck_sq_ivf_sql()
+    head, _, _ = base.partition("), probe_cells AS (")
+    return (
+        head
+        + ")\n"
+        + "SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_codes\n"
+        + "FROM corpus_cells GROUP BY cell\n"
+    )
+
+
+@query("ann_int8_store_build", _duck_store_build_sql())
+def ann_int8_store_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NIGHTLY REBUILD cost, isolated: encode the corpus, write the
+    cell-partitioned store, and read back the per-cell code counts from
+    the files just written (so the row proves the write landed AND
+    times the full build).  Serving rows (:func:`ann_int8_store_topk`,
+    :func:`ann_int8_store_serve`) measure the steady-state query-batch
+    cost against a store built at most once — this row is the one that
+    pays the rebuild every call, by design."""
     import os
 
     from .dedup import _repartition_if_narrow
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    path = os.path.join(warehouse.removeprefix("file:"), "kafquack_int8_store")
-    # the builder just derived the codebook — hand it to the serve call
-    # instead of re-reading the sidecar/centroids it wrote moments ago;
-    # minmax stats memoized per immutable fixture dir
-    cb = store_quantized_codes(
-        _repartition_if_narrow(emb), path, stats_cache_key=sf_dir
+    path = os.path.join(
+        warehouse.removeprefix("file:"),
+        "kafquack_int8_store_buildrow_" + _store_tag(sf_dir),
     )
-    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-    return int8_ivf_from_store(spark, path, queries, codebook=cb)
+    store_quantized_codes(_repartition_if_narrow(emb), path, stats_cache_key=sf_dir)
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("cell").cast("bigint").alias("cell"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_codes"))
+    )
 
 
 # built-store memo for the serve-only path: sf_dir -> on-disk store path.
@@ -2029,7 +2107,7 @@ def _ensure_int8_store(spark: SparkSession, sf_dir: str) -> str:
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     path = os.path.join(
         warehouse.removeprefix("file:"),
-        "kafquack_int8_store_serve_" + os.path.basename(sf_dir.rstrip("/")),
+        "kafquack_int8_store_serve_" + _store_tag(sf_dir),
     )
     emb = load_tables(spark, sf_dir)["embeddings"]
     store_quantized_codes(_repartition_if_narrow(emb), path)
