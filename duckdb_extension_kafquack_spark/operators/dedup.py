@@ -1010,24 +1010,28 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = SIMHASH_HAMMING_MAX) 
     # (caught by test_simhash_signatures_are_map_side in full-suite runs)
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     # same bucket hygiene as candidate_pairs: an identical-boilerplate
-    # cluster shares every band key; sub-split keeps the join linear
+    # cluster shares every band key; sub-split keeps the expansion linear.
+    # Round-10: the within-bucket pairs come from ONE groupBy + a
+    # map-side HOF over the doc_id-sorted ≤cap member list (the
+    # candidate_pairs expansion shape — the self-join shuffled the
+    # banded relation twice); the signature rides in the collected
+    # struct so the Hamming verify is inline.  array_sort on the struct
+    # orders by doc_id (unique per bucket member), so x.doc_id <
+    # y.doc_id holds for every emitted combination.
     banded = _with_bucket_sub(banded, MAX_LSH_BUCKET)
-    a, b_ = banded.alias("a"), banded.alias("b")
+    grouped = (
+        banded.groupBy("band", "band_sig", "sub")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
     pairs = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.sub") == F.col("b.sub"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        grouped.selectExpr(
+            "explode(flatten(transform(ms, (x, i) -> "
+            "transform(slice(ms, i + 2, size(ms) - i - 1), "
+            "y -> struct(x.doc_id AS doc1, y.doc_id AS doc2, "
+            "bit_count(x.simhash ^ y.simhash) AS hamming))))) AS p"
         )
-        .select(
-            F.col("a.doc_id").alias("doc1"),
-            F.col("b.doc_id").alias("doc2"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
+        .select("p.doc1", "p.doc2", "p.hamming")
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)

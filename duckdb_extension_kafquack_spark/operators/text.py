@@ -609,25 +609,29 @@ def _source_shingle_hashes(docs: DataFrame) -> DataFrame:
     )
 
 
-def _persisted_source_shingles(docs: DataFrame) -> DataFrame:
-    """Persisted DERIVED projection of :func:`_source_shingle_hashes` for
-    the consumers that scan it more than once (the overlap matrix
-    self-joins it and reads per-source sizes off it; the novelty ordering
-    reads it twice) — the tokenize+explode+distinct pass over the corpus
-    runs ONCE per session instead of once per consuming branch.
+def _persisted_source_lists(docs: DataFrame) -> DataFrame:
+    """``(srcs, sh)``: each shingle's SORTED source list, persisted —
+    the shared upstream of the novelty ordering and the overlap matrix
+    (round 10; previously the shared persist was the flat (sh, source)
+    relation and each consumer re-paid the groupBy(sh) shuffle per
+    call).  The list is bounded by |sources| (a dimension constant),
+    its sorted head is ``min(source)`` (novelty's claiming source), and
+    its i<j combinations are the overlap matrix's pair multiset — one
+    tokenize+distinct+groupBy pass per session serves both.
 
-    Columns reordered to (sh, source) — NOT the verbatim
-    :func:`_source_shingle_hashes` fragment — for the same CacheManager
-    reason as :func:`..dedup._persisted_sig_sets`: a verbatim persist
-    would be silently substituted into every other plan that builds the
-    unpersisted relation, making plan-shape tests order-dependent.
-    Re-persisting the same derived plan in a later call re-uses the
-    existing cache entry (CacheManager dedups on ``sameResult``)."""
+    Columns reordered to (srcs, sh) — a DERIVED projection, same
+    CacheManager reasoning as :func:`..dedup._persisted_sig_sets`:
+    a verbatim persist of a fragment another plan builds would be
+    silently substituted into it session-wide.  Re-persisting the same
+    derived plan in a later call re-uses the existing cache entry
+    (CacheManager dedups on ``sameResult``)."""
     from pyspark import StorageLevel
 
     return (
         _source_shingle_hashes(docs)
-        .select("sh", "source")
+        .groupBy("sh")
+        .agg(F.array_sort(F.collect_list("source")).alias("srcs"))
+        .select("srcs", "sh")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
@@ -639,24 +643,39 @@ def ngram_novelty_by_source(docs: DataFrame) -> DataFrame:
     data-curation question "is this crawl slice additive or redundant?").
 
     Scale design: one distinct over (source, shingle-hash), one groupBy
-    per shingle taking ``min(source)`` (the claiming source), then a
-    per-source count — two shuffles on the uniform 60-bit hash, no join
-    against text, no all-pairs comparison of sources (the naive version
-    is a quadratic source×source overlap matrix; the min-claim trick is
-    linear and gives the same greedy curve).  Reads the persisted shared
-    relation — its two consumers (totals, claim) scan the cache instead
-    of re-running tokenize+distinct."""
-    pairs = _persisted_source_shingles(docs)
-    totals = pairs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("distinct_ngrams"))
-    claimed = pairs.groupBy("sh").agg(F.min("source").alias("source"))
-    novel = claimed.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("novel_ngrams"))
+    per shingle, then a per-source rollup — two shuffles on the uniform
+    60-bit hash, no join against text, no all-pairs comparison of
+    sources (the naive version is a quadratic source×source overlap
+    matrix; the min-claim trick is linear and gives the same greedy
+    curve).
+
+    Round-10 fuse: ONE groupBy(sh) collects each shingle's sorted
+    source list (bounded by |sources|, a dimension constant — the
+    head IS min(source), the claimer), an explode puts it back at
+    (source, shingle) scale carrying the claimer alongside, and a
+    single per-source aggregate emits BOTH counts — the previous shape
+    paid a second groupBy over the cached relation plus a join to
+    stitch totals and novel counts together (identical integers, two
+    fewer stages: 0.59s → one-pass at sf0.1); the grouped relation is
+    the SHARED persist (:func:`_persisted_source_lists`), so the warm
+    path is a cache scan + explode + one per-source aggregate."""
+    per_sh = _persisted_source_lists(docs)
+    exploded = per_sh.select(
+        F.col("srcs")[0].alias("claimer"), F.explode("srcs").alias("source")
+    )
     return (
-        totals.join(novel, "source", "left")
+        exploded.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("distinct_ngrams"),
+            F.sum(F.when(F.col("source") == F.col("claimer"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("novel_ngrams"),
+        )
         .select(
             "source",
             "distinct_ngrams",
-            F.coalesce("novel_ngrams", F.lit(0)).cast("bigint").alias("novel_ngrams"),
-            (F.coalesce("novel_ngrams", F.lit(0)) / F.col("distinct_ngrams")).alias("novelty_frac"),
+            "novel_ngrams",
+            (F.col("novel_ngrams") / F.col("distinct_ngrams")).alias("novelty_frac"),
         )
     )
 
@@ -921,21 +940,36 @@ def source_overlap_matrix(docs: DataFrame) -> DataFrame:
     (the aggregate complement of :func:`ngram_novelty_by_source`'s
     greedy ordering).
 
-    Scale: the join is on the 60-bit shingle hash over the DISTINCT
-    (source, shingle) relation, so a shingle contributes at most
-    C(#sources-it-appears-in, 2) rows — bounded by sources², a
-    dimension-like constant, NOT corpus²; per-source set sizes come off
-    the same relation.  Everything downstream of the distinct is
-    proportional to (#distinct shingles) × sources.  The shared relation
-    is persisted (:func:`_persisted_source_shingles`) so the corpus
-    tokenize+distinct pass runs once, not once per join side."""
-    pairs = _persisted_source_shingles(docs)
-    sizes = pairs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a = pairs.select(F.col("source").alias("source1"), "sh")
-    b = pairs.select(F.col("source").alias("source2"), "sh")
+    Scale: a shingle contributes at most C(#sources-it-appears-in, 2)
+    pairs — bounded by sources², a dimension-like constant, NOT
+    corpus²; per-source set sizes come off the same relation.
+    Everything downstream of the distinct is proportional to
+    (#distinct shingles) × sources.  The shared relation is persisted
+    (:func:`_persisted_source_lists`) so the corpus
+    tokenize+distinct+groupBy pass runs once, not once per consumer.
+
+    Round-10: the pair counts come from a map-side HOF over each
+    shingle's sorted ≤|sources| source list (the
+    :func:`..dedup.candidate_pairs` expansion shape) off the SHARED
+    persisted grouped relation (:func:`_persisted_source_lists`) — the
+    previous self-join shuffled the distinct (source, shingle) relation
+    twice for the identical counts, and per-call re-paid the groupBy;
+    the oracle's ``inter`` self-join computes the same multiset, so it
+    is untouched."""
+    lists = _persisted_source_lists(docs)
+    sizes = (
+        lists.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     inter = (
-        a.join(b, "sh")
-        .filter(F.col("source1") < F.col("source2"))
+        lists.filter(F.size("srcs") >= 2)
+        .selectExpr(
+            "explode(flatten(transform(srcs, (x, i) -> "
+            "transform(slice(srcs, i + 2, size(srcs) - i - 1), "
+            "y -> struct(x AS source1, y AS source2))))) AS p"
+        )
+        .select("p.source1", "p.source2")
         .groupBy("source1", "source2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("inter_ngrams"))
     )

@@ -114,6 +114,47 @@ def test_fingerprint_closure_reaches_helpers_and_is_stable():
     assert any(k.endswith(":minhash_bands") for k in fparts)
 
 
+def test_stable_repr_breaks_cycles_and_names_swapped_objects():
+    """r9 advice: a self-referential module constant must fingerprint
+    (not RecursionError), a DAG-shared acyclic object must still repr
+    FULLY at each occurrence (the cycle guard is a recursion stack, not
+    a visited set), and two different address-bearing callables inside
+    a container constant must produce DIFFERENT tokens (a bare type
+    name made swapping one for another invisible to the staleness
+    gate)."""
+    from duckdb_extension_kafquack_spark.fingerprint import _closure_parts
+    from duckdb_extension_kafquack_spark.operators import dedup
+
+    cyc: dict = {}
+    cyc["self"] = cyc
+    shared = [1, 2]
+    import re as _re_a
+    import json as _js_b
+
+    dedup._FPTEST_CYCLE = cyc
+    dedup._FPTEST_DAG = [shared, shared]
+    dedup._FPTEST_FNS = [_re_a.compile, _js_b.dumps]
+    try:
+
+        def probe():
+            return dedup._FPTEST_CYCLE, dedup._FPTEST_DAG, dedup._FPTEST_FNS
+
+        probe.__module__ = "duckdb_extension_kafquack_spark._fptest"
+        parts = _closure_parts(probe)
+        cyc_repr = next(v for k, v in parts.items() if "FPTEST_CYCLE" in k)
+        dag_repr = next(v for k, v in parts.items() if "FPTEST_DAG" in k)
+        assert "<cycle>" in cyc_repr
+        assert dag_repr.count("list[1,2]") == 2  # shared object reprs fully
+
+        fn_repr_a = next(v for k, v in parts.items() if "FPTEST_FNS" in k)
+        dedup._FPTEST_FNS = [_js_b.dumps, _re_a.compile]  # swapped
+        parts2 = _closure_parts(probe)
+        fn_repr_b = next(v for k, v in parts2.items() if "FPTEST_FNS" in k)
+        assert fn_repr_a != fn_repr_b  # the swap is visible to the gate
+    finally:
+        del dedup._FPTEST_CYCLE, dedup._FPTEST_DAG, dedup._FPTEST_FNS
+
+
 def test_plans_md_covers_every_batch_llm_pipeline_query():
     """r7 verdict item 4: every registered batch query from the
     LLM-pipeline modules (operators/*, functions/udf) must appear in

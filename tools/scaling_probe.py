@@ -71,6 +71,7 @@ def main() -> None:
         containment_pairs,
         cross_source_dup_matrix,
         keep_best_quality_report,
+        ngram_jaccard_pairs,
     )
     from duckdb_extension_kafquack_spark.operators.similarity import (
         cosine_topk,
@@ -150,6 +151,13 @@ def main() -> None:
         # and storage-memory eviction thrash reads as operator "growth"
         # (round 6 measured minhash 18.6s dirty vs 4.9s clean at 16×)
         spark.catalog.clearCache()
+        # round 10: one freed-cache JVM GC per operator — a round-10
+        # probe run measured containment at 62s mid-loop vs 19.5s in a
+        # fresh session (same code, same data): evicted-but-uncollected
+        # cache blocks inflate later operators' GC time and read as
+        # growth; forcing collection right after the eviction keeps
+        # each row's heap state comparable to its anchor's
+        spark.sparkContext._jvm.System.gc()
 
     def bench_call(name: str, k: int, fn) -> None:
         """min-of-2 for operators whose product is driver-side state
@@ -161,6 +169,7 @@ def main() -> None:
             best = min(best, time.time() - t0)
         results.setdefault(name, {})[k] = round(best, 2)
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     _fixture_dirs: list[str] = []
 
@@ -220,6 +229,7 @@ def main() -> None:
         bench("cross_source_dup_matrix", k, lambda: cross_source_dup_matrix(docs))
         bench("keep_best_quality", k, lambda: keep_best_quality_report(docs))
         bench("containment_pairs", k, lambda: containment_pairs(docs))
+        bench("ngram_jaccard", k, lambda: ngram_jaccard_pairs(docs))
         # CMS heavy-hitter path: sketch + estimates over the token stream
         stream = _token_stream(docs)
         bench("cms_sketch_estimates", k, lambda: cms_estimate(cms_build(stream), stream.distinct()))
@@ -277,14 +287,34 @@ def main() -> None:
         "containment_pairs",
         "fuzzy_contamination",
         "bigram_surprisal",
+        # round-10 addition (r9 verdict item 1's "no growth change"
+        # check): the char-5-gram LSH pipeline after the bigint-shingle
+        # + grouped-expansion rework — judge against the pair model
+        # like the minhash row (replica groups are k-cliques)
+        "ngram_jaccard",
+        # round-10 additions (r9 verdict item 5): the streaming twins
+        # stopped at 16×, but the fuzzy batch row proved join-strategy
+        # shifts only reveal themselves at 64× when relations cross the
+        # broadcast threshold — probe the stream-static joins there too
+        "streaming_incremental_dedup",
+        "streaming_incr_dedup_stored",
+        "streaming_bloom_gate",
     )
     docs = replicate_docs(docs0, 64).localCheckpoint()
     bench("minhash_lsh_dedup", 64, lambda: minhash_near_duplicates(docs))
     bench("cross_source_dup_matrix", 64, lambda: cross_source_dup_matrix(docs))
     bench("keep_best_quality", 64, lambda: keep_best_quality_report(docs))
     bench("containment_pairs", 64, lambda: containment_pairs(docs))
+    bench("ngram_jaccard", 64, lambda: ngram_jaccard_pairs(docs))
     bench("fuzzy_contamination", 64, lambda: fuzzy_contamination(docs))
     bench("bigram_surprisal", 64, lambda: bigram_surprisal_scores(docs))
+    sdir64 = write_docs_fixture(docs, 64)
+    bench("streaming_incremental_dedup", 64,
+          lambda: streaming_incremental_dedup(spark, sdir64))
+    bench("streaming_incr_dedup_stored", 64,
+          lambda: streaming_incremental_dedup_stored(spark, sdir64))
+    bench("streaming_bloom_gate", 64,
+          lambda: streaming_bloom_gate(spark, sdir64))
     print("k=64: " + ", ".join(f"{n}={results[n][64]}s" for n in DEEP))
 
     deep_rows = []
@@ -366,10 +396,14 @@ def main() -> None:
         "",
         "| operator | linear t16·4 | pair-output t16·16.8 | corpus² t16·64 | measured 64× | ×linear |",
         "|---|---|---|---|---|---|",
-        # bigram_surprisal's model is LINEAR (word-count shape) — its
-        # pair-output column is printed for table uniformity but the
-        # verdict for it is the ×linear cell alone; the dedup composites
-        # and containment/fuzzy rows are judged against the pair model.
+        # bigram_surprisal's and streaming_bloom_gate's models are
+        # LINEAR (word-count shape / constant-size filter + linear audit
+        # join) — their pair-output columns are printed for table
+        # uniformity but the verdict for them is the ×linear cell alone;
+        # the dedup composites, containment/fuzzy, and the two streaming
+        # incremental-dedup rows (replica batches are near-dups of the
+        # replica corpus: flagged pairs grow ~k²) are judged against the
+        # pair model.
     ]
     for name, t, lin, pair, sq, meas in deep_rows:
         lines.append(
@@ -432,6 +466,12 @@ def main() -> None:
         "  linear-in-rows but far below the unbanded quadratic (which the",
         "  pre-cap probe measured as runaway); judge the row against the",
         "  pair-output model, not against flatness.",
+        "* `ngram_jaccard` — the char-5-gram twin of the minhash row",
+        "  (round 10: bigint verify sets, grouped within-bucket pair",
+        "  expansion — ONE groupBy shuffle instead of a two-sided",
+        "  self-join, collect_list bounded by the 64-member bucket cap);",
+        "  true pairs are n·C(k,2) by the same replica construction, so",
+        "  judge against the pair model like minhash.",
         "* `embedding_near_dup` is the block-pair tiled EXACT all-pairs scan:",
         "  inherently O(n²) work, but fully distributed — per-tile BLAS with",
         "  only candidate ids leaving each tile, no driver collect, no",
