@@ -83,6 +83,21 @@ def main() -> None:
         "kafquack_extension.cpp:63-65,199-204 — every row here wins by",
         "construction; DuckDB-at-parity is the stretch comparison.)",
         "",
+        "Round-10 additions skew the aggregate UP by construction and",
+        "should be read per-row: `ann_int8_store_build` is the nightly",
+        "index REBUILD isolated as its own row (its steady-state serve",
+        "twins sit at ≤1×), and the two `streaming_incremental_dedup*`",
+        "rows run the REAL readStream → micro-batch → memory-sink",
+        "machinery end-to-end while their DuckDB column times a batch",
+        "SQL rollup of the same answer — the honest comparison for those",
+        "is stored-vs-inline (the stored index holds its lead from 16×",
+        "replication onward, SCALING.md) and the batch",
+        "`dedup_incremental` row, not the batch oracle's wall clock.",
+        "The round-10 bigint-shingle oracle also made DUCKDB's ngram row",
+        "~7× faster (6.56s → ~0.9s) — both engines got faster on the",
+        "same semantics; the ratio moved against Spark while the Spark",
+        "row itself halved (3.17s → 1.8s).",
+        "",
         "| query | spark (s) | duckdb (s) | ratio |",
         "|---|---|---|---|",
     ]
