@@ -609,6 +609,24 @@ def test_streaming_bloom_gate_single_hint_is_filter_bits(spark):
     assert "AS _m#" not in first_child
 
 
+def test_candidate_pairs_expansion_is_join_free(spark):
+    """Round-10 contract (CLAUDE.md): within-bucket LSH pairs come from
+    ONE groupBy + a map-side HOF expansion — the physical plan must
+    contain NO join node and exactly two exchanges (the bucket groupBy
+    and the cross-band distinct).  A revert to the bucket-keyed
+    self-join would re-shuffle the band relation twice and show up here
+    as a Join + a third exchange."""
+    from duckdb_extension_kafquack_spark.operators.dedup import candidate_pairs
+
+    rows = [(d, 0, f"sig{d % 7}") for d in range(100)]
+    bands = spark.createDataFrame(rows, "doc_id long, band int, band_sig string")
+    df = candidate_pairs(bands)
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert "Generate" in plan  # the HOF explode
+    assert count_exchanges(df) <= 2
+
+
 def test_token_entropy_is_map_only(spark):
     """Per-doc entropy is a sorted run-length HOF fold inside one
     projection: no explode of the token relation, no join, no shuffle."""
