@@ -813,11 +813,29 @@ def bigram_surprisal_scores(docs: DataFrame) -> DataFrame:
     twice for the prefix; struct keys group/join identically (tokens
     contain no spaces, so struct equality ⇔ the old string equality —
     the counts are bit-identical) at ~1.7× less CPU (1.06s → 0.63s at
-    sf0.1).  A window-fused c1 and a doc_id hash partitioning were
-    both measured neutral; a one-pass window-over-occurrences shape
-    was REJECTED despite fusing the two tokenize passes — partitioning
-    occurrences by w1 re-introduces the stop-word skew the partial
-    aggregation absorbs."""
+    sf0.1).  A doc_id hash partitioning was measured neutral; a
+    one-pass window-over-occurrences shape was REJECTED despite fusing
+    the two tokenize passes — partitioning OCCURRENCES by w1
+    re-introduces the stop-word skew the partial aggregation absorbs.
+
+    Round-10b (r9 verdict item 2, 0.72s → 0.43s at sf0.1, ≤2× the
+    oracle): the occurrence stream is narrowed to Spark-internal
+    ``xxhash64`` keys (h12 over both words, h1 over the prefix — native
+    codegen, no md5 hex round-trip) and PERSISTED, so the counting
+    branch and the join-back branch share one tokenize+hash
+    materialization of 3 longs per row instead of re-tokenizing the
+    corpus; the prefix totals then come from a window over the
+    distinct-bigram relation partitioned by h1 (per-group width bounded
+    by the vocabulary fan-out of one prefix word, NOT occurrence skew —
+    the stop-word mass is already collapsed by c12's map-side combine),
+    which drops the separate c1 groupBy+join.  The DuckDB oracle stays
+    GROUND TRUTH on the raw bigrams — the hashes never cross engines,
+    so the driver's value-hash compare is an empirical per-round proof
+    the 64-bit keys collided nowhere (same stance as the 60-bit
+    shingle ids; a collision would merge two bigrams' counts and
+    hash-mismatch immediately)."""
+    from pyspark import StorageLevel
+
     from .dedup import _repartition_if_narrow
 
     docs = _repartition_if_narrow(docs, cap=8)
@@ -829,17 +847,21 @@ def bigram_surprisal_scores(docs: DataFrame) -> DataFrame:
             "explode(transform(sequence(1, size(toks) - 1), "
             "i -> named_struct('w1', toks[i-1], 'w2', toks[i]))) AS bigram",
         )
+        .selectExpr(
+            "doc_id",
+            "xxhash64(bigram.w1, bigram.w2) AS h12",
+            "xxhash64(bigram.w1) AS h1",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = (
-        c12.groupBy(F.col("bigram.w1").alias("prefix"))
-        .agg(F.sum("c12").alias("c1"))
+    c12 = bg.groupBy("h12").agg(
+        F.count(F.lit(1)).alias("c12"), F.max("h1").alias("h1")
     )
     stats = (
-        c12.join(c1, c12["bigram.w1"] == c1["prefix"])
-        .select("bigram", (F.col("c1") / F.col("c12")).alias("inv_p"))
+        c12.withColumn("c1", F.sum("c12").over(Window.partitionBy("h1")))
+        .select("h12", (F.col("c1") / F.col("c12")).alias("inv_p"))
     )
-    scored = bg.join(stats, "bigram").select("doc_id", "inv_p")
+    scored = bg.join(stats, "h12").select("doc_id", "inv_p")
     return scored.groupBy("doc_id").agg(
         F.round(F.avg("inv_p"), 6).alias("mean_bigram_surprisal"),
         F.max("inv_p").alias("max_bigram_surprisal"),
