@@ -1374,11 +1374,11 @@ def containment_pairs(docs: DataFrame,
     aggregate building the globally-ranked shingle array (sorted HOF —
     per-doc state bounded by doc length, never a per-shingle window;
     persisted, since both the prefix side and the positional inverted
-    index posexplode it), the prefix × index hash join on the uniform
-    60-bit shingle hash (per-pair match aggregate with map-side
-    partials replaces the old pair distinct — same shuffle key, no new
-    stage), the integer bounds above, and the exact verify off the
-    persisted sets joined against the surviving pairs.
+    index posexplode it), the df≥2-pruned prefix × index hash join on
+    the uniform 60-bit shingle hash (per-pair match aggregate with
+    map-side partials replaces the old pair distinct — same shuffle
+    key, no new stage), the integer bounds above, and the exact verify
+    off the persisted sets joined against the surviving pairs.
     The candidate relation is NOT force-broadcast: unlike the
     banded-LSH pair relations (bounded by the bucket cap), prefix
     candidates grow with dup density × prefix fan-out — on a
@@ -1411,14 +1411,37 @@ def containment_pairs(docs: DataFrame,
         .agg(F.expr("array_sort(collect_list(struct(df, sh)))").alias("rk"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    prefix = ranked.selectExpr(
-        "doc_id AS doc_sub",
-        "n AS n_sub",
-        f"posexplode(slice(rk, 1, {pref_len})) AS (i0, r)",
-    ).selectExpr("doc_sub", "n_sub", "i0 + 1 AS i", "r.sh AS sh")
-    index = ranked.selectExpr(
-        "doc_id AS doc_sup", "n AS n_sup", "posexplode(rk) AS (j0, r)"
-    ).selectExpr("doc_sup", "n_sup", "j0 + 1 AS j", "r.sh AS sh")
+    # df >= 2 pruning (lossless): a df=1 shingle exists in exactly one
+    # doc, so its only inverted-index match is the self-pair the join
+    # filters anyway — dropping those rows from BOTH sides removes no
+    # cross-doc match and cannot change cnt/min/max for any surviving
+    # pair (positions i/j keep their rank in the FULL array because the
+    # filter runs after posexplode).  Locally near-neutral (the
+    # synthetic fixture's 27k-shingle vocabulary leaves only 207 of
+    # 260k occurrences unique at sf0.1); on a real 100 TB corpus
+    # singleton shingles dominate the index, so this is the filter that
+    # keeps the inverted index join sub-corpus-sized.  Both posexploded
+    # sides are persisted: the min-of-2 steady state re-ran the two
+    # explodes off the cached ranked arrays every call (~15% of the
+    # warm wall), and at scale the caches are scan-sized, disk-backed.
+    prefix = (
+        ranked.selectExpr(
+            "doc_id AS doc_sub",
+            "n AS n_sub",
+            f"posexplode(slice(rk, 1, {pref_len})) AS (i0, r)",
+        )
+        .filter("r.df >= 2")
+        .selectExpr("doc_sub", "n_sub", "i0 + 1 AS i", "r.sh AS sh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    index = (
+        ranked.selectExpr(
+            "doc_id AS doc_sup", "n AS n_sup", "posexplode(rk) AS (j0, r)"
+        )
+        .filter("r.df >= 2")
+        .selectExpr("doc_sup", "n_sup", "j0 + 1 AS j", "r.sh AS sh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # required overlap t = ⌈c·n_sub⌉ and effective prefix length,
     # all-integer; the size bound is pair-invariant so filtering it
     # BEFORE the aggregate cannot undercount cnt
