@@ -1644,6 +1644,209 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic pruning (k-means cells, not all-pairs)
+# ---------------------------------------------------------------------------
+
+# Block-tiling factor for the within-cell pair scan: bounds one task at
+# (|cell|/SEMDEDUP_BLOCKS)² comparisons.  Grows with corpus size together
+# with the centroid count (the SemDeDup paper's own scaling knobs: more
+# clusters + finer tiles keep each tile executor-sized at any corpus).
+SEMDEDUP_BLOCKS = 2
+
+
+def semdedup_cell_prune(
+    embeddings: DataFrame,
+    threshold: float = NEAR_DUP_COSINE,
+    *,
+    n_blocks: int = SEMDEDUP_BLOCKS,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public work):
+    semantic dedup that only compares embeddings WITHIN a trained
+    k-means cell, never across the corpus — the approximation that
+    makes semantic dedup tractable at 100 TB, where
+    :func:`dedup_semantic_clusters`' exact tiled all-pairs scan is
+    quadratic in the CORPUS and this is quadratic only in the largest
+    CELL (Σ|cell|² work, bounded by growing the centroid count with
+    the corpus).
+
+    Pipeline: train the codebook with the same two distributed Lloyd
+    rounds as :func:`ivf_kmeans_codebook` (integer code space — exact
+    cross-engine), assign every vector to its max-cosine cell in one
+    Arrow-batched kernel (quantized integer dots, stable tie-break to
+    the smaller cell id — the oracle's ROW_NUMBER order), then scan
+    each cell's block-pair tiles for RAW-embedding cosine ≥ threshold
+    (BLAS screen with slack, :func:`_fold_dots`-order exact re-score —
+    the :func:`embedding_near_duplicates` kernel contract, so the
+    threshold decision is bit-identical to DuckDB's
+    ``list_dot_product``).  The keep rule is deterministic: a vector is
+    pruned iff a SMALLER vec_id in its cell clears the threshold, and
+    ``kept_id`` reports the smallest such keeper — no float centroid
+    distances in the decision, so the whole result hash-matches the
+    unrolled oracle.
+
+    Returns (cell, vec_id, kept_id): one row per pruned vector.
+
+    Scale shape: the trainer's state is ≤ |cells|·(dim+1) integers on
+    the driver; assignment is map-side; the only data-sized shuffle is
+    the tile repartition (replication bounded at (n_blocks+1)/2 per
+    row); pair output is dup-density-scaled and reduces by ONE
+    groupBy.  Nothing corpus-sized is collected or broadcast."""
+    import numpy as np
+
+    from .dedup import _repartition_if_narrow
+
+    spark = embeddings.sparkSession
+    emb = _repartition_if_narrow(embeddings, cap=8)
+    cent_ids, _counts, cents = kmeans_codebook_train(emb)
+    live = (cents * cents).sum(axis=1) > 0
+    cent_ids, cent_mat = cent_ids[live], cents[live]
+    # trainer emits ids ascending; stable argsort then breaks cosine
+    # ties toward the smaller cell id, mirroring the oracle ROW_NUMBER
+    cent_nrm = np.sqrt((cent_mat * cent_mat).sum(axis=1))
+    mn, mx = _sq_minmax_np(embeddings)
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            raw = pdf["embedding"]
+            q = _np_quantize(np.vstack(raw.to_numpy()).astype(np.float64), mn, mx)
+            nrm = (q * q).sum(axis=1)
+            keep = nrm > 0  # zero-norm codes have no defined cell (oracle `sized`)
+            if not keep.any():
+                continue
+            cos = (q[keep] @ cent_mat.T) / (
+                np.sqrt(nrm[keep])[:, None] * cent_nrm[None, :]
+            )
+            cell = cent_ids[np.argsort(-cos, axis=1, kind="stable")[:, 0]]
+            yield pd.DataFrame(
+                {"cell": cell, "vec_id": ids[keep], "embedding": raw[keep]}
+            )
+
+    assigned = embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, "cell long, vec_id long, embedding array<float>"
+    )
+
+    blocks = assigned.withColumn(
+        "blk", (F.col("vec_id") % n_blocks).cast("int")
+    )
+    tile_rows = [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j]
+    tiles = spark.createDataFrame(tile_rows, "i int, j int")
+    side_a = blocks.join(F.broadcast(tiles), F.col("blk") == F.col("i")).select(
+        "cell", "i", "j", F.lit(0).alias("side"), "vec_id", "embedding"
+    )
+    side_c = blocks.join(F.broadcast(tiles), F.col("blk") == F.col("j")).select(
+        "cell", "i", "j", F.lit(1).alias("side"), "vec_id", "embedding"
+    )
+    # explicit tile partitioning for the same reason as
+    # embedding_near_duplicates: tiles are quadratic in COMPUTE while
+    # tiny in bytes, so AQE's byte-sized coalescing would serialize them
+    n_groups = max(1, len(cent_ids)) * len(tile_rows)
+    tiled = side_a.unionByName(side_c).repartition(
+        min(n_groups, 64), "cell", "i", "j"
+    )
+
+    slack = 1e-9
+
+    def cell_pairs(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        cell, i, j = key
+        empty = pd.DataFrame(
+            {
+                "cell": pd.array([], dtype="int64"),
+                "id1": pd.array([], dtype="int64"),
+                "id2": pd.array([], dtype="int64"),
+            }
+        )
+        a = pdf[pdf["side"] == 0]
+        if len(a) == 0:
+            return empty
+        a_ids = a["vec_id"].to_numpy()
+        a_mat = np.vstack(a["embedding"].to_numpy()).astype(np.float64)
+        a_sims = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+        if i == j:
+            sims = a_sims @ a_sims.T
+            r, c = np.nonzero(np.triu(sims >= threshold - slack, k=1))
+            id1, id2 = a_ids[r], a_ids[c]
+            m1, m2 = a_mat[r], a_mat[c]
+        else:
+            c_rows = pdf[pdf["side"] == 1]
+            if len(c_rows) == 0:
+                return empty
+            c_ids = c_rows["vec_id"].to_numpy()
+            c_mat = np.vstack(c_rows["embedding"].to_numpy()).astype(np.float64)
+            sims = a_sims @ (c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)).T
+            r, c = np.nonzero(sims >= threshold - slack)
+            id1, id2 = a_ids[r], c_ids[c]
+            m1, m2 = a_mat[r], c_mat[c]
+        if len(id1) == 0:
+            return empty
+        # exact fold-order re-score decides membership (BLAS only screens)
+        acc = m1[:, 0] * m2[:, 0]
+        n1 = m1[:, 0] * m1[:, 0]
+        n2 = m2[:, 0] * m2[:, 0]
+        for d in range(1, m1.shape[1]):
+            acc += m1[:, d] * m2[:, d]
+            n1 += m1[:, d] * m1[:, d]
+            n2 += m2[:, d] * m2[:, d]
+        keep = acc / (np.sqrt(n1) * np.sqrt(n2)) >= threshold
+        lo = np.minimum(id1[keep], id2[keep])
+        hi = np.maximum(id1[keep], id2[keep])
+        return pd.DataFrame(
+            {"cell": np.full(len(lo), cell, dtype=np.int64), "id1": lo, "id2": hi}
+        )
+
+    pairs = tiled.groupBy("cell", "i", "j").applyInPandas(
+        cell_pairs, "cell long, id1 long, id2 long"
+    )
+    return pairs.groupBy("cell", F.col("id2").alias("vec_id")).agg(
+        F.min("id1").alias("kept_id")
+    )
+
+
+def _duck_semdedup_sql() -> str:
+    """Ground-truth oracle: the shared two-round k-means CTEs train the
+    codebook, every vector gets its ROW_NUMBER max-cosine cell, and the
+    within-cell pair scan + keep rule replay as plain SQL over the raw
+    embeddings — full co-occurrence within each cell, so the hash
+    compare also proves the Spark side's block tiling lost no pair."""
+    return f"""
+WITH {_duck_kmeans_ctes()}, cb AS (
+  SELECT cell_id, cv, list_dot_product(cv, cv) AS cn FROM (
+    SELECT cell_id, [{_duck_kmeans_mean_list()}]::DOUBLE[] AS cv FROM s2
+  ) WHERE list_dot_product(cv, cv) > 0
+), cc AS (
+  SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+             list_dot_product(s.qv, c.cv) / (SQRT(s.nrm) * SQRT(c.cn)) DESC,
+             c.cell_id) AS rn
+    FROM sized s, cb c
+  ) WHERE rn = 1
+), prs AS (
+  SELECT x.cell, x.vec_id AS id1, y.vec_id AS id2
+  FROM cc x JOIN cc y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  JOIN embeddings a ON a.vec_id = x.vec_id
+  JOIN embeddings c ON c.vec_id = y.vec_id
+  WHERE {_DUCK_COS_AC} >= {NEAR_DUP_COSINE}
+)
+SELECT cell, id2 AS vec_id, MIN(id1) AS kept_id
+FROM prs GROUP BY cell, id2
+"""
+
+
+@query("semdedup_cell_prune", _duck_semdedup_sql())
+def semdedup_prune_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semdedup_cell_prune(load_tables(spark, sf_dir)["embeddings"])
+
+
+# ---------------------------------------------------------------------------
 # ANN quality metric: recall@k of the approximate paths vs exact
 # ---------------------------------------------------------------------------
 

@@ -127,6 +127,28 @@ class TestSimilarity:
         out = embedding_near_duplicates(tables["embeddings"], threshold=0.45).collect()
         assert all(r.id1 < r.id2 and r.cos_sim >= 0.45 for r in out)
 
+    def test_semdedup_prune_is_cell_scoped_subset(self, spark, tables):
+        """Every SemDeDup prune decision must be backed by a GLOBAL
+        near-dup pair (cluster scoping can only remove comparisons,
+        never invent them), the keeper must be the smaller id, and a
+        pruned vector whose keeper sits in another cell must NOT appear
+        (the cell-scoping semantics, not a bug)."""
+        from duckdb_extension_kafquack_spark.operators.similarity import (
+            NEAR_DUP_COSINE,
+            embedding_near_duplicates,
+            semdedup_cell_prune,
+        )
+
+        emb = tables["embeddings"]
+        global_pairs = {
+            (r.id1, r.id2) for r in embedding_near_duplicates(emb).collect()
+        }
+        pruned = semdedup_cell_prune(emb, threshold=NEAR_DUP_COSINE).collect()
+        assert pruned, "fixture should produce at least one semantic dup"
+        for r in pruned:
+            assert r.kept_id < r.vec_id
+            assert (r.kept_id, r.vec_id) in global_pairs
+
     def test_oversized_query_batch_is_rejected(self, spark, tables, monkeypatch):
         """The ANN kernels close over a driver-side copy of the query
         batch; a corpus-proportional query set must fail fast with the

@@ -646,3 +646,19 @@ def test_padding_efficiency_partial_agg(spark):
     assert has_partial_aggregation(df)
     assert "Join" not in executed_plan(df)
     assert count_exchanges(df) == 1
+
+
+def test_semdedup_cell_prune_hint_and_tile_hygiene(spark):
+    """SemDeDup's only forced broadcasts are the two hints on the
+    (n_blocks²)-row tile literal — a design constant, never
+    corpus-scaled (the broadcast-hint policy); the within-cell pair
+    scan reaches the kernel through equi-joins on (cell, i, j), so
+    there is no cartesian product and nothing corpus-sized crosses the
+    driver.  The quadratic work lives INSIDE each tile's kernel."""
+    from duckdb_extension_kafquack_spark.plans import broadcast_hint_count
+
+    df = REGISTRY["semdedup_cell_prune"].fn(spark, SF_DIR)
+    assert broadcast_hint_count(df) == 2
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the tile kernel
