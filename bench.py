@@ -98,6 +98,7 @@ HEADLINE = [
     "engagement_weighted_sample",
     "user_behavior_entropy",
     "corpus_summary_card",
+    "semdedup_cell_prune",
     "streaming_incremental_dedup",
     "streaming_incremental_dedup_stored",
 ]
