@@ -1654,6 +1654,54 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_BLOCKS = 2
 
 
+def _trained_cell_assigner(embeddings: DataFrame):
+    """Train the codebook (two integer Lloyd rounds) and return an
+    Arrow-batched assignment kernel: a generator closing over the live
+    centroids + quantizer stats that maps (vec_id, embedding) batches to
+    (cell, vec_id, embedding) rows — max-cosine cell on exact integer
+    code dots, stable tie toward the smaller cell id (the oracle's
+    ROW_NUMBER order).  Stateless, so it runs identically under
+    ``mapInPandas`` on a BATCH frame and on a STREAMING micro-batch
+    (the streaming twin's ingest-side assignment)."""
+    import numpy as np
+
+    from .dedup import _repartition_if_narrow
+
+    cent_ids, _counts, cents = kmeans_codebook_train(
+        _repartition_if_narrow(embeddings, cap=8)
+    )
+    live = (cents * cents).sum(axis=1) > 0
+    cent_ids, cent_mat = cent_ids[live], cents[live]
+    # trainer emits ids ascending; stable argsort then breaks cosine
+    # ties toward the smaller cell id, mirroring the oracle ROW_NUMBER
+    cent_nrm = np.sqrt((cent_mat * cent_mat).sum(axis=1))
+    mn, mx = _sq_minmax_np(embeddings)
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            raw = pdf["embedding"]
+            q = _np_quantize(np.vstack(raw.to_numpy()).astype(np.float64), mn, mx)
+            nrm = (q * q).sum(axis=1)
+            keep = nrm > 0  # zero-norm codes have no defined cell (oracle `sized`)
+            if not keep.any():
+                continue
+            cos = (q[keep] @ cent_mat.T) / (
+                np.sqrt(nrm[keep])[:, None] * cent_nrm[None, :]
+            )
+            cell = cent_ids[np.argsort(-cos, axis=1, kind="stable")[:, 0]]
+            yield pd.DataFrame(
+                {"cell": cell, "vec_id": ids[keep], "embedding": raw[keep]}
+            )
+
+    return assign, len(cent_ids)
+
+
 def semdedup_cell_prune(
     embeddings: DataFrame,
     threshold: float = NEAR_DUP_COSINE,
@@ -1691,42 +1739,8 @@ def semdedup_cell_prune(
     the tile repartition (replication bounded at (n_blocks+1)/2 per
     row); pair output is dup-density-scaled and reduces by ONE
     groupBy.  Nothing corpus-sized is collected or broadcast."""
-    import numpy as np
-
-    from .dedup import _repartition_if_narrow
-
     spark = embeddings.sparkSession
-    emb = _repartition_if_narrow(embeddings, cap=8)
-    cent_ids, _counts, cents = kmeans_codebook_train(emb)
-    live = (cents * cents).sum(axis=1) > 0
-    cent_ids, cent_mat = cent_ids[live], cents[live]
-    # trainer emits ids ascending; stable argsort then breaks cosine
-    # ties toward the smaller cell id, mirroring the oracle ROW_NUMBER
-    cent_nrm = np.sqrt((cent_mat * cent_mat).sum(axis=1))
-    mn, mx = _sq_minmax_np(embeddings)
-
-    def assign(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf["vec_id"].to_numpy().astype(np.int64)
-            raw = pdf["embedding"]
-            q = _np_quantize(np.vstack(raw.to_numpy()).astype(np.float64), mn, mx)
-            nrm = (q * q).sum(axis=1)
-            keep = nrm > 0  # zero-norm codes have no defined cell (oracle `sized`)
-            if not keep.any():
-                continue
-            cos = (q[keep] @ cent_mat.T) / (
-                np.sqrt(nrm[keep])[:, None] * cent_nrm[None, :]
-            )
-            cell = cent_ids[np.argsort(-cos, axis=1, kind="stable")[:, 0]]
-            yield pd.DataFrame(
-                {"cell": cell, "vec_id": ids[keep], "embedding": raw[keep]}
-            )
-
+    assign, n_cells = _trained_cell_assigner(embeddings)
     assigned = embeddings.select("vec_id", "embedding").mapInPandas(
         assign, "cell long, vec_id long, embedding array<float>"
     )
@@ -1745,7 +1759,7 @@ def semdedup_cell_prune(
     # explicit tile partitioning for the same reason as
     # embedding_near_duplicates: tiles are quadratic in COMPUTE while
     # tiny in bytes, so AQE's byte-sized coalescing would serialize them
-    n_groups = max(1, len(cent_ids)) * len(tile_rows)
+    n_groups = max(1, n_cells) * len(tile_rows)
     tiled = side_a.unionByName(side_c).repartition(
         min(n_groups, 64), "cell", "i", "j"
     )
@@ -1844,6 +1858,103 @@ FROM prs GROUP BY cell, id2
 @query("semdedup_cell_prune", _duck_semdedup_sql())
 def semdedup_prune_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_cell_prune(load_tables(spark, sf_dir)["embeddings"])
+
+
+# ---------------------------------------------------------------------------
+# Incremental semantic dedup: an arriving embedding batch vs the corpus
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_BATCH_MOD = 10  # vec_id % 10 == 0 → the arriving batch (~10%)
+
+
+def semdedup_incremental(
+    embeddings: DataFrame,
+    batch_mod: int = SEMDEDUP_BATCH_MOD,
+    threshold: float = NEAR_DUP_COSINE,
+) -> DataFrame:
+    """Semantic twin of :func:`..operators.dedup.incremental_dedup_report`:
+    classify an ARRIVING embedding batch against the existing corpus,
+    comparing only within the batch row's k-means cell (the SemDeDup
+    scoping) — the embedding-side ingest gate that keeps a nightly crawl
+    from re-adding paraphrases of documents the corpus already holds.
+
+    The codebook is trained once over all vectors (both engines — the
+    shared two-Lloyd-round CTEs), cells are assigned by the same
+    Arrow-batched kernel as :func:`semdedup_cell_prune`, and the
+    batch × corpus comparison is ONE equi-join on `cell` with the
+    ARRIVING side broadcast (the `dedup_incremental` precedent: the
+    batch is bounded by ingest size, never corpus-scaled, so the hint
+    is design-legal and the corpus side never shuffles).  The cosine
+    decision is the unrolled left-associated JVM dot
+    (:func:`_dot_sql` — bit-identical to ``list_dot_product``) over
+    precomputed norms, entirely inside whole-stage codegen: no Python
+    in the per-pair hot path, pair fan-out bounded at
+    |batch_cell| × |corpus_cell| per cell.
+
+    Returns (cell, vec_id, kept_id, n_dups): one row per arriving
+    vector that duplicates ≥1 corpus vector in its cell — kept_id is
+    the smallest such corpus keeper."""
+    assign, _n_cells = _trained_cell_assigner(embeddings)
+    assigned = embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, "cell long, vec_id long, embedding array<float>"
+    )
+    nrm = f"sqrt({_dot_sql('embedding', 'embedding')})"
+    batch = assigned.filter(F.col("vec_id") % batch_mod == 0).selectExpr(
+        "cell", "vec_id", "embedding AS e1", f"{nrm} AS n1"
+    )
+    corp = assigned.filter(F.col("vec_id") % batch_mod != 0).selectExpr(
+        "cell", "vec_id AS corpus_id", "embedding AS e2", f"{nrm} AS n2"
+    )
+    cos = f"({_dot_sql('e1', 'e2')}) / (n1 * n2)"
+    flagged = (
+        F.broadcast(batch)
+        .join(corp, "cell")
+        .filter(F.expr(f"{cos} >= {threshold}"))
+        .select("cell", "vec_id", "corpus_id")
+    )
+    return flagged.groupBy("cell", "vec_id").agg(
+        F.min("corpus_id").alias("kept_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+    )
+
+
+def _duck_semdedup_incr_sql() -> str:
+    """Shared by the batch query and the streaming twin: trained cells,
+    then the batch-vs-corpus within-cell pair scan + per-arrival rollup
+    as plain SQL over raw embeddings (ground truth — full within-cell
+    co-occurrence, so the hash compare proves the Spark join's
+    broadcast shape and the streaming micro-batching both lossless)."""
+    return f"""
+WITH {_duck_kmeans_ctes()}, cb AS (
+  SELECT cell_id, cv, list_dot_product(cv, cv) AS cn FROM (
+    SELECT cell_id, [{_duck_kmeans_mean_list()}]::DOUBLE[] AS cv FROM s2
+  ) WHERE list_dot_product(cv, cv) > 0
+), cc AS (
+  SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+             list_dot_product(s.qv, c.cv) / (SQRT(s.nrm) * SQRT(c.cn)) DESC,
+             c.cell_id) AS rn
+    FROM sized s, cb c
+  ) WHERE rn = 1
+), prs AS (
+  SELECT x.cell, x.vec_id, y.vec_id AS corpus_id
+  FROM cc x JOIN cc y ON x.cell = y.cell
+   AND x.vec_id % {SEMDEDUP_BATCH_MOD} = 0
+   AND y.vec_id % {SEMDEDUP_BATCH_MOD} <> 0
+  JOIN embeddings a ON a.vec_id = x.vec_id
+  JOIN embeddings c ON c.vec_id = y.vec_id
+  WHERE {_DUCK_COS_AC} >= {NEAR_DUP_COSINE}
+)
+SELECT cell, vec_id, MIN(corpus_id) AS kept_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM prs GROUP BY cell, vec_id
+"""
+
+
+@query("semdedup_incremental", _duck_semdedup_incr_sql())
+def semdedup_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semdedup_incremental(load_tables(spark, sf_dir)["embeddings"])
 
 
 # ---------------------------------------------------------------------------

@@ -986,6 +986,95 @@ def streaming_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# streaming semantic dedup: arriving embeddings vs the corpus, cell-scoped
+# ---------------------------------------------------------------------------
+
+def _emb_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table as a file stream (vector-side ingest)."""
+    from ..session import ensure_session_conf
+
+    ensure_session_conf(spark)
+    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _duck_streaming_semdedup_sql() -> str:
+    from ..operators.similarity import _duck_semdedup_incr_sql
+
+    return _duck_semdedup_incr_sql()
+
+
+def _build_semdedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagged (cell, arriving vec, corpus keeper) pair stream:
+    cell assignment on the arriving micro-batch (stateless mapInPandas),
+    stream-static inner join on `cell` against the corpus's assigned
+    vectors (UNHINTED — corpus-scaled), unrolled-JVM-dot cosine gate in
+    the join filter.  Split out of the registered query so the plan
+    tests can pin the hint budget without draining a stream."""
+    from ..operators.similarity import (
+        NEAR_DUP_COSINE,
+        SEMDEDUP_BATCH_MOD,
+        _dot_sql,
+        _trained_cell_assigner,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    assign, _n_cells = _trained_cell_assigner(emb)
+    nrm = f"sqrt({_dot_sql('embedding', 'embedding')})"
+    corp = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(assign, "cell long, vec_id long, embedding array<float>")
+        .filter(F.col("vec_id") % SEMDEDUP_BATCH_MOD != 0)
+        .selectExpr("cell", "vec_id AS corpus_id", "embedding AS e2", f"{nrm} AS n2")
+    )
+    arriving = (
+        _emb_stream(spark, sf_dir)
+        .filter(F.col("vec_id") % SEMDEDUP_BATCH_MOD == 0)
+        .select("vec_id", "embedding")
+        .mapInPandas(assign, "cell long, vec_id long, embedding array<float>")
+        .selectExpr("cell", "vec_id", "embedding AS e1", f"{nrm} AS n1")
+    )
+    cos = f"({_dot_sql('e1', 'e2')}) / (n1 * n2)"
+    return (
+        arriving.join(corp, "cell")
+        .filter(F.expr(f"{cos} >= {NEAR_DUP_COSINE}"))
+        .select("cell", "vec_id", "corpus_id")
+    )
+
+
+@query("streaming_semdedup_incremental", _duck_streaming_semdedup_sql())
+def streaming_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`..operators.similarity.semdedup_incremental` at INGEST:
+    arriving embeddings stream through cell assignment (the SAME
+    Arrow-batched kernel — `mapInPandas` is stateless, so it runs
+    unchanged on a streaming micro-batch) and a stream-static inner
+    join against the corpus's cell-assigned vectors; the cosine gate is
+    the unrolled JVM dot inside the join filter, so the stream carries
+    zero state and the sink holds only flagged (cell, arrival, corpus)
+    matches.  The corpus relation joins UNHINTED (corpus-scaled — the
+    broadcast-hint policy; inside a streaming plan the static planner
+    estimate decides and degrades safely to a shuffle at scale).  The
+    codebook trains batch-side once before the stream starts — exactly
+    the production order (nightly index build, then ingest).  Shares
+    the batch oracle: the hash match proves micro-batching changed
+    nothing."""
+    flagged = _build_semdedup_stream(spark, sf_dir)
+    run_stream_to_table(flagged, "stream_semdedup_incr", "append")
+    return (
+        spark.table("stream_semdedup_incr")
+        .groupBy("cell", "vec_id")
+        .agg(
+            F.min("corpus_id").alias("kept_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming Bloom gate: constant-state seen-before filtering on ingest
 # ---------------------------------------------------------------------------
 

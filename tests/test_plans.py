@@ -662,3 +662,29 @@ def test_semdedup_cell_prune_hint_and_tile_hygiene(spark):
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "FlatMapGroupsInPandas" in plan  # the tile kernel
+
+
+def test_semdedup_incremental_broadcasts_arriving_side_only(spark):
+    """The batch-vs-corpus semantic classify may hint ONLY the arriving
+    batch (ingest-bounded — the dedup_incremental precedent); the
+    corpus side must reach the cell join unhinted.  One hint total."""
+    from duckdb_extension_kafquack_spark.plans import broadcast_hint_count
+
+    df = REGISTRY["semdedup_incremental"].fn(spark, SF_DIR)
+    assert broadcast_hint_count(df) == 1
+    assert "CartesianProduct" not in executed_plan(df)
+
+
+def test_streaming_semdedup_no_corpus_broadcast_hints(spark):
+    """The streaming twin's static side IS the corpus (cell-assigned
+    vectors): zero broadcast hints anywhere in the stream plan — the
+    static planner estimate decides, degrading safely to a shuffle at
+    scale (AQE is unavailable inside streaming plans)."""
+    from duckdb_extension_kafquack_spark.plans import broadcast_hint_count
+    from duckdb_extension_kafquack_spark.streaming.windows import (
+        _build_semdedup_stream,
+    )
+
+    df = _build_semdedup_stream(spark, SF_DIR)
+    assert df.isStreaming
+    assert broadcast_hint_count(df) == 0
