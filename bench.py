@@ -99,8 +99,10 @@ HEADLINE = [
     "user_behavior_entropy",
     "corpus_summary_card",
     "semdedup_cell_prune",
+    "semdedup_incremental",
     "streaming_incremental_dedup",
     "streaming_incremental_dedup_stored",
+    "streaming_semdedup_incremental",
 ]
 
 
