@@ -107,6 +107,13 @@ def main() -> None:
         "~7× faster (6.56s → ~0.9s) — both engines got faster on the",
         "same semantics; the ratio moved against Spark while the Spark",
         "row itself halved (3.17s → 1.8s).",
+        "Sub-second rows whose plans lean on a persisted relation",
+        "(`text_bigram_surprisal`, `dedup_containment`) read ~0.1-0.2 s",
+        "slower here than in bench.py's isolated sessions (0.50 vs 0.38 /",
+        "0.68 vs 0.49 this round): this tool runs all ~80 queries in ONE",
+        "shared session, so their caches contend with the whole suite's",
+        "persisted state — the driver's BENCH_r{N}.json is the",
+        "plan-cost-of-record for those rows.",
         "",
         "| query | spark (s) | duckdb (s) | ratio |",
         "|---|---|---|---|",
