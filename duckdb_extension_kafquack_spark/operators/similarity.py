@@ -1719,14 +1719,19 @@ def _trained_cell_assigner(embeddings: DataFrame, cache_key: str | None = None):
     return assign, len(cent_ids)
 
 
-def semdedup_cell_prune(
+def semdedup_cell_pairs(
     embeddings: DataFrame,
     threshold: float = NEAR_DUP_COSINE,
     *,
     n_blocks: int = SEMDEDUP_BLOCKS,
     cache_key: str | None = None,
 ) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public work):
+    """Within-cell cosine pairs (cell, id1, id2, cos_sim) with
+    ``cos_sim ≥ threshold`` (exact fold re-score) — the shared pair
+    generator under :func:`semdedup_cell_prune` (keep rule) and
+    :func:`semdedup_threshold_sweep` (operating-point calibration).
+
+    SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public work):
     semantic dedup that only compares embeddings WITHIN a trained
     k-means cell, never across the corpus — the approximation that
     makes semantic dedup tractable at 100 TB, where
@@ -1749,8 +1754,6 @@ def semdedup_cell_prune(
     ``kept_id`` reports the smallest such keeper — no float centroid
     distances in the decision, so the whole result hash-matches the
     unrolled oracle.
-
-    Returns (cell, vec_id, kept_id): one row per pruned vector.
 
     Scale shape: the trainer's state is ≤ |cells|·(dim+1) integers on
     the driver; assignment is map-side; the only data-sized shuffle is
@@ -1794,6 +1797,7 @@ def semdedup_cell_prune(
                 "cell": pd.array([], dtype="int64"),
                 "id1": pd.array([], dtype="int64"),
                 "id2": pd.array([], dtype="int64"),
+                "cos_sim": pd.array([], dtype="float64"),
             }
         )
         a = pdf[pdf["side"] == 0]
@@ -1827,15 +1831,39 @@ def semdedup_cell_prune(
             acc += m1[:, d] * m2[:, d]
             n1 += m1[:, d] * m1[:, d]
             n2 += m2[:, d] * m2[:, d]
-        keep = acc / (np.sqrt(n1) * np.sqrt(n2)) >= threshold
+        cos = acc / (np.sqrt(n1) * np.sqrt(n2))
+        keep = cos >= threshold
         lo = np.minimum(id1[keep], id2[keep])
         hi = np.maximum(id1[keep], id2[keep])
         return pd.DataFrame(
-            {"cell": np.full(len(lo), cell, dtype=np.int64), "id1": lo, "id2": hi}
+            {
+                "cell": np.full(len(lo), cell, dtype=np.int64),
+                "id1": lo,
+                "id2": hi,
+                "cos_sim": cos[keep],
+            }
         )
 
-    pairs = tiled.groupBy("cell", "i", "j").applyInPandas(
-        cell_pairs, "cell long, id1 long, id2 long"
+    return tiled.groupBy("cell", "i", "j").applyInPandas(
+        cell_pairs, "cell long, id1 long, id2 long, cos_sim double"
+    )
+
+
+def semdedup_cell_prune(
+    embeddings: DataFrame,
+    threshold: float = NEAR_DUP_COSINE,
+    *,
+    n_blocks: int = SEMDEDUP_BLOCKS,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """The SemDeDup keep rule over :func:`semdedup_cell_pairs`: a vector
+    is pruned iff a SMALLER vec_id in its cell clears the threshold;
+    ``kept_id`` is the smallest such keeper (deterministic — no float
+    centroid distances in the decision).  Returns (cell, vec_id,
+    kept_id): one row per pruned vector; reduces the dup-density-scaled
+    pair relation by ONE groupBy."""
+    pairs = semdedup_cell_pairs(
+        embeddings, threshold, n_blocks=n_blocks, cache_key=cache_key
     )
     return pairs.groupBy("cell", F.col("id2").alias("vec_id")).agg(
         F.min("id1").alias("kept_id")
@@ -1879,6 +1907,85 @@ def semdedup_prune_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memoizable by directory (the serve-tier contract; training cost
     # is measured on its own by ivf_kmeans_codebook)
     return semdedup_cell_prune(
+        load_tables(spark, sf_dir)["embeddings"], cache_key=sf_dir
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup operating-point sweep: prune volume vs cosine threshold
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_SWEEP = (0.35, 0.40, 0.45, 0.50, 0.55)
+
+
+def semdedup_threshold_sweep(
+    embeddings: DataFrame, *, cache_key: str | None = None
+) -> DataFrame:
+    """Operating-point table for the semantic-dedup threshold — the
+    semantic twin of :func:`..operators.dedup.threshold_sweep`: for each
+    candidate cosine threshold, how many within-cell pairs survive
+    (``n_pairs``) and how many vectors the keep rule would prune
+    (``n_pruned``, distinct vectors with a smaller same-cell neighbor
+    over the bar) — the curve a pipeline reads before committing a
+    threshold, because prune volume is what moves token counts.
+
+    The pair relation is generated ONCE at the sweep floor (the
+    expensive part — tile kernels); the sweep is an explode of that
+    dup-density-scaled relation plus one ≤|sweep|-row rollup.  Both
+    engines compare the same exact fold cosines against the same
+    decimal literals, so no boundary pair can flip."""
+    pairs = semdedup_cell_pairs(
+        embeddings, min(SEMDEDUP_SWEEP), cache_key=cache_key
+    )
+    t = F.explode(
+        F.array(*[F.lit(float(x)) for x in SEMDEDUP_SWEEP])
+    ).alias("threshold")
+    over = F.col("cos_sim") >= F.col("threshold")
+    return (
+        pairs.select("id2", "cos_sim", t)
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(over, 1).otherwise(0)).cast("bigint").alias("n_pairs"),
+            F.countDistinct(F.when(over, F.col("id2"))).cast("bigint").alias("n_pruned"),
+        )
+    )
+
+
+def _duck_semdedup_sweep_sql() -> str:
+    floor = min(SEMDEDUP_SWEEP)
+    lits = ", ".join(str(x) for x in SEMDEDUP_SWEEP)
+    return f"""
+WITH {_duck_kmeans_ctes()}, cb AS (
+  SELECT cell_id, cv, list_dot_product(cv, cv) AS cn FROM (
+    SELECT cell_id, [{_duck_kmeans_mean_list()}]::DOUBLE[] AS cv FROM s2
+  ) WHERE list_dot_product(cv, cv) > 0
+), cc AS (
+  SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+             list_dot_product(s.qv, c.cv) / (SQRT(s.nrm) * SQRT(c.cn)) DESC,
+             c.cell_id) AS rn
+    FROM sized s, cb c
+  ) WHERE rn = 1
+), prs AS (
+  SELECT x.cell, x.vec_id AS id1, y.vec_id AS id2, {_DUCK_COS_AC} AS cos_sim
+  FROM cc x JOIN cc y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  JOIN embeddings a ON a.vec_id = x.vec_id
+  JOIN embeddings c ON c.vec_id = y.vec_id
+  WHERE {_DUCK_COS_AC} >= {floor}
+), sw AS (
+  SELECT unnest([{lits}]) AS threshold
+)
+SELECT threshold,
+       CAST(SUM(CASE WHEN cos_sim >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN cos_sim >= threshold THEN id2 END) AS BIGINT) AS n_pruned
+FROM prs, sw GROUP BY threshold
+"""
+
+
+@query("semdedup_threshold_sweep", _duck_semdedup_sweep_sql())
+def semdedup_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semdedup_threshold_sweep(
         load_tables(spark, sf_dir)["embeddings"], cache_key=sf_dir
     )
 

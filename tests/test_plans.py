@@ -657,11 +657,12 @@ def test_semdedup_cell_prune_hint_and_tile_hygiene(spark):
     driver.  The quadratic work lives INSIDE each tile's kernel."""
     from duckdb_extension_kafquack_spark.plans import broadcast_hint_count
 
-    df = REGISTRY["semdedup_cell_prune"].fn(spark, SF_DIR)
-    assert broadcast_hint_count(df) == 2
-    plan = executed_plan(df)
-    assert "CartesianProduct" not in plan
-    assert "FlatMapGroupsInPandas" in plan  # the tile kernel
+    for name in ("semdedup_cell_prune", "semdedup_threshold_sweep"):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        assert broadcast_hint_count(df) == 2, name
+        plan = executed_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "FlatMapGroupsInPandas" in plan, name  # the tile kernel
 
 
 def test_semdedup_incremental_broadcasts_arriving_side_only(spark):
