@@ -81,6 +81,7 @@ def main() -> None:
         ivf_topk,
         kmeans_codebook_train,
         semdedup_cell_prune,
+        semdedup_incremental,
     )
     from duckdb_extension_kafquack_spark.operators.dedup import (
         incremental_dedup_report,
@@ -250,6 +251,9 @@ def main() -> None:
         # replica pair is a semantic dup) — judge against the pair
         # ceiling, not the linear floor
         bench("semdedup_cell_prune", k, lambda: semdedup_cell_prune(emb))
+        # batch-vs-corpus shape: broadcast batch side × corpus cell scan —
+        # pair fan-out |batch_cell|·|corpus_cell|, also a pair-model row
+        bench("semdedup_incremental", k, lambda: semdedup_incremental(emb))
         ev = replicate_events(k).localCheckpoint()
         bench("funnel_stages", k, lambda: funnel_stages(ev))
         bench("engagement_pagerank", k, lambda: engagement_pagerank(ev, docs))
