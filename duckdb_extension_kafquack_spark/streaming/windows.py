@@ -1023,7 +1023,7 @@ def _build_semdedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    assign, _n_cells = _trained_cell_assigner(emb, cache_key=sf_dir)
+    assign, _n_cells, _state = _trained_cell_assigner(emb, cache_key=sf_dir)
     nrm = f"sqrt({_dot_sql('embedding', 'embedding')})"
     corp = (
         emb.select("vec_id", "embedding")

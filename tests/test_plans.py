@@ -665,15 +665,21 @@ def test_semdedup_cell_prune_hint_and_tile_hygiene(spark):
         assert "FlatMapGroupsInPandas" in plan, name  # the tile kernel
 
 
-def test_semdedup_incremental_broadcasts_arriving_side_only(spark):
-    """The batch-vs-corpus semantic classify may hint ONLY the arriving
-    batch (ingest-bounded — the dedup_incremental precedent); the
-    corpus side must reach the cell join unhinted.  One hint total."""
+def test_semdedup_incremental_is_one_corpus_kernel_pass(spark):
+    """The batch-vs-corpus semantic classify closes the ingest-bounded
+    batch over ONE fused corpus kernel (the cosine_topk query-batch
+    contract — _bounded_collect caps the transfer): no join, no
+    broadcast hint, no cartesian; the only exchange is the per-arrival
+    rollup."""
     from duckdb_extension_kafquack_spark.plans import broadcast_hint_count
 
     df = REGISTRY["semdedup_incremental"].fn(spark, SF_DIR)
-    assert broadcast_hint_count(df) == 1
-    assert "CartesianProduct" not in executed_plan(df)
+    assert broadcast_hint_count(df) == 0
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
+    assert count_exchanges(df) <= 2
 
 
 def test_streaming_semdedup_no_corpus_broadcast_hints(spark):
