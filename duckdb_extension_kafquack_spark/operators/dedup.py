@@ -1295,25 +1295,45 @@ CONTAINMENT_THRESHOLD = CONTAINMENT_NUM / CONTAINMENT_DEN
 PREFIX_EXTRA = 4
 
 
-def _containment_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, stoks, n) per-doc distinct word-3-gram set — already as
-    60-bit md5 hashes (hash ONCE here; every downstream use — the
-    occurrence explode, the prefix ranking, the exact verify — works in
-    integer space, so the md5 is never recomputed per consumer and the
-    verify intersects bigint arrays, not shingle strings).  Map-side,
-    persisted.  A narrower projection than :func:`minhash_sig_sets` (no
-    minhash columns), so the CacheManager can never substitute it into
-    the minhash builders (different result ⇒ ``sameResult`` false)."""
+def _shingle_hash_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs): every word-3-gram POSITION's 60-bit md5 hash in
+    document order — ONE tokenize+shingle+hash materialization for the
+    whole word-shingle family (r10 verdict item 5):
+    :func:`_containment_sets` derives its distinct sets as
+    ``array_distinct(hs)`` and :func:`dup_span_coverage` its sorted
+    run-length stream as ``array_sort(hs)``, so the md5 pass over the
+    corpus text runs (and caches) once repo-wide instead of per
+    operator.  Occurrence-scaled (≈ corpus token count × 8 B) but
+    scan-sized and disk-backed.  The (doc_id, hs) projection is unique
+    to this helper, so the CacheManager cannot substitute it into any
+    other builder."""
     from pyspark import StorageLevel
 
     hash_t = "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
     return (
         _repartition_if_narrow(docs)
         .selectExpr("doc_id", "filter(split(text, ' '), t -> t != '') AS toks")
-        .selectExpr(
-            "doc_id",
-            f"array_distinct(transform({_SPARK_SHINGLES}, t -> {hash_t})) AS stoks",
-        )
+        .selectExpr("doc_id", f"transform({_SPARK_SHINGLES}, t -> {hash_t}) AS hs")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _containment_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, stoks, n) per-doc distinct word-3-gram set — already as
+    60-bit md5 hashes (hash ONCE, in the shared
+    :func:`_shingle_hash_stream`; every downstream use — the occurrence
+    explode, the prefix ranking, the exact verify — works in integer
+    space, so the md5 is never recomputed per consumer and the verify
+    intersects bigint arrays, not shingle strings).  Map-side off the
+    shared cache, persisted.  A narrower projection than
+    :func:`minhash_sig_sets` (no minhash columns), so the CacheManager
+    can never substitute it into the minhash builders (different
+    result ⇒ ``sameResult`` false)."""
+    from pyspark import StorageLevel
+
+    return (
+        _shingle_hash_stream(docs)
+        .selectExpr("doc_id", "array_distinct(hs) AS stoks")
         .selectExpr("doc_id", "stoks", "size(stoks) AS n")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -1420,10 +1440,12 @@ def containment_pairs(docs: DataFrame,
     # synthetic fixture's 27k-shingle vocabulary leaves only 207 of
     # 260k occurrences unique at sf0.1); on a real 100 TB corpus
     # singleton shingles dominate the index, so this is the filter that
-    # keeps the inverted index join sub-corpus-sized.  Both posexploded
-    # sides are persisted: the min-of-2 steady state re-ran the two
-    # explodes off the cached ranked arrays every call (~15% of the
-    # warm wall), and at scale the caches are scan-sized, disk-backed.
+    # keeps the inverted index join sub-corpus-sized.  Only the SMALL
+    # prefix side is persisted: caching the full posexploded index —
+    # occurrence-scaled, LARGER than the input scan — bought ~15% on
+    # this row's warm re-run while taxing every other query in a shared
+    # session with its cache footprint (r10 advice); it re-derives
+    # map-side off the cached ranked arrays instead.
     prefix = (
         ranked.selectExpr(
             "doc_id AS doc_sub",
@@ -1440,7 +1462,6 @@ def containment_pairs(docs: DataFrame,
         )
         .filter("r.df >= 2")
         .selectExpr("doc_sup", "n_sup", "j0 + 1 AS j", "r.sh AS sh")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # required overlap t = ⌈c·n_sub⌉ and effective prefix length,
     # all-integer; the size bound is pair-invariant so filtering it
@@ -1849,12 +1870,18 @@ def ensure_incremental_store(
     * a band-signature table bucketed on ``band_sig``
       (:func:`store_band_signatures`) — candidate generation joins it
       with bucket locality, no corpus re-shingling;
-    * a parquet store of the per-doc shingle sets ``(doc_id, stoks,
-      n)`` — the exact-Jaccard verify reads sets, never corpus text;
-    * a parquet store of the distinct corpus ``md5(text)`` keys — the
-      exact-duplicate gate.
+    * a shingle-set table ``(doc_id, stoks, n)`` BUCKETED on ``doc_id``
+      — the exact-Jaccard verify joins candidates against it with only
+      the (batch-scaled) candidate side shuffling;
+    * a distinct corpus ``md5(text)`` key table BUCKETED on ``h`` — the
+      exact-duplicate gate, again a one-sided shuffle per ingest.
 
-    Returns ``(bands_table, sets_path, hash_path)``."""
+    All three are bucketed+sorted tables so a micro-batch classify
+    (:func:`..streaming.windows._incr_classify`) moves ONLY arriving
+    rows: zero corpus-scaled shuffle per ingest — the property that
+    makes nightly dedup O(batch) at 100 TB.
+
+    Returns ``(bands_table, sets_table, hash_table)``."""
     import os
     import re
 
@@ -1874,19 +1901,26 @@ def ensure_incremental_store(
     warehouse = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
+    import shutil
+
+    from ..sources.files import write_bucketed
+
     bands_table = f"kafquack_corpus_bands_{tag}"
-    sets_path = os.path.join(warehouse, f"kafquack_corpus_sets_{tag}")
-    hash_path = os.path.join(warehouse, f"kafquack_corpus_hash_{tag}")
+    sets_table = f"kafquack_corpus_sets_{tag}"
+    hash_table = f"kafquack_corpus_hash_{tag}"
     docs = load_tables(spark, sf_dir)["documents"]
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     store_band_signatures(corpus, table=bands_table)
-    minhash_sig_sets(corpus).select("doc_id", "stoks", "n").write.mode(
-        "overwrite"
-    ).parquet(sets_path)
-    corpus.select(F.md5("text").alias("h")).distinct().write.mode(
-        "overwrite"
-    ).parquet(hash_path)
-    _INCR_STORES[sf_dir] = (bands_table, sets_path, hash_path)
+    for tbl, df, key in (
+        (sets_table, minhash_sig_sets(corpus).select("doc_id", "stoks", "n"), "doc_id"),
+        (hash_table, corpus.select(F.md5("text").alias("h")).distinct(), "h"),
+    ):
+        # idempotent rewrite, same as store_band_signatures: DROP leaves
+        # the managed location behind if a previous write died mid-flight
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(warehouse, tbl.lower()), ignore_errors=True)
+        write_bucketed(df, tbl, key)
+    _INCR_STORES[sf_dir] = (bands_table, sets_table, hash_table)
     return _INCR_STORES[sf_dir]
 
 
@@ -1944,17 +1978,14 @@ def dup_span_coverage(docs: DataFrame) -> DataFrame:
     stop-shingle ("the the the") causes no row expansion.  Everything is
     codegen expressions; no UDF, no collect, no all-pairs term anywhere
     — linear in corpus token count, the same profile as word-count.
-    """
-    hash_t = "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
+
+    Rides the shared :func:`_shingle_hash_stream` cache (r11): the
+    tokenize + 60-bit md5 pass is materialized once for the whole
+    word-shingle family; this operator only adds the sort + run-length
+    fold on top."""
     per_doc = (
-        docs.select(
-            "doc_id",
-            F.filter(F.split("text", " "), lambda t: t != "").alias("toks"),
-        )
-        .selectExpr(
-            "doc_id",
-            f"array_sort(transform({_SPARK_SHINGLES}, t -> {hash_t})) AS s",
-        )
+        _shingle_hash_stream(docs)
+        .selectExpr("doc_id", "array_sort(hs) AS s")
         .selectExpr(
             "doc_id",
             "s",
@@ -2027,8 +2058,9 @@ FROM agg
 
 @query("dedup_dup_span_coverage", _DUCK_DUP_SPAN_SQL)
 def dedup_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _repartition_if_narrow(load_tables(spark, sf_dir)["documents"])
-    return dup_span_coverage(docs)
+    # docs passed raw: _shingle_hash_stream repartitions (and must see
+    # the same plan as the containment family to share its cache entry)
+    return dup_span_coverage(load_tables(spark, sf_dir)["documents"])
 
 
 def _duck_cluster_histogram_sql() -> str:

@@ -737,19 +737,36 @@ def _incr_stream_side(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incr_classify(
-    s: DataFrame, corpus_hash: DataFrame, crel: DataFrame
+    s: DataFrame, corpus_hash: DataFrame, cbands: DataFrame, csets: DataFrame
 ) -> DataFrame:
-    """Per-doc (ex, nr) classification of the stream side against the
-    corpus state: exact dups via the md5 key set, near-dups via the
-    band join + inline exact-Jaccard verify, then the single stateful
-    per-doc flag aggregation.  The corpus-derived relations carry NO
-    broadcast hint — both grow linearly with the corpus, so a forced
+    """Per-doc (ex, nr) FLAG ROWS of the stream side against the corpus
+    state: exact dups via the md5 key set, near-dups via the band join
+    + inline exact-Jaccard verify.  A doc yields one row per band/key
+    match; the per-doc MAX over flags is batch-local (every row of an
+    arriving doc is in its own micro-batch), so the reduction happens
+    INSIDE each micro-batch (:func:`_incr_batch_partials`) — no
+    stateful operator.  The corpus-derived relations carry NO
+    broadcast hint — all grow linearly with the corpus, so a forced
     hint is a guaranteed driver OOM at 100 TB (the batch twin
     ``dedup_incremental`` broadcasts the ARRIVING side, which is the
     bounded one).  Stream-static joins support shuffled exchanges, and
     AQE is disabled inside stateful streaming plans, so Catalyst's
     STATIC size estimate picks the strategy per micro-batch — and
-    degrades safely to a shuffle at corpus scale."""
+    degrades safely to a shuffle at corpus scale.
+
+    Join order matters for the per-ingest shuffle bill: bands and
+    shingle sets join SEPARATELY (stream → bands on ``band_sig``, then
+    candidates → sets on ``corpus_doc``), so when the stores are
+    bucketed on exactly those keys (:func:`..operators.dedup.
+    ensure_incremental_store`) only arriving rows ever move — the old
+    shape pre-joined bands⋈sets per micro-batch, a corpus-scaled
+    shuffle on every ingest.  The band join deliberately drops the
+    ``band`` index from its keys: a cross-band ``band_sig`` collision
+    (md5 of the band's minhash run) only adds a candidate row that the
+    exact-Jaccard verify re-judges, and the per-doc MAX over flags is
+    insensitive to extra verified rows — while the single-key equi-join
+    is what lets the bucketed table's hash partitioning serve the join
+    shuffle-free on the corpus side."""
     from ..operators.dedup import JACCARD_THRESHOLD
 
     icnt = F.size(F.array_intersect("t1", "t2"))
@@ -758,17 +775,15 @@ def _incr_classify(
         & ((icnt / (F.col("n1") + F.col("n2") - icnt)) >= JACCARD_THRESHOLD),
         1,
     ).otherwise(0)
-    flagged = (
+    return (
         s.join(corpus_hash, "h", "left")
-        .join(crel, ["band", "band_sig"], "left")
+        .join(cbands, ["band_sig"], "left")
+        .join(csets, ["corpus_doc"], "left")
         .select(
             "doc_id", "source",
             F.coalesce(F.col("_ex"), F.lit(0)).alias("ex_flag"),
             near_flag.alias("nr_flag"),
         )
-    )
-    return flagged.groupBy("doc_id", "source").agg(
-        F.max("ex_flag").alias("ex"), F.max("nr_flag").alias("nr")
     )
 
 
@@ -789,52 +804,122 @@ def _build_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFra
         corpus.select(F.md5("text").alias("h")).distinct().withColumn("_ex", F.lit(1))
     )
     csig = minhash_sig_sets(corpus)
-    crel = minhash_bands(csig).select(
-        F.col("doc_id").alias("corpus_doc"), "band", "band_sig"
-    ).join(
-        csig.select(
-            F.col("doc_id").alias("corpus_doc"),
-            F.col("stoks").alias("t2"),
-            F.col("n").alias("n2"),
-        ),
-        "corpus_doc",
+    cbands = minhash_bands(csig).select(
+        F.col("doc_id").alias("corpus_doc"), "band_sig"
     )
-    return _incr_classify(_incr_stream_side(spark, sf_dir), corpus_hash, crel)
+    csets = csig.select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("stoks").alias("t2"),
+        F.col("n").alias("n2"),
+    )
+    return _incr_classify(
+        _incr_stream_side(spark, sf_dir), corpus_hash, cbands, csets
+    )
 
 
 def _build_incremental_dedup_stored_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The STORED-INDEX variant of the incremental-dedup stream: the
-    corpus state (band_sig-bucketed signature table, shingle-set
-    parquet, md5 key parquet — :func:`..operators.dedup.
-    ensure_incremental_store`) is built at most once per process, and
-    each micro-batch reads ONLY the stores: no corpus text re-read, no
-    signature recompute, ever.  This is the 100 TB nightly-ingest
+    corpus state (band_sig-bucketed signature table, doc_id-bucketed
+    shingle-set table, h-bucketed md5 key table — :func:`..operators.
+    dedup.ensure_incremental_store`) is built at most once per process,
+    and each micro-batch reads ONLY the stores: no corpus text re-read,
+    no signature recompute, ever.  This is the 100 TB nightly-ingest
     contract — re-shingling the corpus per ingest is the cost that
-    kills naive incremental dedup — and the bucketed band table gives
-    the candidate join bucket locality (one-sided shuffle) when the
-    planner degrades from broadcast.  Same unhinted-join policy as
+    kills naive incremental dedup — and because every store is bucketed
+    on exactly its join key (:func:`_incr_classify` joins each store
+    separately, single-key), the corpus side never shuffles per ingest:
+    only arriving rows move.  Same unhinted-join policy as
     :func:`_build_incremental_dedup_stream`; value-equal by
     construction (the stores persist exactly the relations the inline
     variant derives)."""
     from ..operators.dedup import ensure_incremental_store
 
-    bands_table, sets_path, hash_path = ensure_incremental_store(spark, sf_dir)
-    corpus_hash = spark.read.parquet(hash_path).withColumn("_ex", F.lit(1))
-    crel = (
-        spark.table(bands_table)
-        .select(F.col("doc_id").alias("corpus_doc"), "band", "band_sig")
-        .join(
-            spark.read.parquet(sets_path).select(
-                F.col("doc_id").alias("corpus_doc"),
-                F.col("stoks").alias("t2"),
-                F.col("n").alias("n2"),
-            ),
-            "corpus_doc",
-        )
+    bands_table, sets_table, hash_table = ensure_incremental_store(spark, sf_dir)
+    corpus_hash = spark.table(hash_table).withColumn("_ex", F.lit(1))
+    cbands = spark.table(bands_table).select(
+        F.col("doc_id").alias("corpus_doc"), "band_sig"
     )
-    return _incr_classify(_incr_stream_side(spark, sf_dir), corpus_hash, crel)
+    csets = spark.table(sets_table).select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("stoks").alias("t2"),
+        F.col("n").alias("n2"),
+    )
+    return _incr_classify(
+        _incr_stream_side(spark, sf_dir), corpus_hash, cbands, csets
+    )
+
+
+def _incr_batch_partials(batch_df: DataFrame) -> DataFrame:
+    """Per-source verdict counts of ONE arriving micro-batch: per-doc
+    MAX over the flag rows, then the four per-source counters.  Runs as
+    a plain BATCH plan inside ``foreachBatch`` — classification is
+    batch-local, so no stateful operator is needed and AQE stays
+    enabled for the micro-batch's joins (Spark disables AQE only in
+    stateful streaming plans)."""
+    per_doc = batch_df.groupBy("doc_id", "source").agg(
+        F.max("ex_flag").alias("ex"), F.max("nr_flag").alias("nr")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.count(F.when(F.col("ex") == 1, 1)).alias("n_exact_dup"),
+        F.count(F.when((F.col("ex") == 0) & (F.col("nr") == 1), 1)).alias("n_near_dup"),
+        F.count(F.when((F.col("ex") == 0) & (F.col("nr") == 0), 1)).alias("n_unique"),
+    )
+
+
+def _drain_incr_partials(flags: DataFrame, name: str) -> DataFrame:
+    """Drain the incremental-dedup flag stream through ``foreachBatch``,
+    accumulating O(sources) per-source partial counts per micro-batch,
+    and return the summed rollup as a driver-local relation.
+
+    This replaces the earlier complete-mode memory sink + stateful
+    per-doc aggregation, which held EVERY doc verdict in stream state
+    AND re-collected the whole verdict table to the driver each batch —
+    corpus-scaled driver memory at 100 TB.  Here the only cross-batch
+    state is the per-source counter quadruple (keyed by batch_id, so a
+    replayed micro-batch overwrites rather than double-counts its
+    partial — foreachBatch is at-least-once), and each micro-batch runs
+    as a normal AQE-planned batch query.  The rollup itself is a SQL
+    VALUES literal — a Catalyst LocalRelation, no job to read it."""
+    partials: dict[int, list] = {}
+
+    def handle(batch_df, batch_id: int) -> None:
+        partials[batch_id] = _incr_batch_partials(batch_df).collect()
+
+    with tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_") as ckpt:
+        q = (
+            flags.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    totals: dict[str, list[int]] = {}
+    for rows in partials.values():
+        for r in rows:
+            t = totals.setdefault(r["source"], [0, 0, 0, 0])
+            t[0] += r["n_batch"]
+            t[1] += r["n_exact_dup"]
+            t[2] += r["n_near_dup"]
+            t[3] += r["n_unique"]
+    spark = flags.sparkSession
+    if not totals:
+        return spark.sql(
+            "SELECT CAST(NULL AS STRING) AS source, CAST(NULL AS BIGINT) AS n_batch,"
+            " CAST(NULL AS BIGINT) AS n_exact_dup, CAST(NULL AS BIGINT) AS n_near_dup,"
+            " CAST(NULL AS BIGINT) AS n_unique WHERE 1 = 0"
+        )
+    vals = ", ".join(
+        "('{}', {}, {}, {}, {})".format(s.replace("'", "''"), *t)
+        for s, t in sorted(totals.items())
+    )
+    return spark.sql(
+        "SELECT col1 AS source, CAST(col2 AS BIGINT) AS n_batch,"
+        " CAST(col3 AS BIGINT) AS n_exact_dup, CAST(col4 AS BIGINT) AS n_near_dup,"
+        f" CAST(col5 AS BIGINT) AS n_unique FROM VALUES {vals}"
+    )
 
 
 @query("streaming_incremental_dedup", _duck_streaming_incr_sql())
@@ -846,31 +931,17 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-static band join against the corpus's precomputed MinHash
     band signatures (the live twin of ``store_band_signatures``) with
     the exact-Jaccard verify inline.  Signatures on the stream side are
-    map-only expressions (no state); the single stateful operator is the
-    per-doc flag aggregation, so the query scales as stream-static joins
-    do — the corpus index joins UNHINTED (shuffled when big, broadcast
+    map-only expressions; classification is batch-local, so the per-doc
+    and per-source reductions run INSIDE each micro-batch
+    (:func:`_drain_incr_partials`) and the stream carries no state at
+    all — the corpus index joins UNHINTED (shuffled when big, broadcast
     when Catalyst measures it small; see
-    :func:`_build_incremental_dedup_stream`), stream state is one row
-    per in-flight doc.  The per-source rollup reads the drained table.
-    No bucket cap on this join (the corpus side is the static index; the
-    oracle mirrors the uncapped join exactly)."""
-    per_doc = _build_incremental_dedup_stream(spark, sf_dir)
-    run_stream_to_table(per_doc, "stream_incr_dedup", "complete")
-    return _incr_rollup(spark, "stream_incr_dedup")
-
-
-def _incr_rollup(spark: SparkSession, table: str) -> DataFrame:
-    """Per-source rollup of a drained incremental-dedup verdict table."""
-    return (
-        spark.table(table)
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_batch"),
-            F.count(F.when(F.col("ex") == 1, 1)).alias("n_exact_dup"),
-            F.count(F.when((F.col("ex") == 0) & (F.col("nr") == 1), 1)).alias("n_near_dup"),
-            F.count(F.when((F.col("ex") == 0) & (F.col("nr") == 0), 1)).alias("n_unique"),
-        )
-    )
+    :func:`_build_incremental_dedup_stream`), and driver memory holds
+    only O(sources) counters.  No bucket cap on this join (the corpus
+    side is the static index; the oracle mirrors the uncapped join
+    exactly)."""
+    flags = _build_incremental_dedup_stream(spark, sf_dir)
+    return _drain_incr_partials(flags, "stream_incr_dedup")
 
 
 @query("streaming_incremental_dedup_stored", _duck_streaming_incr_sql())
@@ -888,9 +959,8 @@ def streaming_incremental_dedup_stored(spark: SparkSession, sf_dir: str) -> Data
     (the stores persist exactly the relations it derives), so the two
     queries share the DuckDB oracle — the hash match proves the
     store round-trip lossless."""
-    per_doc = _build_incremental_dedup_stored_stream(spark, sf_dir)
-    run_stream_to_table(per_doc, "stream_incr_dedup_stored", "complete")
-    return _incr_rollup(spark, "stream_incr_dedup_stored")
+    flags = _build_incremental_dedup_stored_stream(spark, sf_dir)
+    return _drain_incr_partials(flags, "stream_incr_dedup_stored")
 
 
 # ---------------------------------------------------------------------------

@@ -1434,6 +1434,35 @@ class TestHotBucketDegrade:
         assert normal == degraded and len(normal) == 300
 
 
+class TestSemdedupIncrementalDegrade:
+    def test_oversized_batch_degrades_to_cell_join(self, spark, tables, monkeypatch):
+        """An arriving batch beyond MAX_QUERY_BATCH must NOT raise (r10
+        advice): the query degrades to the streaming twin's cell-join
+        shape and produces the exact same verdicts as the fused-kernel
+        path."""
+        import numpy as np
+
+        from duckdb_extension_kafquack_spark.operators import similarity as sim
+
+        # synthetic corpus with guaranteed within-cell duplicates: 8 base
+        # directions, each repeated across ids that straddle the mod-10
+        # arriving/corpus split (identical vectors → cosine exactly 1)
+        rng = np.random.RandomState(7)
+        base = rng.rand(8, sim.DIM) + 0.1
+        rows = [
+            (int(i), [float(x) for x in base[i % 8]]) for i in range(120)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        normal = sorted(
+            map(tuple, sim.semdedup_incremental(emb, cache_key=None).collect())
+        )
+        monkeypatch.setattr(sim, "MAX_QUERY_BATCH", 5)
+        degraded = sorted(
+            map(tuple, sim.semdedup_incremental(emb, cache_key=None).collect())
+        )
+        assert normal == degraded and len(normal) > 0
+
+
 class TestCompaction:
     def test_file_count_and_rows_preserved(self, spark, tables, tmp_path):
         """64 tiny files compact to ceil(rows/target) files with every

@@ -18,6 +18,40 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
+def _streaming_floor(spark, sf_dir: str) -> float:
+    """Fixed cost of ONE availableNow micro-batch drain with near-zero
+    real work (documents file stream → per-source count → foreachBatch
+    collect), min-of-2 — the machinery constant (source listing, offset
+    WAL, micro-batch planning, start/stop) every streaming row pays
+    before its actual query work.  Read the streaming rows as
+    ``row − floor ≈ per-ingest classify cost`` (r10 verdict item 1)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        s = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        with tempfile.TemporaryDirectory(prefix="ckpt_floor_") as ckpt:
+            q = (
+                s.writeStream.foreachBatch(lambda df, _id: df.collect())
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        best = min(best, time.time() - t0)
+    return best
+
+
 def main() -> None:
     import duckdb
 
@@ -52,6 +86,9 @@ def main() -> None:
     # JVM enough that the same query swung 1.8s ↔ 2.7s between tool
     # runs while bench.py's isolated sessions measured it at 1.5s —
     # the interleaving measured cross-engine cache pollution, not plans.
+    floor_s = _streaming_floor(spark, sf_dir)
+    print(f"streaming fixed floor (trivial availableNow drain): {floor_s:.2f}s")
+
     spark_times: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
@@ -97,12 +134,23 @@ def main() -> None:
         "should be read per-row: `ann_int8_store_build` is the nightly",
         "index REBUILD isolated as its own row (its steady-state serve",
         "twins sit at ≤1×), and the two `streaming_incremental_dedup*`",
-        "rows run the REAL readStream → micro-batch → memory-sink",
-        "machinery end-to-end while their DuckDB column times a batch",
-        "SQL rollup of the same answer — the honest comparison for those",
-        "is stored-vs-inline (the stored index holds its lead from 16×",
-        "replication onward, SCALING.md) and the batch",
-        "`dedup_incremental` row, not the batch oracle's wall clock.",
+        "rows run REAL readStream → micro-batch machinery end-to-end",
+        "(foreachBatch per-source partials since round 11 — no state",
+        "store, O(sources) driver memory) while their DuckDB column",
+        "times a batch SQL rollup of the same answer — the honest",
+        "comparison for those is stored-vs-inline (the stored index",
+        "holds its lead from 16× replication onward, SCALING.md) and",
+        "the batch `dedup_incremental` row, not the batch oracle's",
+        "wall clock.",
+        "",
+        f"**Streaming fixed floor: {floor_s:.2f}s** — a trivial",
+        "availableNow drain (file-stream listing, offset WAL,",
+        "micro-batch plan+schedule, start/stop) with near-zero query",
+        "work, min-of-2.  Subtract it from any streaming row to read",
+        "the per-ingest classify cost; it is the machinery constant",
+        "that amortizes to irrelevance on a long-lived stream (it is",
+        "paid once per RUN here because every benched row cold-starts",
+        "its query), not a per-batch tax at steady state.",
         "The round-10 bigint-shingle oracle also made DUCKDB's ngram row",
         "~7× faster (6.56s → ~0.9s) — both engines got faster on the",
         "same semantics; the ratio moved against Spark while the Spark",
