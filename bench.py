@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_containment",
+    "dedup_containment_summary",
     "text_quality",
     "text_fingerprint",
     "ann_cosine_topk",

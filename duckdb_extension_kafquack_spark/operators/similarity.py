@@ -1720,6 +1720,52 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # clusters + finer tiles keep each tile executor-sized at any corpus).
 SEMDEDUP_BLOCKS = 2
 
+# Corpus-derived knob targets (r10 verdict item 3): grow the centroid
+# count to hold the EXPECTED cell at ~SEMDEDUP_TARGET_CELL vectors, and
+# the block count to hold one tile side at ~SEMDEDUP_TARGET_TILE — so a
+# tile's (side)² BLAS kernel stays executor-sized at any corpus.  At the
+# fixture scales (≤100k vectors) the formulas floor at the documented
+# constants (16 cells / 2 blocks), which the oracles mirror.
+SEMDEDUP_TARGET_CELL = 8192
+SEMDEDUP_TARGET_TILE = 4096
+
+
+def semdedup_knobs(n_vectors: int) -> tuple[int, int]:
+    """(n_centroids, n_blocks) for a corpus of ``n_vectors`` — the
+    SemDeDup growth law the docstrings state, as an executable default:
+    cells scale linearly with the corpus (expected |cell| ≈
+    SEMDEDUP_TARGET_CELL, so Σ|cell|² grows linearly, not
+    quadratically), and blocks scale with the expected cell so one
+    tile is ≤ SEMDEDUP_TARGET_TILE² comparisons.  Floors at the
+    fixture constants (IVF_CENTROIDS, SEMDEDUP_BLOCKS) — below ~131k
+    vectors the knobs are exactly the values the DuckDB oracles
+    hard-code, so registered-query results are unchanged at every
+    oracle-checked SF while a 100 TB corpus gets
+    corpus-proportional cells automatically."""
+    n_centroids = max(IVF_CENTROIDS, -(-n_vectors // SEMDEDUP_TARGET_CELL))
+    expected_cell = -(-max(1, n_vectors) // n_centroids)
+    n_blocks = max(SEMDEDUP_BLOCKS, -(-expected_cell // SEMDEDUP_TARGET_TILE))
+    return n_centroids, n_blocks
+
+
+def _embeddings_rowcount(sf_dir: str) -> int:
+    """Row count of ``sf_dir``'s embeddings table from parquet FOOTER
+    metadata only (no Spark job, no scan) — the corpus-size estimate
+    :func:`semdedup_knobs` needs before the plan is built.  Handles
+    both the single-file fixtures and directory-shaped replicas."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(p):
+        return sum(
+            pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(p).metadata.num_rows
+
 
 # Trained-codebook memo keyed by the caller-supplied cache_key (the
 # registered queries pass the fixture dir).  CONTRACT (r10 advice): a
@@ -1727,10 +1773,14 @@ SEMDEDUP_BLOCKS = 2
 # _IVF_CLOSURE_CACHE / _SQ_MINMAX_CACHE; passing a different frame
 # under a previously used key would silently serve the stale codebook,
 # so ad-hoc callers with mutable inputs must pass cache_key=None.
-_SEMDEDUP_ASSIGN_CACHE: dict[str, tuple] = {}
+_SEMDEDUP_ASSIGN_CACHE: dict[tuple, tuple] = {}
 
 
-def _trained_cell_assigner(embeddings: DataFrame, cache_key: str | None = None):
+def _trained_cell_assigner(
+    embeddings: DataFrame,
+    cache_key: str | None = None,
+    n_centroids: int = IVF_CENTROIDS,
+):
     """Train the codebook (two integer Lloyd rounds) and return an
     Arrow-batched assignment kernel: a generator closing over the live
     centroids + quantizer stats that maps (vec_id, embedding) batches to
@@ -1751,12 +1801,13 @@ def _trained_cell_assigner(embeddings: DataFrame, cache_key: str | None = None):
 
     from .dedup import _repartition_if_narrow
 
-    cached = _SEMDEDUP_ASSIGN_CACHE.get(cache_key) if cache_key is not None else None
+    memo_key = (cache_key, n_centroids) if cache_key is not None else None
+    cached = _SEMDEDUP_ASSIGN_CACHE.get(memo_key) if memo_key is not None else None
     if cached is not None:
         cent_ids, cent_mat, cent_nrm, mn, mx = cached
     else:
         cent_ids, _counts, cents = kmeans_codebook_train(
-            _repartition_if_narrow(embeddings, cap=8)
+            _repartition_if_narrow(embeddings, cap=8), n_centroids=n_centroids
         )
         live = (cents * cents).sum(axis=1) > 0
         cent_ids, cent_mat = cent_ids[live], cents[live]
@@ -1764,8 +1815,8 @@ def _trained_cell_assigner(embeddings: DataFrame, cache_key: str | None = None):
         # ties toward the smaller cell id, mirroring the oracle ROW_NUMBER
         cent_nrm = np.sqrt((cent_mat * cent_mat).sum(axis=1))
         mn, mx = _sq_minmax_np(embeddings)
-        if cache_key is not None:
-            _SEMDEDUP_ASSIGN_CACHE[cache_key] = (cent_ids, cent_mat, cent_nrm, mn, mx)
+        if memo_key is not None:
+            _SEMDEDUP_ASSIGN_CACHE[memo_key] = (cent_ids, cent_mat, cent_nrm, mn, mx)
 
     def assign(batches):
         import numpy as np
@@ -1797,6 +1848,7 @@ def semdedup_cell_pairs(
     threshold: float = NEAR_DUP_COSINE,
     *,
     n_blocks: int = SEMDEDUP_BLOCKS,
+    n_centroids: int = IVF_CENTROIDS,
     cache_key: str | None = None,
 ) -> DataFrame:
     """Within-cell cosine pairs (cell, id1, id2, cos_sim) with
@@ -1835,7 +1887,9 @@ def semdedup_cell_pairs(
     pair output is dup-density-scaled and reduces by ONE groupBy.
     Nothing corpus-sized is collected or broadcast."""
     spark = embeddings.sparkSession
-    assign, n_cells, _state = _trained_cell_assigner(embeddings, cache_key=cache_key)
+    assign, n_cells, _state = _trained_cell_assigner(
+        embeddings, cache_key=cache_key, n_centroids=n_centroids
+    )
     assigned = embeddings.select("vec_id", "embedding").mapInPandas(
         assign, "cell long, vec_id long, embedding array<float>"
     )
@@ -1940,6 +1994,7 @@ def semdedup_cell_prune(
     threshold: float = NEAR_DUP_COSINE,
     *,
     n_blocks: int = SEMDEDUP_BLOCKS,
+    n_centroids: int = IVF_CENTROIDS,
     cache_key: str | None = None,
 ) -> DataFrame:
     """The SemDeDup keep rule over :func:`semdedup_cell_pairs`: a vector
@@ -1949,7 +2004,11 @@ def semdedup_cell_prune(
     kept_id): one row per pruned vector; reduces the dup-density-scaled
     pair relation by ONE groupBy."""
     pairs = semdedup_cell_pairs(
-        embeddings, threshold, n_blocks=n_blocks, cache_key=cache_key
+        embeddings,
+        threshold,
+        n_blocks=n_blocks,
+        n_centroids=n_centroids,
+        cache_key=cache_key,
     )
     return pairs.groupBy("cell", F.col("id2").alias("vec_id")).agg(
         F.min("id1").alias("kept_id")
@@ -1991,9 +2050,15 @@ FROM prs GROUP BY cell, id2
 def semdedup_prune_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture tables are immutable per sf_dir: the trained codebook is
     # memoizable by directory (the serve-tier contract; training cost
-    # is measured on its own by ivf_kmeans_codebook)
+    # is measured on its own by ivf_kmeans_codebook).  Knobs derive
+    # from the corpus size (footer metadata — no job): at every
+    # oracle-checked SF they floor at the constants the oracle mirrors.
+    n_centroids, n_blocks = semdedup_knobs(_embeddings_rowcount(sf_dir))
     return semdedup_cell_prune(
-        load_tables(spark, sf_dir)["embeddings"], cache_key=sf_dir
+        load_tables(spark, sf_dir)["embeddings"],
+        n_blocks=n_blocks,
+        n_centroids=n_centroids,
+        cache_key=sf_dir,
     )
 
 
@@ -2005,7 +2070,11 @@ SEMDEDUP_SWEEP = (0.35, 0.40, 0.45, 0.50, 0.55)
 
 
 def semdedup_threshold_sweep(
-    embeddings: DataFrame, *, cache_key: str | None = None
+    embeddings: DataFrame,
+    *,
+    n_blocks: int = SEMDEDUP_BLOCKS,
+    n_centroids: int = IVF_CENTROIDS,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Operating-point table for the semantic-dedup threshold — the
     semantic twin of :func:`..operators.dedup.threshold_sweep`: for each
@@ -2021,7 +2090,11 @@ def semdedup_threshold_sweep(
     engines compare the same exact fold cosines against the same
     decimal literals, so no boundary pair can flip."""
     pairs = semdedup_cell_pairs(
-        embeddings, min(SEMDEDUP_SWEEP), cache_key=cache_key
+        embeddings,
+        min(SEMDEDUP_SWEEP),
+        n_blocks=n_blocks,
+        n_centroids=n_centroids,
+        cache_key=cache_key,
     )
     t = F.explode(
         F.array(*[F.lit(float(x)) for x in SEMDEDUP_SWEEP])
@@ -2071,8 +2144,12 @@ FROM prs, sw GROUP BY threshold
 
 @query("semdedup_threshold_sweep", _duck_semdedup_sweep_sql())
 def semdedup_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_centroids, n_blocks = semdedup_knobs(_embeddings_rowcount(sf_dir))
     return semdedup_threshold_sweep(
-        load_tables(spark, sf_dir)["embeddings"], cache_key=sf_dir
+        load_tables(spark, sf_dir)["embeddings"],
+        n_blocks=n_blocks,
+        n_centroids=n_centroids,
+        cache_key=sf_dir,
     )
 
 
@@ -2088,6 +2165,7 @@ def semdedup_incremental(
     batch_mod: int = SEMDEDUP_BATCH_MOD,
     threshold: float = NEAR_DUP_COSINE,
     *,
+    n_centroids: int = IVF_CENTROIDS,
     cache_key: str | None = None,
 ) -> DataFrame:
     """Semantic twin of :func:`..operators.dedup.incremental_dedup_report`:
@@ -2129,7 +2207,9 @@ def semdedup_incremental(
     never materializes either side on the driver."""
     import numpy as np
 
-    assign, _n_cells, state = _trained_cell_assigner(embeddings, cache_key=cache_key)
+    assign, _n_cells, state = _trained_cell_assigner(
+        embeddings, cache_key=cache_key, n_centroids=n_centroids
+    )
     cent_ids, cent_mat, cent_nrm, mn, mx = state
     try:
         rows = _bounded_collect(
@@ -2304,8 +2384,11 @@ FROM prs GROUP BY cell, vec_id
 
 @query("semdedup_incremental", _duck_semdedup_incr_sql())
 def semdedup_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_centroids, _n_blocks = semdedup_knobs(_embeddings_rowcount(sf_dir))
     return semdedup_incremental(
-        load_tables(spark, sf_dir)["embeddings"], cache_key=sf_dir
+        load_tables(spark, sf_dir)["embeddings"],
+        n_centroids=n_centroids,
+        cache_key=sf_dir,
     )
 
 

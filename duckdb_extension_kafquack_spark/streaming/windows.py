@@ -1089,11 +1089,16 @@ def _build_semdedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         NEAR_DUP_COSINE,
         SEMDEDUP_BATCH_MOD,
         _dot_sql,
+        _embeddings_rowcount,
         _trained_cell_assigner,
+        semdedup_knobs,
     )
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    assign, _n_cells, _state = _trained_cell_assigner(emb, cache_key=sf_dir)
+    n_centroids, _n_blocks = semdedup_knobs(_embeddings_rowcount(sf_dir))
+    assign, _n_cells, _state = _trained_cell_assigner(
+        emb, cache_key=sf_dir, n_centroids=n_centroids
+    )
     nrm = f"sqrt({_dot_sql('embedding', 'embedding')})"
     corp = (
         emb.select("vec_id", "embedding")

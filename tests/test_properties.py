@@ -1109,3 +1109,33 @@ def test_streaming_transitions_rejects_out_of_order_arrival():
         for a, b, n in zip(pdf["doc_from"], pdf["doc_to"], pdf["n"])
     }
     assert got == {(2, 3): 1}
+
+
+def test_semdedup_knobs_growth_law():
+    """Corpus-derived SemDeDup knobs (r10 verdict item 3): below ~131k
+    vectors they floor at the fixture constants the oracles hard-code;
+    beyond that, cells grow linearly with the corpus (expected cell
+    bounded by the target) and one tile never exceeds the target side,
+    so tile work is bounded at any corpus size."""
+    from duckdb_extension_kafquack_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        SEMDEDUP_BLOCKS,
+        SEMDEDUP_TARGET_CELL,
+        SEMDEDUP_TARGET_TILE,
+        semdedup_knobs,
+    )
+
+    # fixture fixpoint: every oracle-checked SF (100 / 1k / 10k / 100k
+    # vectors) resolves to exactly the oracle's constants
+    for n in (100, 1_000, 10_000, 100_000):
+        assert semdedup_knobs(n) == (IVF_CENTROIDS, SEMDEDUP_BLOCKS)
+    # growth: cells scale with the corpus, expected cell stays bounded,
+    # and a tile side never exceeds the target
+    prev_cells = 0
+    for n in (200_000, 1_000_000, 10_000_000, 1_000_000_000):
+        cells, blocks = semdedup_knobs(n)
+        assert cells >= prev_cells
+        prev_cells = cells
+        expected_cell = -(-n // cells)
+        assert expected_cell <= SEMDEDUP_TARGET_CELL
+        assert -(-expected_cell // blocks) <= SEMDEDUP_TARGET_TILE
