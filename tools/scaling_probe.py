@@ -110,6 +110,7 @@ def main() -> None:
         streaming_fuzzy_contamination,
         streaming_incremental_dedup,
         streaming_incremental_dedup_stored,
+        streaming_semdedup_incremental,
     )
 
     import glob as globmod
@@ -188,6 +189,20 @@ def main() -> None:
         docs_df.coalesce(1).write.mode("overwrite").parquet(stage)
         part = globmod.glob(os.path.join(stage, "part-*.parquet"))[0]
         shutil.move(part, os.path.join(base, "documents.parquet"))
+        shutil.rmtree(stage)
+        _fixture_dirs.append(base)
+        return base
+
+    def write_emb_fixture(emb_df: DataFrame, k: int) -> str:
+        """Same, for the embeddings table — the streaming SemDeDup twin
+        reads its arriving vectors via `_emb_stream`'s pathGlobFilter
+        and derives its knobs from the dir's footer row count, so it
+        needs a real fixture dir, not a DataFrame."""
+        base = tempfile.mkdtemp(prefix=f"scaleprobe_emb_{k}x_")
+        stage = os.path.join(base, "_stage")
+        emb_df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = globmod.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(base, "embeddings.parquet"))
         shutil.rmtree(stage)
         _fixture_dirs.append(base)
         return base
@@ -276,6 +291,14 @@ def main() -> None:
         bench("streaming_bloom_gate", k, lambda: streaming_bloom_gate(spark, sdir))
         bench("streaming_fuzzy_contamination", k,
               lambda: streaming_fuzzy_contamination(spark, sdir))
+        # streaming SemDeDup twin (r10 verdict item 4): real readStream
+        # over a k×-replicated embeddings fixture; knobs derive from the
+        # dir's footer count, i.e. the REGISTERED adaptive behavior —
+        # beyond ~131k vectors the centroid count grows with the corpus,
+        # which bends the curve BELOW the fixed-config pair model
+        edir = write_emb_fixture(emb, k)
+        bench("streaming_semdedup_incremental", k,
+              lambda: streaming_semdedup_incremental(spark, edir))
         print(f"k={k}: " + ", ".join(f"{n}={t[k]}s" for n, t in results.items() if k in t))
 
     # --- 64× deep probe (round-7 verdict item 5) -----------------------
@@ -312,6 +335,13 @@ def main() -> None:
         # round-10: cluster-scoped SemDeDup — every replica group is a
         # within-cell k-clique, so judge against the pair ceiling
         "semdedup_cell_prune",
+        # round-11 additions (r10 verdict item 4): the rows that stopped
+        # at 16×.  streaming_fuzzy's ~k²/7 pair model was in-sample only;
+        # semdedup_incremental's fused kernel and the streaming SemDeDup
+        # twin had no out-of-sample cell at all.
+        "streaming_fuzzy_contamination",
+        "semdedup_incremental",
+        "streaming_semdedup_incremental",
     )
     docs = replicate_docs(docs0, 64).localCheckpoint()
     bench("minhash_lsh_dedup", 64, lambda: minhash_near_duplicates(docs))
@@ -328,8 +358,17 @@ def main() -> None:
           lambda: streaming_incremental_dedup_stored(spark, sdir64))
     bench("streaming_bloom_gate", 64,
           lambda: streaming_bloom_gate(spark, sdir64))
+    bench("streaming_fuzzy_contamination", 64,
+          lambda: streaming_fuzzy_contamination(spark, sdir64))
     emb64 = replicate_embeddings(emb0, 64).localCheckpoint()
     bench("semdedup_cell_prune", 64, lambda: semdedup_cell_prune(emb64))
+    # default-config call like its 1/4/16 anchors (model continuity);
+    # at 64× the 10% arriving batch (64k rows) still fits the bounded
+    # collect, so this times the fused kernel path, not the degrade
+    bench("semdedup_incremental", 64, lambda: semdedup_incremental(emb64))
+    edir64 = write_emb_fixture(emb64, 64)
+    bench("streaming_semdedup_incremental", 64,
+          lambda: streaming_semdedup_incremental(spark, edir64))
     print("k=64: " + ", ".join(f"{n}={results[n][64]}s" for n in DEEP))
 
     deep_rows = []
@@ -555,12 +594,28 @@ def main() -> None:
         "  filter is constant-size by design, so its growth is the",
         "  stream scan + the audit join alone.",
         "* `streaming_incr_dedup_stored` — the STEADY-STATE serve cost:",
-        "  the corpus store (bucketed band table + set/key parquet) is",
-        "  built on the row's FIRST run and memoized per fixture dir, so",
-        "  the min-of-2 measures classify-against-stores alone — the",
-        "  O(batch)-per-ingest contract; compare against the inline",
+        "  the corpus store (three bucketed tables: bands on band_sig,",
+        "  sets on doc_id, keys on h) is built on the row's FIRST run and",
+        "  memoized per fixture dir, so the min-of-2 measures",
+        "  classify-against-stores alone — the O(batch)-per-ingest",
+        "  contract; compare against the inline",
         "  `streaming_incremental_dedup` row, which re-derives the corpus",
-        "  index per run.",
+        "  index per run.  Since round 11 both incremental rows drain via",
+        "  foreachBatch per-source partials (O(sources) driver state, no",
+        "  state store) instead of a complete-mode memory sink that held",
+        "  every doc verdict.",
+        "* `semdedup_incremental` / `streaming_semdedup_incremental` —",
+        "  the batch row times the fused corpus kernel with its 1/4/16",
+        "  anchors' fixed 16-cell config (the 64k-row arriving batch",
+        "  still fits the bounded collect at 64×; beyond that the",
+        "  registered query degrades to the cell-join shape, unit-",
+        "  tested); the streaming row runs the registered ADAPTIVE",
+        "  config — `semdedup_knobs` derives the centroid count from the",
+        "  fixture's footer row count, so past ~131k vectors cells grow",
+        "  with the corpus and the curve bends BELOW the fixed-config",
+        "  pair ceiling.  Replicated vectors are EXACT copies, so every",
+        "  replica group is a within-cell k-clique either way — pair",
+        "  output grows k² by construction.",
     ]
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
