@@ -986,13 +986,20 @@ def streaming_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     a per-doc flag aggregate: signatures and band keys are map-only
     expressions on the incoming doc, the benchmark relation (bands +
     shingle sets, the fixed-size side at 100 TB) is a broadcast
-    stream-static inner join, and the exact-Jaccard verify is an inline
-    filter, so the query runs in append mode with zero streaming state
-    and the sink holds only flagged (doc, bench) matches.  A doc
-    matching a bench item in several bands emits several rows; the
-    batch tail over the drained table dedups per (doc, bench) before
-    the per-doc and per-source rollups (the ``max()`` is over identical
-    jaccard doubles — nothing order-dependent)."""
+    stream-static inner join, and the exact-Jaccard verify is an
+    inline filter, so the query runs with zero streaming state.
+
+    Sink (r11): each micro-batch reduces its flagged matches to
+    per-source partials INSIDE the batch (pair dedup → per-doc →
+    per-source; all batch-local, since a doc's band matches live in
+    its own micro-batch) and the driver accumulates only the
+    O(sources) counter rows, batch_id-keyed against at-least-once
+    replays — the same contract as :func:`_drain_incr_partials`.  The
+    old append-mode memory sink accumulated the RAW flagged-pair
+    stream in driver memory (contamination-density-scaled), which the
+    16× scaling probe measured as this row's dominant cost.  The
+    ``max()`` combines identical jaccard doubles across engines —
+    nothing order-dependent."""
     from ..operators.curation import FUZZY_BENCH_MOD, FUZZY_CONTAM_THRESHOLD
     from ..operators.dedup import (
         NUM_HASHES,
@@ -1038,20 +1045,56 @@ def streaming_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .filter(F.col("jaccard") >= FUZZY_CONTAM_THRESHOLD)
     )
-    run_stream_to_table(flagged, "stream_fuzzy_contam", "append")
-    pairs = (
-        spark.table("stream_fuzzy_contam")
-        .groupBy("doc_id", "source", "bench_id")
-        .agg(F.max("jaccard").alias("jaccard"))
+    partials: dict[int, list] = {}
+
+    def handle(batch_df, batch_id: int) -> None:
+        pairs = batch_df.groupBy("doc_id", "source", "bench_id").agg(
+            F.max("jaccard").alias("jaccard")
+        )
+        per_doc = pairs.groupBy("doc_id", "source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bench_matches"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        partials[batch_id] = (
+            per_doc.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("contaminated_docs"),
+                F.sum("n_bench_matches").cast("bigint").alias("n_pairs"),
+                F.max("max_jaccard").alias("max_jaccard"),
+            )
+            .collect()
+        )
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_fuzzy_contam_") as ckpt:
+        q = (
+            flagged.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    totals: dict[str, list] = {}
+    for rows in partials.values():
+        for r in rows:
+            t = totals.setdefault(r["source"], [0, 0, float("-inf")])
+            t[0] += r["contaminated_docs"]
+            t[1] += r["n_pairs"]
+            t[2] = max(t[2], r["max_jaccard"])
+    if not totals:
+        return spark.sql(
+            "SELECT CAST(NULL AS STRING) AS source,"
+            " CAST(NULL AS BIGINT) AS contaminated_docs,"
+            " CAST(NULL AS BIGINT) AS n_pairs,"
+            " CAST(NULL AS DOUBLE) AS max_jaccard WHERE 1 = 0"
+        )
+    vals = ", ".join(
+        "('{}', {}, {}, {!r})".format(s.replace("'", "''"), t[0], t[1], t[2])
+        for s, t in sorted(totals.items())
     )
-    per_doc = pairs.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_bench_matches"),
-        F.max("jaccard").alias("max_jaccard"),
-    )
-    return per_doc.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("contaminated_docs"),
-        F.sum("n_bench_matches").cast("bigint").alias("n_pairs"),
-        F.max("max_jaccard").alias("max_jaccard"),
+    return spark.sql(
+        "SELECT col1 AS source, CAST(col2 AS BIGINT) AS contaminated_docs,"
+        " CAST(col3 AS BIGINT) AS n_pairs,"
+        f" CAST(col4 AS DOUBLE) AS max_jaccard FROM VALUES {vals}"
     )
 
 
@@ -1129,24 +1172,54 @@ def streaming_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     unchanged on a streaming micro-batch) and a stream-static inner
     join against the corpus's cell-assigned vectors; the cosine gate is
     the unrolled JVM dot inside the join filter, so the stream carries
-    zero state and the sink holds only flagged (cell, arrival, corpus)
-    matches.  The corpus relation joins UNHINTED (corpus-scaled — the
-    broadcast-hint policy; inside a streaming plan the static planner
-    estimate decides and degrades safely to a shuffle at scale).  The
-    codebook trains batch-side once before the stream starts — exactly
-    the production order (nightly index build, then ingest).  Shares
-    the batch oracle: the hash match proves micro-batching changed
-    nothing."""
+    zero state.  The corpus relation joins UNHINTED (corpus-scaled —
+    the broadcast-hint policy; inside a streaming plan the static
+    planner estimate decides and degrades safely to a shuffle at
+    scale).  The codebook trains batch-side once before the stream
+    starts — exactly the production order (nightly index build, then
+    ingest).
+
+    Sink (r11): each micro-batch rolls its flagged pairs up to
+    per-arrival verdicts (batch-local — an arriving vector's pairs all
+    live in its own batch) and writes them to a per-batch parquet
+    subdir via foreachBatch — mode=overwrite keyed by batch_id, so an
+    at-least-once replay rewrites, never duplicates.  The old
+    append-mode memory sink accumulated the RAW pair stream in driver
+    memory (dup-density-scaled); this sink is fully distributed and
+    the driver holds nothing.  Shares the batch oracle: the hash match
+    proves micro-batching + the sink round-trip changed nothing."""
+    import os
+    import tempfile as _tf
+
     flagged = _build_semdedup_stream(spark, sf_dir)
-    run_stream_to_table(flagged, "stream_semdedup_incr", "append")
-    return (
-        spark.table("stream_semdedup_incr")
-        .groupBy("cell", "vec_id")
-        .agg(
-            F.min("corpus_id").alias("kept_id"),
-            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+    out = _tf.mkdtemp(prefix="semdedup_incr_sink_")
+
+    def handle(batch_df, batch_id: int) -> None:
+        (
+            batch_df.groupBy("cell", "vec_id")
+            .agg(
+                F.min("corpus_id").alias("kept_id"),
+                F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"batch={batch_id}"))
         )
-    )
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_semdedup_incr_") as ckpt:
+        q = (
+            flagged.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if not any(e.startswith("batch=") for e in os.listdir(out)):
+        return spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS cell, CAST(NULL AS BIGINT) AS vec_id,"
+            " CAST(NULL AS BIGINT) AS kept_id, CAST(NULL AS BIGINT) AS n_dups"
+            " WHERE 1 = 0"
+        )
+    return spark.read.parquet(out).select("cell", "vec_id", "kept_id", "n_dups")
 
 
 # ---------------------------------------------------------------------------
