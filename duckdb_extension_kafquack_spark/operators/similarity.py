@@ -2210,7 +2210,6 @@ def semdedup_incremental(
     assign, _n_cells, state = _trained_cell_assigner(
         embeddings, cache_key=cache_key, n_centroids=n_centroids
     )
-    cent_ids, cent_mat, cent_nrm, mn, mx = state
     try:
         rows = _bounded_collect(
             embeddings.filter(F.col("vec_id") % batch_mod == 0).select(
@@ -2228,6 +2227,43 @@ def semdedup_incremental(
         if rows
         else np.zeros((0, DIM))
     )
+    corpus = embeddings.filter(F.col("vec_id") % batch_mod != 0)
+    return _semdedup_rollup(
+        _semdedup_kernel_flags(corpus, state, b_ids, b_mat, threshold)
+    )
+
+
+def _semdedup_rollup(flagged: DataFrame) -> DataFrame:
+    """Per-arrival verdict rollup of a flagged (cell, vec_id, corpus_id)
+    relation — shared by the batch query, the streaming twin's
+    per-micro-batch reduce, and both fallback paths."""
+    return flagged.groupBy("cell", "vec_id").agg(
+        F.min("corpus_id").alias("kept_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+    )
+
+
+def _semdedup_kernel_flags(
+    corpus: DataFrame,
+    state: tuple,
+    b_ids,
+    b_mat,
+    threshold: float = NEAR_DUP_COSINE,
+) -> DataFrame:
+    """The fused SemDeDup ingest kernel, factored out of
+    :func:`semdedup_incremental` so the streaming twin can run the SAME
+    BLAS classify per micro-batch: the (driver-held, ingest-bounded)
+    arriving vectors are cell-assigned from the trained ``state`` and
+    closed over by ONE ``mapInPandas`` over the corpus scan — each
+    corpus batch quantizes, assigns its rows' cells, runs one BLAS
+    sub-matmul per cell against only that cell's batch vectors
+    (threshold − slack screen), and fold-rescores the candidates
+    exactly (:func:`_fold_dots` order — bit-identical to
+    ``list_dot_product``).  Returns the flagged (cell, vec_id,
+    corpus_id) relation."""
+    import numpy as np
+
+    cent_ids, cent_mat, cent_nrm, mn, mx = state
     bq = _np_quantize(b_mat, mn, mx)
     bn = (bq * bq).sum(axis=1)
     live = bn > 0  # zero-norm codes have no defined cell (oracle `sized`)
@@ -2295,14 +2331,8 @@ def semdedup_incremental(
                     }
                 )
 
-    flagged = (
-        embeddings.filter(F.col("vec_id") % batch_mod != 0)
-        .select("vec_id", "embedding")
-        .mapInPandas(score, "cell long, vec_id long, corpus_id long")
-    )
-    return flagged.groupBy("cell", "vec_id").agg(
-        F.min("corpus_id").alias("kept_id"),
-        F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+    return corpus.select("vec_id", "embedding").mapInPandas(
+        score, "cell long, vec_id long, corpus_id long"
     )
 
 
@@ -2314,37 +2344,46 @@ def _semdedup_incremental_joined(
     threshold: float = NEAR_DUP_COSINE,
 ) -> DataFrame:
     """Join-shaped fallback for :func:`semdedup_incremental` when the
-    arriving batch exceeds :data:`MAX_QUERY_BATCH`: both sides run the
-    SAME Arrow cell-assignment kernel, then an UNHINTED inner join on
-    ``cell`` with the unrolled JVM dot as the cosine gate — the exact
-    physical shape of the streaming twin
-    (:func:`..streaming.windows._build_semdedup_stream`), whose shared
-    oracle already proves it value-equal to the fused kernel path.
-    Nothing is collected; AQE (or the static estimate, in a streaming
-    plan) picks the join strategy and degrades safely to shuffle at
-    corpus scale."""
+    arriving batch exceeds :data:`MAX_QUERY_BATCH` — the mod-split
+    wrapper over :func:`_semdedup_joined_flags` plus the shared
+    rollup."""
+    arriving = embeddings.filter(F.col("vec_id") % batch_mod == 0)
+    corpus = embeddings.filter(F.col("vec_id") % batch_mod != 0)
+    return _semdedup_rollup(
+        _semdedup_joined_flags(arriving, corpus, assign, threshold)
+    )
+
+
+def _semdedup_joined_flags(
+    arriving: DataFrame,
+    corpus: DataFrame,
+    assign,
+    threshold: float = NEAR_DUP_COSINE,
+) -> DataFrame:
+    """Collect-free SemDeDup classify of ``arriving`` against
+    ``corpus``: both sides run the SAME Arrow cell-assignment kernel,
+    then an UNHINTED inner join on ``cell`` with the unrolled JVM dot
+    as the cosine gate (bit-identical to the fold kernel — the shared
+    oracle proves it).  Nothing is materialized on the driver; AQE (or
+    the static estimate, in a streaming plan) picks the join strategy
+    and degrades safely to shuffle at corpus scale.  Works on batch
+    and streaming frames alike (the kernel is stateless)."""
     nrm = f"sqrt({_dot_sql('embedding', 'embedding')})"
     corp = (
-        embeddings.filter(F.col("vec_id") % batch_mod != 0)
-        .select("vec_id", "embedding")
+        corpus.select("vec_id", "embedding")
         .mapInPandas(assign, "cell long, vec_id long, embedding array<float>")
         .selectExpr("cell", "vec_id AS corpus_id", "embedding AS e2", f"{nrm} AS n2")
     )
-    arriving = (
-        embeddings.filter(F.col("vec_id") % batch_mod == 0)
-        .select("vec_id", "embedding")
+    arr = (
+        arriving.select("vec_id", "embedding")
         .mapInPandas(assign, "cell long, vec_id long, embedding array<float>")
         .selectExpr("cell", "vec_id", "embedding AS e1", f"{nrm} AS n1")
     )
     cos = f"({_dot_sql('e1', 'e2')}) / (n1 * n2)"
-    flagged = (
-        arriving.join(corp, "cell")
+    return (
+        arr.join(corp, "cell")
         .filter(F.expr(f"{cos} >= {threshold}"))
         .select("cell", "vec_id", "corpus_id")
-    )
-    return flagged.groupBy("cell", "vec_id").agg(
-        F.min("corpus_id").alias("kept_id"),
-        F.count(F.lit(1)).cast("bigint").alias("n_dups"),
     )
 
 

@@ -1121,63 +1121,41 @@ def _duck_streaming_semdedup_sql() -> str:
     return _duck_semdedup_incr_sql()
 
 
-def _build_semdedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagged (cell, arriving vec, corpus keeper) pair stream:
-    cell assignment on the arriving micro-batch (stateless mapInPandas),
-    stream-static inner join on `cell` against the corpus's assigned
-    vectors (UNHINTED — corpus-scaled), unrolled-JVM-dot cosine gate in
-    the join filter.  Split out of the registered query so the plan
-    tests can pin the hint budget without draining a stream."""
-    from ..operators.similarity import (
-        NEAR_DUP_COSINE,
-        SEMDEDUP_BATCH_MOD,
-        _dot_sql,
-        _embeddings_rowcount,
-        _trained_cell_assigner,
-        semdedup_knobs,
-    )
+def _build_semdedup_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The arriving-vector stream for the SemDeDup ingest twin: a
+    map-only readStream projection — NO joins, NO hints, no state; the
+    classify happens per micro-batch inside foreachBatch (the fused
+    kernel, or the collect-free cell join beyond the batch cap).  Split
+    out so plan tests can pin the stream frame's shape without draining
+    anything."""
+    from ..operators.similarity import SEMDEDUP_BATCH_MOD
 
-    emb = load_tables(spark, sf_dir)["embeddings"]
-    n_centroids, _n_blocks = semdedup_knobs(_embeddings_rowcount(sf_dir))
-    assign, _n_cells, _state = _trained_cell_assigner(
-        emb, cache_key=sf_dir, n_centroids=n_centroids
-    )
-    nrm = f"sqrt({_dot_sql('embedding', 'embedding')})"
-    corp = (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(assign, "cell long, vec_id long, embedding array<float>")
-        .filter(F.col("vec_id") % SEMDEDUP_BATCH_MOD != 0)
-        .selectExpr("cell", "vec_id AS corpus_id", "embedding AS e2", f"{nrm} AS n2")
-    )
-    arriving = (
+    return (
         _emb_stream(spark, sf_dir)
         .filter(F.col("vec_id") % SEMDEDUP_BATCH_MOD == 0)
         .select("vec_id", "embedding")
-        .mapInPandas(assign, "cell long, vec_id long, embedding array<float>")
-        .selectExpr("cell", "vec_id", "embedding AS e1", f"{nrm} AS n1")
-    )
-    cos = f"({_dot_sql('e1', 'e2')}) / (n1 * n2)"
-    return (
-        arriving.join(corp, "cell")
-        .filter(F.expr(f"{cos} >= {NEAR_DUP_COSINE}"))
-        .select("cell", "vec_id", "corpus_id")
     )
 
 
 @query("streaming_semdedup_incremental", _duck_streaming_semdedup_sql())
 def streaming_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`..operators.similarity.semdedup_incremental` at INGEST:
-    arriving embeddings stream through cell assignment (the SAME
-    Arrow-batched kernel — `mapInPandas` is stateless, so it runs
-    unchanged on a streaming micro-batch) and a stream-static inner
-    join against the corpus's cell-assigned vectors; the cosine gate is
-    the unrolled JVM dot inside the join filter, so the stream carries
-    zero state.  The corpus relation joins UNHINTED (corpus-scaled —
-    the broadcast-hint policy; inside a streaming plan the static
-    planner estimate decides and degrades safely to a shuffle at
-    scale).  The codebook trains batch-side once before the stream
-    starts — exactly the production order (nightly index build, then
-    ingest).
+    the stream is a map-only projection of arriving vectors; each
+    micro-batch classifies them against the static corpus with the
+    SAME fused BLAS kernel as the batch query
+    (:func:`..operators.similarity._semdedup_kernel_flags`) — the
+    ingest-bounded micro-batch is collected (the `cosine_topk`
+    query-batch contract, `_bounded_collect`), cell-assigned from the
+    memoized trained state, and closed over by ONE `mapInPandas` over
+    the corpus scan.  Round 11 replaced the previous stream-static
+    cell join with its unrolled-JVM-dot gate — same pair volume, but
+    the scaling probe measured the JVM dot ~4-10× slower than the
+    BLAS screen + fold re-score.  A micro-batch beyond
+    :data:`MAX_QUERY_BATCH` degrades to the collect-free cell join
+    (:func:`.._semdedup_joined_flags`), batch-planned with AQE — the
+    ingest never raises.  The codebook trains batch-side once before
+    the stream starts — exactly the production order (nightly index
+    build, then ingest).
 
     Sink (r11): each micro-batch rolls its flagged pairs up to
     per-arrival verdicts (batch-local — an arriving vector's pairs all
@@ -1191,23 +1169,56 @@ def streaming_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     import os
     import tempfile as _tf
 
-    flagged = _build_semdedup_stream(spark, sf_dir)
+    import numpy as np
+
+    from ..operators.similarity import (
+        DIM,
+        NEAR_DUP_COSINE,
+        SEMDEDUP_BATCH_MOD,
+        _bounded_collect,
+        _embeddings_rowcount,
+        _semdedup_joined_flags,
+        _semdedup_kernel_flags,
+        _semdedup_rollup,
+        _trained_cell_assigner,
+        semdedup_knobs,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n_centroids, _n_blocks = semdedup_knobs(_embeddings_rowcount(sf_dir))
+    assign, _n_cells, state = _trained_cell_assigner(
+        emb, cache_key=sf_dir, n_centroids=n_centroids
+    )
+    corpus = emb.filter(F.col("vec_id") % SEMDEDUP_BATCH_MOD != 0)
+    arrivals = _build_semdedup_arrivals(spark, sf_dir)
     out = _tf.mkdtemp(prefix="semdedup_incr_sink_")
 
     def handle(batch_df, batch_id: int) -> None:
-        (
-            batch_df.groupBy("cell", "vec_id")
-            .agg(
-                F.min("corpus_id").alias("kept_id"),
-                F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        try:
+            rows = _bounded_collect(
+                batch_df.select("vec_id", "embedding"),
+                "semdedup streaming ingest batch",
             )
-            .write.mode("overwrite")
-            .parquet(os.path.join(out, f"batch={batch_id}"))
+            b_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+            b_mat = (
+                np.array([r["embedding"] for r in rows], dtype=np.float64)
+                if rows
+                else np.zeros((0, DIM))
+            )
+            flagged = _semdedup_kernel_flags(
+                corpus, state, b_ids, b_mat, NEAR_DUP_COSINE
+            )
+        except ValueError:
+            flagged = _semdedup_joined_flags(
+                batch_df, corpus, assign, NEAR_DUP_COSINE
+            )
+        _semdedup_rollup(flagged).write.mode("overwrite").parquet(
+            os.path.join(out, f"batch={batch_id}")
         )
 
     with tempfile.TemporaryDirectory(prefix="ckpt_semdedup_incr_") as ckpt:
         q = (
-            flagged.writeStream.foreachBatch(handle)
+            arrivals.writeStream.foreachBatch(handle)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()

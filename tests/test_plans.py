@@ -682,16 +682,51 @@ def test_semdedup_incremental_is_one_corpus_kernel_pass(spark):
     assert count_exchanges(df) <= 2
 
 
-def test_streaming_semdedup_no_corpus_broadcast_hints(spark):
-    """The streaming twin's static side IS the corpus (cell-assigned
-    vectors): zero broadcast hints anywhere in the stream plan — the
-    static planner estimate decides, degrading safely to a shuffle at
-    scale (AQE is unavailable inside streaming plans)."""
-    from duckdb_extension_kafquack_spark.plans import broadcast_hint_count
+def test_streaming_semdedup_stream_is_map_only_and_fallback_unhinted(spark):
+    """Round-11 shape: the SemDeDup ingest STREAM is a map-only
+    projection (no joins, no hints — the fused-kernel classify runs
+    per micro-batch inside foreachBatch), and the >cap fallback's cell
+    join carries zero broadcast hints (the corpus side is
+    corpus-scaled; AQE / the static estimate decides)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_extension_kafquack_spark.operators.similarity import (
+        SEMDEDUP_BATCH_MOD,
+        _semdedup_joined_flags,
+        _trained_cell_assigner,
+    )
+    from duckdb_extension_kafquack_spark.plans import (
+        analyzed_plan,
+        broadcast_hint_count,
+    )
+    from duckdb_extension_kafquack_spark.session import load_tables
     from duckdb_extension_kafquack_spark.streaming.windows import (
-        _build_semdedup_stream,
+        _build_semdedup_arrivals,
     )
 
-    df = _build_semdedup_stream(spark, SF_DIR)
+    df = _build_semdedup_arrivals(spark, SF_DIR)
     assert df.isStreaming
+    assert broadcast_hint_count(df) == 0
+    assert "Join" not in analyzed_plan(df)
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    assign, _n, _state = _trained_cell_assigner(emb, cache_key=SF_DIR)
+    fb = _semdedup_joined_flags(
+        emb.filter(F.col("vec_id") % SEMDEDUP_BATCH_MOD == 0),
+        emb.filter(F.col("vec_id") % SEMDEDUP_BATCH_MOD != 0),
+        assign,
+    )
+    assert broadcast_hint_count(fb) == 0
+
+
+def test_containment_summary_aggregates_with_partials_unhinted(spark):
+    """The bounded-output containment row's scale claim: the per-doc
+    rollup must carry map-side partial aggregation (pairs collapse
+    before the exchange, so the post-shuffle relation is O(docs) even
+    when dup density makes pairs quadratic), and the whole plan stays
+    hint-free like the rest of the containment family."""
+    from duckdb_extension_kafquack_spark.plans import broadcast_hint_count
+
+    df = REGISTRY["dedup_containment_summary"].fn(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "partial_max" in plan or "partial" in plan.lower()
     assert broadcast_hint_count(df) == 0
