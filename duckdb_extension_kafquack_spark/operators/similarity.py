@@ -2200,11 +2200,12 @@ def semdedup_incremental(
     (r10 advice — the registered mod-split "batch" is ~1/batch_mod of
     the corpus, so a fixed cap is not an ingest contract here):
     :func:`_bounded_collect` failing over hands the same inputs to
-    :func:`_semdedup_incremental_joined`, the streaming twin's
-    stream-static shape — both sides cell-assigned by the same kernel,
-    UNHINTED join on cell, unrolled-JVM-dot gate (bit-identical to the
-    fold kernel, oracle-proven via the shared streaming oracle) — which
-    never materializes either side on the driver."""
+    :func:`_semdedup_incremental_joined` — both sides cell-assigned by
+    the same kernel, UNHINTED join on cell, unrolled-JVM-dot gate
+    (bit-identical to the fold kernel) — which never materializes
+    either side on the driver.  The streaming twin shares both paths
+    per micro-batch (:func:`..streaming.windows.
+    streaming_semdedup_incremental`)."""
     import numpy as np
 
     assign, _n_cells, state = _trained_cell_assigner(
