@@ -657,12 +657,26 @@ def test_semdedup_cell_prune_hint_and_tile_hygiene(spark):
     driver.  The quadratic work lives INSIDE each tile's kernel."""
     from duckdb_extension_kafquack_spark.plans import broadcast_hint_count
 
+    import re
+
+    from duckdb_extension_kafquack_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        SEMDEDUP_BLOCKS,
+    )
+
+    n_tiles = sum(1 for i in range(SEMDEDUP_BLOCKS) for j in range(SEMDEDUP_BLOCKS) if i <= j)
+    cap = 2 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    expected = min(IVF_CENTROIDS * n_tiles, cap)
     for name in ("semdedup_cell_prune", "semdedup_threshold_sweep"):
         df = REGISTRY[name].fn(spark, SF_DIR)
         assert broadcast_hint_count(df) == 2, name
         plan = executed_plan(df)
         assert "CartesianProduct" not in plan, name
         assert "FlatMapGroupsInPandas" in plan, name  # the tile kernel
+        # tile partition count scales with the session's shuffle
+        # parallelism, never the hard-64 local tuning (r10 verdict 3)
+        m = re.search(r"hashpartitioning\(cell#\d+L?, i#\d+, j#\d+, (\d+)\)", plan)
+        assert m and int(m.group(1)) == expected, (name, plan[:400])
 
 
 def test_semdedup_incremental_is_one_corpus_kernel_pass(spark):

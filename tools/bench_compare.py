@@ -30,6 +30,12 @@ def _streaming_floor(spark, sf_dir: str) -> float:
     from pyspark.sql import functions as F
 
     static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def handle(df, _id):
+        # the tiny agg runs INSIDE the handler (batch context), the
+        # same shape as the real foreachBatch drains
+        df.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+
     best = float("inf")
     for _ in range(2):
         t0 = time.time()
@@ -37,12 +43,11 @@ def _streaming_floor(spark, sf_dir: str) -> float:
             spark.readStream.schema(static.schema)
             .option("pathGlobFilter", "documents.parquet")
             .parquet(sf_dir)
-            .groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n"))
+            .select("doc_id", "source")
         )
         with tempfile.TemporaryDirectory(prefix="ckpt_floor_") as ckpt:
             q = (
-                s.writeStream.foreachBatch(lambda df, _id: df.collect())
+                s.writeStream.foreachBatch(handle)
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()
@@ -155,13 +160,16 @@ def main() -> None:
         "~7× faster (6.56s → ~0.9s) — both engines got faster on the",
         "same semantics; the ratio moved against Spark while the Spark",
         "row itself halved (3.17s → 1.8s).",
-        "Sub-second rows whose plans lean on a persisted relation",
-        "(`text_bigram_surprisal`, `dedup_containment`) read ~0.1-0.2 s",
-        "slower here than in bench.py's isolated sessions (0.50 vs 0.38 /",
-        "0.68 vs 0.49 this round): this tool runs all ~80 queries in ONE",
-        "shared session, so their caches contend with the whole suite's",
-        "persisted state — the driver's BENCH_r{N}.json is the",
-        "plan-cost-of-record for those rows.",
+        "Rows whose plans lean on a persisted relation",
+        "(`text_bigram_surprisal`, `dedup_containment`,",
+        "`dedup_dup_span_coverage`, `streaming_incremental_dedup_stored`)",
+        "read noticeably slower here than under bench.py (round 11:",
+        "dup_span 1.5s here vs 0.59s there; the stored streaming row",
+        "3.9s vs 2.0s): this tool runs all ~80 queries in ONE shared",
+        "session, so their caches contend with the whole suite's",
+        "persisted state and MEMORY_AND_DISK eviction thrash dominates —",
+        "the driver's BENCH_r{N}.json is the plan-cost-of-record for",
+        "those rows.",
         "",
         "| query | spark (s) | duckdb (s) | ratio |",
         "|---|---|---|---|",
