@@ -55,6 +55,7 @@ HEADLINE = [
     "ann_int8_store_topk",
     "ann_int8_store_serve",
     "ann_int8_store_build",
+    "ann_int8_store_upsert",
     "ivf_kmeans_codebook",
     "dedup_embedding_cosine",
     "dedup_incremental",

@@ -1191,22 +1191,34 @@ def int8_ivf_topk(
     )
 
 
-def _duck_sq_ivf_sql() -> str:
-    """Oracle: quantization CTEs (identical to ann_int8_topk's), then
-    cell assignment and scoring both in code space — the exact mirror of
-    the Spark plan (quantized-centroid cosine, ROW_NUMBER tie-break on
-    cent_id)."""
-    mm_cols = ", ".join(
+def _duck_mm_cols() -> str:
+    """Per-dimension MIN/MAX aggregate columns of the quantizer-stats
+    CTE — shared by every int8 oracle."""
+    return ", ".join(
         f"MIN(CAST(embedding[{i + 1}] AS DOUBLE)) AS mn{i}, "
         f"MAX(CAST(embedding[{i + 1}] AS DOUBLE)) AS mx{i}"
         for i in range(DIM)
     )
-    elems = ", ".join(
+
+
+def _duck_qz_elems() -> str:
+    """The quantized-code list elements (mirrors ``_np_quantize``) —
+    shared by every int8 oracle."""
+    return ", ".join(
         f"CASE WHEN mx{i} = mn{i} THEN 0 "
         f"ELSE LEAST(255.0, GREATEST(0.0, FLOOR((CAST(embedding[{i + 1}] AS DOUBLE) - mn{i})"
         f" * {SQ_LEVELS}.0 / (mx{i} - mn{i})))) END"
         for i in range(DIM)
     )
+
+
+def _duck_sq_ivf_sql() -> str:
+    """Oracle: quantization CTEs (identical to ann_int8_topk's), then
+    cell assignment and scoring both in code space — the exact mirror of
+    the Spark plan (quantized-centroid cosine, ROW_NUMBER tie-break on
+    cent_id)."""
+    mm_cols = _duck_mm_cols()
+    elems = _duck_qz_elems()
     return f"""
 WITH mm AS (
   SELECT {mm_cols} FROM embeddings
@@ -2522,6 +2534,69 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _int8_encode_codes(embeddings: DataFrame, mn, mx, cent_ids, cents) -> DataFrame:
+    """One numpy pass turning (vec_id, embedding) rows into store codes
+    (vec_id, qv array<smallint>, nrm, cell): quantize with the GIVEN
+    frozen stats, drop zero-norm codes (no defined cell — the oracle's
+    ``sized`` filter), assign the max-cosine quantized centroid with the
+    stable smaller-id tie-break.  Shared by the full store build and
+    the delta upsert, so both lifecycles encode identically."""
+    import numpy as np
+
+    sqrt_cn = np.sqrt((cents * cents).sum(axis=1))
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _np_quantize(
+                np.vstack(pdf["embedding"].to_numpy()).astype(np.float64), mn, mx
+            )
+            nrm = (mat * mat).sum(axis=1)
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            m = nrm > 0
+            ids, mat, nrm = ids[m], mat[m], nrm[m]
+            if len(ids) == 0:
+                continue
+            cos = (mat @ cents.T) / (np.sqrt(nrm)[:, None] * sqrt_cn[None, :])
+            cell = cent_ids[np.argsort(-cos, axis=1, kind="stable")[:, 0]]
+            # codes are integer-valued in [0, 255]: store them as
+            # smallint so the shuffle + on-disk store are 4x smaller
+            # than array<double>; every reader re-widens to float64, so
+            # downstream dots stay exact-integer and bit-identical
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "qv": list(mat.astype(np.int16)),
+                    "nrm": nrm,
+                    "cell": cell,
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, qv array<smallint>, nrm double, cell long"
+    )
+
+
+def _cluster_codes_for_write(
+    codes: DataFrame, n_centroids: int, files_per_cell: int
+) -> DataFrame:
+    """(cell, salt) repartition before a partitionBy("cell") write —
+    bounds output at ~cells × files_per_cell files (see the caller's
+    small-files note)."""
+    from ..functions.hashing import spark_hash64
+
+    fpc = max(1, int(files_per_cell))
+    return codes.repartition(
+        n_centroids * fpc,
+        F.col("cell"),
+        spark_hash64(F.col("vec_id").cast("string")) % fpc,
+    )
+
+
 def store_quantized_codes(
     embeddings: DataFrame,
     path: str,
@@ -2565,42 +2640,7 @@ def store_quantized_codes(
     cent_ids = seed_ids
     live = (cents * cents).sum(axis=1) > 0
     cent_ids, cents = cent_ids[live], cents[live]
-    sqrt_cn = np.sqrt((cents * cents).sum(axis=1))
-
-    def encode(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = _np_quantize(
-                np.vstack(pdf["embedding"].to_numpy()).astype(np.float64), mn, mx
-            )
-            nrm = (mat * mat).sum(axis=1)
-            ids = pdf["vec_id"].to_numpy().astype(np.int64)
-            m = nrm > 0
-            ids, mat, nrm = ids[m], mat[m], nrm[m]
-            if len(ids) == 0:
-                continue
-            cos = (mat @ cents.T) / (np.sqrt(nrm)[:, None] * sqrt_cn[None, :])
-            cell = cent_ids[np.argsort(-cos, axis=1, kind="stable")[:, 0]]
-            # codes are integer-valued in [0, 255]: store them as
-            # smallint so the shuffle + on-disk store are 4x smaller
-            # than array<double>; every reader re-widens to float64, so
-            # downstream dots stay exact-integer and bit-identical
-            yield pd.DataFrame(
-                {
-                    "vec_id": ids,
-                    "qv": list(mat.astype(np.int16)),
-                    "nrm": nrm,
-                    "cell": cell,
-                }
-            )
-
-    codes = embeddings.select("vec_id", "embedding").mapInPandas(
-        encode, "vec_id long, qv array<smallint>, nrm double, cell long"
-    )
+    codes = _int8_encode_codes(embeddings, mn, mx, cent_ids, cents)
     # cluster by cell BEFORE the partitioned write: a raw
     # partitionBy("cell") writes one file per (task × cell) — at 100 TB
     # with 10⁵ tasks that's the small-files explosion that kills the
@@ -2608,14 +2648,7 @@ def store_quantized_codes(
     # ~cells × files_per_cell files while keeping write parallelism;
     # raise files_per_cell as the corpus grows so a file stays
     # executor-sized.
-    fpc = max(1, int(files_per_cell))
-    from ..functions.hashing import spark_hash64
-
-    codes = codes.repartition(
-        n_centroids * fpc,
-        F.col("cell"),
-        spark_hash64(F.col("vec_id").cast("string")) % fpc,
-    )
+    codes = _cluster_codes_for_write(codes, n_centroids, files_per_cell)
     codes.write.mode("overwrite").partitionBy("cell").parquet(path)
     # the sidecar is one row of 2×DIM doubles: write it driver-side with
     # pyarrow instead of spinning a 1-task Spark job (the _SUCCESS marker
@@ -2836,14 +2869,15 @@ def ann_int8_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_ivf_from_store(spark, path, queries, codebook=cb)
 
 
-def _store_cell_counts_from_footers(spark: SparkSession, path: str) -> DataFrame:
-    """Per-cell row counts read from the parquet FOOTERS of a
-    cell-partitioned store — the metadata-only build verification (r10
-    verdict item 2): footer ``num_rows`` is authoritative for what the
-    write landed, so the build row proves the store without rescanning
-    a single data page.  The builder's pre-write repartition bounds the
-    store at n_centroids × files_per_cell files (design constants), so
-    this driver-side walk is O(cells), not O(corpus); a deployment
+def _store_cell_counts_from_footers(spark: SparkSession, *paths: str) -> DataFrame:
+    """Per-cell row counts read from the parquet FOOTERS of one or more
+    cell-partitioned store dirs (base store + delta segments) — the
+    metadata-only build verification (r10 verdict item 2): footer
+    ``num_rows`` is authoritative for what the write landed, so the
+    build/upsert rows prove the store without rescanning a single data
+    page.  The writers' pre-write repartition bounds each dir at
+    n_centroids × files_per_cell files (design constants), so this
+    driver-side walk is O(cells · dirs), not O(corpus); a deployment
     whose store spans an object-store listing would push the same
     footer reads into a tiny distributed job instead."""
     import os
@@ -2851,15 +2885,16 @@ def _store_cell_counts_from_footers(spark: SparkSession, path: str) -> DataFrame
     import pyarrow.parquet as pq
 
     counts: dict[int, int] = {}
-    for entry in os.listdir(path):
-        if not entry.startswith("cell="):
-            continue
-        cell = int(entry.split("=", 1)[1])
-        cell_dir = os.path.join(path, entry)
-        for f in os.listdir(cell_dir):
-            if f.endswith(".parquet"):
-                n = pq.ParquetFile(os.path.join(cell_dir, f)).metadata.num_rows
-                counts[cell] = counts.get(cell, 0) + n
+    for path in paths:
+        for entry in os.listdir(path):
+            if not entry.startswith("cell="):
+                continue
+            cell = int(entry.split("=", 1)[1])
+            cell_dir = os.path.join(path, entry)
+            for f in os.listdir(cell_dir):
+                if f.endswith(".parquet"):
+                    n = pq.ParquetFile(os.path.join(cell_dir, f)).metadata.num_rows
+                    counts[cell] = counts.get(cell, 0) + n
     # a SQL VALUES literal becomes a Catalyst LocalRelation — collect is
     # driver-local, no parallelize/Python-RDD job for ≤cells rows
     # (createDataFrame would spread 16 rows over 32 python-worker slices)
@@ -2913,6 +2948,123 @@ def ann_int8_store_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store_quantized_codes(_repartition_if_narrow(emb), path, stats_cache_key=sf_dir)
     return _store_cell_counts_from_footers(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# Incremental store ingest: base segment + idempotent delta upsert
+# ---------------------------------------------------------------------------
+
+# the arriving slice for the upsert lifecycle (vec_id % 10 == 0 → ~10%
+# of the corpus arrives after the base index was built)
+STORE_UPSERT_MOD = 10
+
+# base-store memo for the upsert lifecycle: sf_dir -> (path, codebook).
+# The base build is the scheduled nightly rebuild cost (its own row);
+# the upsert row measures ONLY the per-ingest delta write + verify.
+_UPSERT_BASE_STORES: dict[str, tuple] = {}
+
+
+def upsert_quantized_codes(
+    arrivals: DataFrame,
+    path: str,
+    codebook: tuple,
+    n_centroids: int = IVF_CENTROIDS,
+    files_per_cell: int = 1,
+) -> str:
+    """Append an arriving batch to an existing cell-partitioned int8
+    store WITHOUT rebuilding it: quantize + cell-assign the arrivals
+    with the store's FROZEN codebook (``(mn, mx, cent_ids, cents)`` —
+    production never re-derives quantizer stats between rebuilds, or
+    every stored code would go stale) and write them as a DELTA segment
+    next to the base (``path + "_delta"``, cell-partitioned like the
+    base so serving's partition pruning covers both).  The delta is
+    written ``mode=overwrite`` as a whole — re-running the same ingest
+    rewrites the segment instead of duplicating it (the same
+    idempotency contract as the streaming sinks' batch_id subdirs); a
+    multi-ingest deployment would key segment dirs by ingest id and
+    compact them into the base at the next nightly rebuild.  Returns
+    the delta path."""
+    mn, mx, cent_ids, cents = codebook
+    codes = _int8_encode_codes(arrivals, mn, mx, cent_ids, cents)
+    codes = _cluster_codes_for_write(codes, n_centroids, files_per_cell)
+    delta = path + "_delta"
+    codes.write.mode("overwrite").partitionBy("cell").parquet(delta)
+    return delta
+
+
+def _duck_store_upsert_sql() -> str:
+    """Ground truth for the upsert lifecycle: quantizer stats and
+    centroids from the BASE slice only (the frozen codebook), every
+    vector (base + arrivals) quantized and cell-assigned with them,
+    per-cell counts over the union — so the hash match proves the
+    delta segment's frozen-codebook encode landed exactly where a full
+    rebuild with the same codebook would have put it."""
+    return f"""
+WITH mm AS (
+  SELECT {_duck_mm_cols()} FROM embeddings
+  WHERE vec_id % {STORE_UPSERT_MOD} <> 0
+), qz AS (
+  SELECT vec_id, [{_duck_qz_elems()}]::DOUBLE[] AS qv FROM embeddings, mm
+), sized AS (
+  SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM qz
+  WHERE list_dot_product(qv, qv) > 0
+), qcents AS (
+  SELECT vec_id AS cent_id, qv AS cent_qv, nrm AS cent_nrm FROM sized
+  WHERE vec_id < {IVF_CENTROIDS} AND vec_id % {STORE_UPSERT_MOD} <> 0
+), cells AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT s.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+             list_dot_product(s.qv, c.cent_qv) / (SQRT(s.nrm) * SQRT(c.cent_nrm)) DESC,
+             c.cent_id) AS rn
+    FROM sized s, qcents c
+  ) WHERE rn = 1
+)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_codes
+FROM cells GROUP BY cell
+"""
+
+
+@query("ann_int8_store_upsert", _duck_store_upsert_sql())
+def ann_int8_store_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index ingest — the nightly complement to
+    :func:`ann_int8_store_build`'s full rebuild: the base store (built
+    from the pre-existing corpus, vec_id % 10 != 0, AT MOST ONCE per
+    process — the scheduled rebuild cost measured by the build row)
+    absorbs an arriving batch as a cell-partitioned DELTA segment
+    encoded with the base's frozen codebook; this row measures the
+    per-ingest cost alone: one arriving-batch encode pass + a ≤cells-
+    file segment write + the metadata-only footer verify over base ∪
+    delta.  At 100 TB this is the difference between an ingest that
+    costs O(batch) and one that re-encodes the corpus per arrival.
+    The oracle recomputes everything from raw floats with the
+    base-derived codebook, so the hash match proves the frozen-codebook
+    delta encode is exactly what a same-codebook full rebuild would
+    store."""
+    import os
+
+    from .dedup import _repartition_if_narrow
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    got = _UPSERT_BASE_STORES.get(sf_dir)
+    if got is not None and os.path.exists(
+        os.path.join(got[0] + "_meta", "_SUCCESS")
+    ):
+        path, cb = got
+    else:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        path = os.path.join(
+            warehouse.removeprefix("file:"),
+            "kafquack_int8_store_upsert_" + _store_tag(sf_dir),
+        )
+        base = emb.filter(F.col("vec_id") % STORE_UPSERT_MOD != 0)
+        cb = store_quantized_codes(
+            _repartition_if_narrow(base), path, stats_cache_key=sf_dir + "#upsert-base"
+        )
+        _UPSERT_BASE_STORES[sf_dir] = (path, cb)
+    arrivals = emb.filter(F.col("vec_id") % STORE_UPSERT_MOD == 0)
+    delta = upsert_quantized_codes(arrivals, path, cb)
+    return _store_cell_counts_from_footers(spark, path, delta)
 
 
 # built-store memo for the serve-only path: sf_dir -> on-disk store path.

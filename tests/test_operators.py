@@ -1513,3 +1513,45 @@ class TestIncrPartialsDrain:
         by_src = {r["source"]: r for rows in partials.values() for r in rows}
         assert by_src["web"]["n_exact_dup"] == 1 and by_src["web"]["n_near_dup"] == 0
         assert by_src["books"]["n_unique"] == 1
+
+
+class TestInt8StoreUpsert:
+    def test_upsert_is_idempotent_and_matches_same_codebook_rebuild(
+        self, spark, tables, tmp_path
+    ):
+        """Replaying the same ingest must rewrite the delta segment, not
+        duplicate it; and base ∪ delta must hold exactly the codes a
+        full rebuild with the SAME frozen codebook would store."""
+        from pyspark.sql import functions as F
+
+        from duckdb_extension_kafquack_spark.operators.similarity import (
+            STORE_UPSERT_MOD,
+            _int8_encode_codes,
+            _store_cell_counts_from_footers,
+            store_quantized_codes,
+            upsert_quantized_codes,
+        )
+
+        emb = tables["embeddings"]
+        base = emb.filter(F.col("vec_id") % STORE_UPSERT_MOD != 0)
+        arrivals = emb.filter(F.col("vec_id") % STORE_UPSERT_MOD == 0)
+        path = str(tmp_path / "base")
+        cb = store_quantized_codes(base, path)
+        delta = upsert_quantized_codes(arrivals, path, cb)
+        counts1 = sorted(
+            map(tuple, _store_cell_counts_from_footers(spark, path, delta).collect())
+        )
+        delta2 = upsert_quantized_codes(arrivals, path, cb)  # replayed ingest
+        counts2 = sorted(
+            map(tuple, _store_cell_counts_from_footers(spark, path, delta2).collect())
+        )
+        assert counts1 == counts2 and len(counts1) > 0
+        mn, mx, cent_ids, cents = cb
+        expect = sorted(
+            (int(r["cell"]), int(r["n"]))
+            for r in _int8_encode_codes(emb, mn, mx, cent_ids, cents)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert counts1 == expect
