@@ -83,6 +83,9 @@ def main() -> None:
         semdedup_cell_prune,
         semdedup_incremental,
     )
+    from duckdb_extension_kafquack_spark.operators.similarity import (
+        ann_int8_store_upsert,
+    )
     from duckdb_extension_kafquack_spark.operators.dedup import (
         incremental_dedup_report,
     )
@@ -299,6 +302,13 @@ def main() -> None:
         edir = write_emb_fixture(emb, k)
         bench("streaming_semdedup_incremental", k,
               lambda: streaming_semdedup_incremental(spark, edir))
+        # incremental index ingest (round 11): the base store builds on
+        # the row's FIRST run (memoized per fixture dir — the scheduled
+        # rebuild cost), so min-of-2 measures the per-ingest delta
+        # encode + segment write + footer verify alone; expect
+        # linear-in-arrivals growth (arrivals are 10% of the corpus)
+        bench("ann_int8_store_upsert", k,
+              lambda: ann_int8_store_upsert(spark, edir))
         print(f"k={k}: " + ", ".join(f"{n}={t[k]}s" for n, t in results.items() if k in t))
 
     # --- 64× deep probe (round-7 verdict item 5) -----------------------
@@ -342,6 +352,7 @@ def main() -> None:
         "streaming_fuzzy_contamination",
         "semdedup_incremental",
         "streaming_semdedup_incremental",
+        "ann_int8_store_upsert",
     )
     docs = replicate_docs(docs0, 64).localCheckpoint()
     bench("minhash_lsh_dedup", 64, lambda: minhash_near_duplicates(docs))
@@ -369,6 +380,8 @@ def main() -> None:
     edir64 = write_emb_fixture(emb64, 64)
     bench("streaming_semdedup_incremental", 64,
           lambda: streaming_semdedup_incremental(spark, edir64))
+    bench("ann_int8_store_upsert", 64,
+          lambda: ann_int8_store_upsert(spark, edir64))
     print("k=64: " + ", ".join(f"{n}={results[n][64]}s" for n in DEEP))
 
     deep_rows = []
