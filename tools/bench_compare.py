@@ -83,27 +83,39 @@ def main() -> None:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    # min-of-2 on BOTH engines (same policy as bench.py): steady-state
-    # plan cost, not one-shot codegen/Python-worker startup — the part
-    # that amortizes away over a real workload.  Each engine runs its
-    # whole pass UN-INTERLEAVED (round 10): alternating a 32-thread
-    # DuckDB execution between every pair of Spark timings perturbed the
-    # JVM enough that the same query swung 1.8s ↔ 2.7s between tool
-    # runs while bench.py's isolated sessions measured it at 1.5s —
-    # the interleaving measured cross-engine cache pollution, not plans.
     floor_s = _streaming_floor(spark, sf_dir)
     print(f"streaming fixed floor (trivial availableNow drain): {floor_s:.2f}s")
 
-    spark_times: dict[str, float] = {}
+    # Spark column = bench.py's own machinery (round 11): min per query
+    # across TWO fresh-JVM sessions, one forward and one reversed pass —
+    # identical to the driver's BENCH_r{N}.json methodology.  This tool
+    # previously ran all ~85 queries in ONE shared session, where
+    # MEMORY_AND_DISK cache eviction thrash inflated persisted-relation
+    # rows 2-3× over their fresh-session cost (dup_span 1.5s vs 0.59s,
+    # the stored streaming row 3.9s vs 2.0s) — a position artifact, not
+    # a plan cost.  DuckDB still runs locally, un-interleaved.
+    import json as _json
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    r = subprocess.run(
+        [sys.executable, "/root/repo/bench.py"],
+        capture_output=True, text=True, env=env,
+    )
+    line = next(
+        (
+            ln
+            for ln in reversed(r.stdout.splitlines())
+            if ln.startswith("{") and '"queries"' in ln
+        ),
+        None,
+    )
+    if line is None:
+        sys.stderr.write(r.stderr[-4000:] + "\n")
+        raise RuntimeError("bench.py produced no JSON")
+    spark_times: dict[str, float] = _json.loads(line)["queries"]
     for name in HEADLINE:
-        q = REGISTRY[name]
-        spark_s = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            spark_s = min(spark_s, time.time() - t0)
-        spark_times[name] = spark_s
-        print(f"{name}: spark={spark_s:.2f}s")
+        print(f"{name}: spark={spark_times[name]:.2f}s")
     rows = []
     for name in HEADLINE:
         q = REGISTRY[name]
@@ -123,8 +135,12 @@ def main() -> None:
         "",
         f"`{sf_dir}`, local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}] vs DuckDB same thread count.",
         "",
-        "Both engines timed min-of-2 (steady-state plan cost; one-shot",
-        "codegen / Python-worker startup amortizes over a real workload).",
+        "Spark times are bench.py's: min per query across two FRESH-JVM",
+        "sessions (forward + reversed order — position/cache effects",
+        "cancel), the driver's BENCH_r{N}.json methodology.  DuckDB is",
+        "timed min-of-2 locally, un-interleaved.  Both measure",
+        "steady-state plan cost; one-shot codegen / Python-worker",
+        "startup amortizes over a real workload.",
         "DuckDB wins short queries on startup cost (no task scheduling, no",
         "JVM boundary); that fixed ~0.5-1 s floor is what Spark trades for",
         "horizontal scale — at 100 TB these plans distribute unchanged while",
@@ -160,16 +176,11 @@ def main() -> None:
         "~7× faster (6.56s → ~0.9s) — both engines got faster on the",
         "same semantics; the ratio moved against Spark while the Spark",
         "row itself halved (3.17s → 1.8s).",
-        "Rows whose plans lean on a persisted relation",
-        "(`text_bigram_surprisal`, `dedup_containment`,",
-        "`dedup_dup_span_coverage`, `streaming_incremental_dedup_stored`)",
-        "read noticeably slower here than under bench.py (round 11:",
-        "dup_span 1.5s here vs 0.59s there; the stored streaming row",
-        "3.9s vs 2.0s): this tool runs all ~80 queries in ONE shared",
-        "session, so their caches contend with the whole suite's",
-        "persisted state and MEMORY_AND_DISK eviction thrash dominates —",
-        "the driver's BENCH_r{N}.json is the plan-cost-of-record for",
-        "those rows.",
+        "(Until round 11 this tool timed Spark in ONE shared session,",
+        "where cache-eviction thrash inflated persisted-relation rows",
+        "2-3× over their fresh-session cost; the Spark column now comes",
+        "from bench.py's two-fresh-JVM min, so it IS the cost of",
+        "record.)",
         "",
         "| query | spark (s) | duckdb (s) | ratio |",
         "|---|---|---|---|",
