@@ -102,6 +102,7 @@ HEADLINE = [
     "corpus_summary_card",
     "semdedup_cell_prune",
     "semdedup_incremental",
+    "incremental_dedup_store_build",
     "streaming_incremental_dedup",
     "streaming_incremental_dedup_stored",
     "streaming_semdedup_incremental",
@@ -156,19 +157,31 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_BENCH_CHILD") or n_sessions <= 1:
         timings = _run_session(sf_dir)
+        session_meta = []
     else:
-        # min per query across n fresh JVM sessions
+        # min per query across n fresh JVM sessions, load-annotated
+        # (round-12, r11 verdict item 2): the driver's BENCH_r11 recorded
+        # a phantom +17% regression from machine contention — record the
+        # 1-min load average around each pass so a contaminated record is
+        # detectable in-band, and arbitrate with a THIRD fresh-JVM pass
+        # when the two passes disagree by >30% on total (the per-query
+        # min then absorbs whichever pass was the noisy one).
         timings = {}
         here = os.path.abspath(__file__)
-        for i in range(n_sessions):
+        session_meta: list[dict] = []
+        session_totals: list[float] = []
+
+        def run_child(i: int) -> None:
             env = dict(
                 os.environ,
                 SPARK_GRAFT_BENCH_CHILD="1",
                 SPARK_GRAFT_BENCH_ORDER="reverse" if i % 2 else "forward",
             )
+            load_before = os.getloadavg()[0]
             r = subprocess.run(
                 [sys.executable, here], capture_output=True, text=True, env=env
             )
+            load_after = os.getloadavg()[0]
             line = next(
                 (
                     ln
@@ -182,11 +195,27 @@ def main() -> None:
                     f"bench child {i} produced no JSON; rc={r.returncode}\n"
                     + r.stderr[-4000:]
                 )
-                continue
+                return
             child = json.loads(line)["queries"]
+            session_totals.append(sum(child.values()))
+            session_meta.append(
+                {
+                    "order": env["SPARK_GRAFT_BENCH_ORDER"],
+                    "load_before": round(load_before, 2),
+                    "load_after": round(load_after, 2),
+                    "total": round(sum(child.values()), 3),
+                }
+            )
             for k, v in child.items():
                 timings[k] = min(timings.get(k, float("inf")), v)
-        if not timings:  # both children failed — run in-process as a fallback
+
+        for i in range(n_sessions):
+            run_child(i)
+        if len(session_totals) >= 2:
+            lo, hi = min(session_totals), max(session_totals)
+            if lo > 0 and hi / lo > 1.3:
+                run_child(n_sessions)  # tie-break pass; min absorbs the noise
+        if not timings:  # all children failed — run in-process as a fallback
             timings = _run_session(sf_dir)
 
     total = round(sum(timings.values()), 3)
@@ -198,6 +227,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sessions": session_meta,
             }
         )
     )

@@ -1915,12 +1915,28 @@ def store_band_signatures(
 _INCR_STORES: dict[str, tuple[str, str, str]] = {}
 
 
-def ensure_incremental_store(
-    spark: SparkSession, sf_dir: str
+def _incr_store_tag(sf_dir: str) -> str:
+    """Store-table name tag: basename + a hash of the FULL path — two
+    fixture dirs sharing a basename must never share on-disk stores
+    (r9 advice — the second build would silently overwrite the first's
+    corpus state)."""
+    import hashlib
+    import os
+    import re
+
+    return (
+        re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(sf_dir.rstrip("/")))
+        + "_"
+        + hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    )
+
+
+def build_incremental_store(
+    spark: SparkSession, sf_dir: str, suffix: str = ""
 ) -> tuple[str, str, str]:
-    """Build (at most once per process) the corpus-side state a
-    production incremental-dedup ingest needs, from the EVEN-doc_id
-    corpus of ``sf_dir``:
+    """UNCONDITIONALLY build the corpus-side state a production
+    incremental-dedup ingest needs, from the EVEN-doc_id corpus of
+    ``sf_dir``:
 
     * a band-signature table bucketed on ``band_sig``
       (:func:`store_band_signatures`) — candidate generation joins it
@@ -1936,30 +1952,18 @@ def ensure_incremental_store(
     rows: zero corpus-scaled shuffle per ingest — the property that
     makes nightly dedup O(batch) at 100 TB.
 
-    Returns ``(bands_table, sets_table, hash_table)``."""
+    ``suffix`` namespaces the tables (the build-row benchmark uses its
+    own set so paying the rebuild every call never races the memoized
+    serve store).  Returns ``(bands_table, sets_table, hash_table)``."""
     import os
-    import re
-
-    got = _INCR_STORES.get(sf_dir)
-    if got is not None:
-        return got
-    # tag folds in a hash of the FULL path: two fixture dirs sharing a
-    # basename must never share on-disk stores (r9 advice — the second
-    # build would silently overwrite the first's corpus state)
-    import hashlib
-
-    tag = (
-        re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(sf_dir.rstrip("/")))
-        + "_"
-        + hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
-    )
-    warehouse = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
     import shutil
 
     from ..sources.files import write_bucketed
 
+    tag = _incr_store_tag(sf_dir) + suffix
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
     bands_table = f"kafquack_corpus_bands_{tag}"
     sets_table = f"kafquack_corpus_sets_{tag}"
     hash_table = f"kafquack_corpus_hash_{tag}"
@@ -1975,8 +1979,98 @@ def ensure_incremental_store(
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(os.path.join(warehouse, tbl.lower()), ignore_errors=True)
         write_bucketed(df, tbl, key)
-    _INCR_STORES[sf_dir] = (bands_table, sets_table, hash_table)
+    return (bands_table, sets_table, hash_table)
+
+
+def ensure_incremental_store(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, str]:
+    """Build (at most once per process) the incremental-dedup corpus
+    store (:func:`build_incremental_store`).  The nightly rebuild is a
+    separate, scheduled cost — its own oracled row,
+    :func:`incremental_dedup_store_build` — so steady-state ingest
+    batches (:func:`..streaming.windows.
+    streaming_incremental_dedup_stored`) only ever pay the stored-index
+    reads: the ann_int8_store_build / ann_int8_store_serve accounting
+    split applied to the dedup ingest headline (r11 verdict item 1)."""
+    got = _INCR_STORES.get(sf_dir)
+    if got is not None:
+        return got
+    _INCR_STORES[sf_dir] = build_incremental_store(spark, sf_dir)
     return _INCR_STORES[sf_dir]
+
+
+def _incr_store_counts_from_footers(
+    spark: SparkSession, tables: dict[str, str]
+) -> DataFrame:
+    """(store, n_rows) per store table, read from the parquet FOOTERS of
+    the bucketed table files just written — the metadata-only build
+    verification (same contract as the ANN side's
+    :func:`..operators.similarity._store_cell_counts_from_footers`):
+    footer ``num_rows`` is authoritative for what the write landed, so
+    the build row proves the write without rescanning a data page.  The
+    walk is O(buckets · stores) — 32-file bucketed tables, never
+    corpus-scaled.  A SQL VALUES literal (LocalRelation) carries the
+    ≤3 rows — no job, no python-worker fan-out."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    counts: dict[str, int] = {}
+    for store, tbl in sorted(tables.items()):
+        loc = os.path.join(warehouse, tbl.lower())
+        n = 0
+        for f in os.listdir(loc):
+            if f.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(loc, f)).metadata.num_rows
+        counts[store] = n
+    vals = ", ".join(f"('{s}', {n})" for s, n in sorted(counts.items()))
+    return spark.sql(
+        "SELECT col1 AS store, CAST(col2 AS BIGINT) AS n_rows"
+        f" FROM VALUES {vals}"
+    )
+
+
+def _duck_incr_store_build_sql() -> str:
+    """Oracle for the incremental-store build row: the row counts the
+    three store tables must land — every corpus doc emits exactly
+    ``BANDS`` band rows and one shingle-set row (both map-only
+    projections, rows survive even for empty docs), and the key store
+    is the distinct corpus md5 set."""
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)
+SELECT 'bands' AS store, CAST(COUNT(*) * {BANDS} AS BIGINT) AS n_rows FROM corpus
+UNION ALL
+SELECT 'hash' AS store, CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_rows FROM corpus
+UNION ALL
+SELECT 'sets' AS store, CAST(COUNT(*) AS BIGINT) AS n_rows FROM corpus
+"""
+
+
+@query("incremental_dedup_store_build", _duck_incr_store_build_sql())
+def incremental_dedup_store_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NIGHTLY REBUILD cost of the incremental-dedup corpus store,
+    isolated (r11 verdict item 1 — the ann_int8_store_build/serve
+    accounting split applied to the ingest headline): shingle + minhash
+    the corpus once, write the three bucketed store tables
+    (:func:`build_incremental_store`), and verify the write from the
+    parquet footers of the files just written.  The serve twin
+    (:func:`..streaming.windows.streaming_incremental_dedup_stored`)
+    measures the per-ingest classify alone against a store built at
+    most once per process; this row pays the rebuild every call, by
+    design.  Contents are proven by the serve row's shared
+    classification oracle (the stores persist exactly the relations
+    the inline variant derives — the hash match proves the round-trip
+    lossless); this row's footer counts prove the write landed."""
+    bands_table, sets_table, hash_table = build_incremental_store(
+        spark, sf_dir, suffix="_buildrow"
+    )
+    return _incr_store_counts_from_footers(
+        spark, {"bands": bands_table, "sets": sets_table, "hash": hash_table}
+    )
 
 
 def incremental_candidates_from_store(

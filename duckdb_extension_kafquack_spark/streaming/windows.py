@@ -869,24 +869,73 @@ def _incr_batch_partials(batch_df: DataFrame) -> DataFrame:
     )
 
 
+class _BatchPartialFolder:
+    """O(sources) driver state for a ``foreachBatch`` partial drain,
+    independent of how many micro-batches the stream runs (r11 verdict
+    item 4 — the batch_id-keyed dict grew one entry per batch forever
+    on a long-lived ingest).
+
+    Cross-batch state is exactly: the running totals of every FOLDED
+    batch, plus the latest batch_id's raw partial.  ``foreachBatch`` is
+    at-least-once with a WAL commit per batch, so the only replay Spark
+    can deliver is the newest, not-yet-committed batch_id — a repeat of
+    the latest id OVERWRITES its partial (never double-counts), and a
+    batch is folded into the totals only when a strictly larger id
+    arrives (which, under the WAL contract, means the smaller id
+    committed).  An id smaller than the latest is already folded and is
+    dropped.  ``fold(totals_dict, row)`` merges one partial row into
+    the per-source totals."""
+
+    def __init__(self, fold) -> None:
+        self._fold = fold
+        self._done: dict[str, list] = {}
+        self._latest: tuple[int, list] | None = None
+
+    def add(self, batch_id: int, rows: list) -> None:
+        if self._latest is not None:
+            last_id, last_rows = self._latest
+            if batch_id < last_id:
+                return  # pre-latest replay: already folded, drop it
+            if batch_id > last_id:
+                for r in last_rows:
+                    self._fold(self._done, r)
+            # batch_id == last_id: at-least-once replay — overwrite
+        self._latest = (batch_id, rows)
+
+    def totals(self) -> dict[str, list]:
+        if self._latest is not None:
+            for r in self._latest[1]:
+                self._fold(self._done, r)
+            self._latest = None
+        return self._done
+
+
+def _fold_incr_partial(done: dict[str, list], r) -> None:
+    t = done.setdefault(r["source"], [0, 0, 0, 0])
+    t[0] += r["n_batch"]
+    t[1] += r["n_exact_dup"]
+    t[2] += r["n_near_dup"]
+    t[3] += r["n_unique"]
+
+
 def _drain_incr_partials(flags: DataFrame, name: str) -> DataFrame:
     """Drain the incremental-dedup flag stream through ``foreachBatch``,
-    accumulating O(sources) per-source partial counts per micro-batch,
-    and return the summed rollup as a driver-local relation.
+    accumulating O(sources) per-source partial counts, and return the
+    summed rollup as a driver-local relation.
 
     This replaces the earlier complete-mode memory sink + stateful
     per-doc aggregation, which held EVERY doc verdict in stream state
     AND re-collected the whole verdict table to the driver each batch —
     corpus-scaled driver memory at 100 TB.  Here the only cross-batch
-    state is the per-source counter quadruple (keyed by batch_id, so a
-    replayed micro-batch overwrites rather than double-counts its
-    partial — foreachBatch is at-least-once), and each micro-batch runs
-    as a normal AQE-planned batch query.  The rollup itself is a SQL
-    VALUES literal — a Catalyst LocalRelation, no job to read it."""
-    partials: dict[int, list] = {}
+    state is the :class:`_BatchPartialFolder` (per-source running
+    totals + the latest batch's partial, replay-safe — O(sources)
+    regardless of batch count), and each micro-batch runs as a normal
+    AQE-planned batch query.  The rollup itself is a SQL VALUES
+    literal — a Catalyst LocalRelation, no job to read it."""
+    folder = _BatchPartialFolder(_fold_incr_partial)
 
     def handle(batch_df, batch_id: int) -> None:
-        partials[batch_id] = _incr_batch_partials(batch_df).collect()
+        folder.add(batch_id, _incr_batch_partials(batch_df).collect())
 
     with tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_") as ckpt:
         q = (
@@ -896,14 +945,7 @@ def _drain_incr_partials(flags: DataFrame, name: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    totals: dict[str, list[int]] = {}
-    for rows in partials.values():
-        for r in rows:
-            t = totals.setdefault(r["source"], [0, 0, 0, 0])
-            t[0] += r["n_batch"]
-            t[1] += r["n_exact_dup"]
-            t[2] += r["n_near_dup"]
-            t[3] += r["n_unique"]
+    totals = folder.totals()
     spark = flags.sparkSession
     if not totals:
         return spark.sql(
@@ -1045,7 +1087,13 @@ def streaming_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .filter(F.col("jaccard") >= FUZZY_CONTAM_THRESHOLD)
     )
-    partials: dict[int, list] = {}
+    def fold(done: dict[str, list], r) -> None:
+        t = done.setdefault(r["source"], [0, 0, float("-inf")])
+        t[0] += r["contaminated_docs"]
+        t[1] += r["n_pairs"]
+        t[2] = max(t[2], r["max_jaccard"])
+
+    folder = _BatchPartialFolder(fold)
 
     def handle(batch_df, batch_id: int) -> None:
         pairs = batch_df.groupBy("doc_id", "source", "bench_id").agg(
@@ -1055,14 +1103,15 @@ def streaming_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count(F.lit(1)).cast("bigint").alias("n_bench_matches"),
             F.max("jaccard").alias("max_jaccard"),
         )
-        partials[batch_id] = (
+        folder.add(
+            batch_id,
             per_doc.groupBy("source")
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("contaminated_docs"),
                 F.sum("n_bench_matches").cast("bigint").alias("n_pairs"),
                 F.max("max_jaccard").alias("max_jaccard"),
             )
-            .collect()
+            .collect(),
         )
 
     with tempfile.TemporaryDirectory(prefix="ckpt_fuzzy_contam_") as ckpt:
@@ -1073,13 +1122,7 @@ def streaming_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
             .start()
         )
         q.awaitTermination()
-    totals: dict[str, list] = {}
-    for rows in partials.values():
-        for r in rows:
-            t = totals.setdefault(r["source"], [0, 0, float("-inf")])
-            t[0] += r["contaminated_docs"]
-            t[1] += r["n_pairs"]
-            t[2] = max(t[2], r["max_jaccard"])
+    totals = folder.totals()
     if not totals:
         return spark.sql(
             "SELECT CAST(NULL AS STRING) AS source,"

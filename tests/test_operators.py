@@ -1489,11 +1489,13 @@ class TestCompaction:
 
 class TestIncrPartialsDrain:
     def test_replayed_batch_does_not_double_count(self, spark):
-        """foreachBatch is at-least-once: `_drain_incr_partials` keys
-        partials by batch_id, so a replayed micro-batch must OVERWRITE
-        its partial, never add a second copy.  Simulate the replay by
-        driving the per-batch handler shape directly."""
+        """foreachBatch is at-least-once: `_drain_incr_partials` folds
+        partials through `_BatchPartialFolder`, so a replayed micro-batch
+        must OVERWRITE its partial, never add a second copy.  Simulate
+        the replay by driving the per-batch handler shape directly."""
         from duckdb_extension_kafquack_spark.streaming.windows import (
+            _BatchPartialFolder,
+            _fold_incr_partial,
             _incr_batch_partials,
         )
 
@@ -1501,18 +1503,13 @@ class TestIncrPartialsDrain:
             [(1, "web", 1, 0), (1, "web", 0, 1), (2, "books", 0, 0)],
             "doc_id long, source string, ex_flag int, nr_flag int",
         )
-        partials: dict[int, list] = {}
+        folder = _BatchPartialFolder(_fold_incr_partial)
         for _ in range(2):  # same batch_id delivered twice (replay)
-            partials[0] = _incr_batch_partials(flags).collect()
-        totals: dict[str, int] = {}
-        for rows in partials.values():
-            for r in rows:
-                totals[r["source"]] = totals.get(r["source"], 0) + r["n_batch"]
+            folder.add(0, _incr_batch_partials(flags).collect())
+        totals = folder.totals()
         # doc 1 (web): ex wins over nr; doc 2 (books): unique — once each
-        assert totals == {"web": 1, "books": 1}
-        by_src = {r["source"]: r for rows in partials.values() for r in rows}
-        assert by_src["web"]["n_exact_dup"] == 1 and by_src["web"]["n_near_dup"] == 0
-        assert by_src["books"]["n_unique"] == 1
+        # layout per _fold_incr_partial: [n_batch, n_exact, n_near, n_unique]
+        assert totals == {"web": [1, 1, 0, 0], "books": [1, 0, 0, 1]}
 
 
 class TestInt8StoreUpsert:

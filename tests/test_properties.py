@@ -1139,3 +1139,57 @@ def test_semdedup_knobs_growth_law():
         expected_cell = -(-n // cells)
         assert expected_cell <= SEMDEDUP_TARGET_CELL
         assert -(-expected_cell // blocks) <= SEMDEDUP_TARGET_TILE
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.fixed_dictionaries(
+                {
+                    "source": st.sampled_from(["web", "wiki", "code"]),
+                    "n_batch": st.integers(0, 50),
+                    "n_exact_dup": st.integers(0, 50),
+                    "n_near_dup": st.integers(0, 50),
+                    "n_unique": st.integers(0, 50),
+                }
+            ),
+            unique_by=lambda r: r["source"],
+            max_size=3,
+        ),
+        max_size=8,
+    ),
+    repeats=st.lists(st.integers(1, 3), min_size=8, max_size=8),
+    stale_replays=st.lists(st.integers(0, 7), max_size=4),
+)
+def test_batch_partial_folder_replay_and_memory_invariants(
+    batches, repeats, stale_replays
+):
+    """`_BatchPartialFolder` (r11 verdict item 4) must (a) total exactly
+    one copy of every batch under at-least-once delivery — the newest
+    batch_id may be redelivered any number of times (WAL-uncommitted
+    replay), and an id older than the latest is already folded and must
+    be dropped; (b) hold O(sources) driver state regardless of how many
+    batches streamed through (the defect the class replaces: one dict
+    entry per batch forever)."""
+    from duckdb_extension_kafquack_spark.streaming.windows import (
+        _BatchPartialFolder,
+        _fold_incr_partial,
+    )
+
+    folder = _BatchPartialFolder(_fold_incr_partial)
+    for bid, rows in enumerate(batches):
+        for _ in range(repeats[bid]):  # replay of the newest batch_id
+            folder.add(bid, rows)
+        # memory invariant: folded state never exceeds the source space,
+        # and the only raw partial held is the latest batch's
+        assert len(folder._done) <= 3
+        assert folder._latest is None or folder._latest[0] == bid
+    for sid in stale_replays:  # pre-latest ids redelivered out of order
+        if sid < len(batches) - 1:
+            folder.add(sid, batches[sid])
+    expected: dict[str, list] = {}
+    for rows in batches:
+        for r in rows:
+            _fold_incr_partial(expected, r)
+    assert folder.totals() == expected
