@@ -1489,7 +1489,7 @@ class TestCompaction:
 
 class TestIncrPartialsDrain:
     def test_replayed_batch_does_not_double_count(self, spark):
-        """foreachBatch is at-least-once: `_drain_incr_partials` folds
+        """foreachBatch is at-least-once: the incr-dedup drain folds
         partials through `_BatchPartialFolder`, so a replayed micro-batch
         must OVERWRITE its partial, never add a second copy.  Simulate
         the replay by driving the per-batch handler shape directly."""
