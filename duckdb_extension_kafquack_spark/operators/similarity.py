@@ -778,6 +778,16 @@ def _sq_minmax_seeds_np(embeddings: DataFrame, n_centroids: int):
         "mn array<double>, mx array<double>, "
         "seed_ids array<long>, seed_vecs array<array<double>>",
     ).collect()
+    if not rows:
+        # empty corpus (r11 advice): the builder writes an empty store
+        # and the footer verify returns the empty relation — the upsert
+        # base-build path can plausibly see an empty base slice
+        return (
+            np.zeros(DIM),
+            np.zeros(DIM),
+            np.zeros(0, dtype=np.int64),
+            np.zeros((0, DIM)),
+        )
     mn = np.min(np.array([r["mn"] for r in rows], dtype=np.float64), axis=0)
     mx = np.max(np.array([r["mx"] for r in rows], dtype=np.float64), axis=0)
     seed_ids = np.array(
@@ -1771,11 +1781,20 @@ def _embeddings_rowcount(sf_dir: str) -> int:
 
     p = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.isdir(p):
-        return sum(
-            pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
-            for f in os.listdir(p)
-            if f.endswith(".parquet")
-        )
+        # walk RECURSIVELY (r11 advice): a nested or Hive-partitioned
+        # layout must count its leaf files — silently returning 0 would
+        # floor semdedup_knobs at the fixture constants in exactly the
+        # large-corpus deployments the adaptive knobs exist for
+        total = 0
+        found = False
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    found = True
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        if not found:
+            raise FileNotFoundError(f"no parquet files under {p}")
+        return total
     return pq.ParquetFile(p).metadata.num_rows
 
 
@@ -2824,6 +2843,21 @@ def _store_tag(sf_dir: str) -> str:
 _LIFECYCLE_STORES: dict[str, tuple] = {}
 
 
+def _store_intact(path: str) -> bool:
+    """True when a memoized cell-partitioned store is still servable:
+    the sidecar's ``_SUCCESS`` marker exists AND the data dir holds at
+    least one ``cell=`` partition (r11 advice — a store whose data was
+    removed while the sidecar survived must fall through to the rebuild
+    branch, not crash the footer walk)."""
+    import os
+
+    if not os.path.exists(os.path.join(path + "_meta", "_SUCCESS")):
+        return False
+    if not os.path.isdir(path):
+        return False
+    return any(e.startswith("cell=") for e in os.listdir(path))
+
+
 @query("ann_int8_store_topk", _duck_sq_ivf_sql())
 def ann_int8_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production ANN serving lifecycle: materialize the
@@ -2848,9 +2882,7 @@ def ann_int8_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     got = _LIFECYCLE_STORES.get(sf_dir)
-    if got is not None and os.path.exists(
-        os.path.join(got[0] + "_meta", "_SUCCESS")
-    ):
+    if got is not None and _store_intact(got[0]):
         path, cb = got
     else:
         warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
@@ -3047,9 +3079,7 @@ def ann_int8_store_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     got = _UPSERT_BASE_STORES.get(sf_dir)
-    if got is not None and os.path.exists(
-        os.path.join(got[0] + "_meta", "_SUCCESS")
-    ):
+    if got is not None and _store_intact(got[0]):
         path, cb = got
     else:
         warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
@@ -3083,7 +3113,7 @@ def _ensure_int8_store(spark: SparkSession, sf_dir: str) -> str:
     import os
 
     path = _SERVE_STORES.get(sf_dir)
-    if path and os.path.exists(os.path.join(path + "_meta", "_SUCCESS")):
+    if path and _store_intact(path):
         return path
     from .dedup import _repartition_if_narrow
 

@@ -1266,7 +1266,6 @@ def streaming_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     the driver holds nothing.  Shares the batch oracle: the hash match
     proves micro-batching + the sink round-trip changed nothing."""
     import os
-    import tempfile as _tf
 
     import numpy as np
 
@@ -1290,7 +1289,24 @@ def streaming_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     )
     corpus = emb.filter(F.col("vec_id") % SEMDEDUP_BATCH_MOD != 0)
     arrivals = _build_semdedup_arrivals(spark, sf_dir)
-    out = _tf.mkdtemp(prefix="semdedup_incr_sink_")
+    # sink lives under the warehouse keyed by sf_dir (r11 advice): a
+    # rerun overwrites the same location instead of leaking one mkdtemp
+    # directory per invocation for the life of the machine (the returned
+    # DataFrame reads the sink lazily, so it can never be deleted
+    # in-function).  Cleared up front so a previous run's extra
+    # batch= subdirs can't leak into this run's read.
+    import shutil
+
+    from ..operators.dedup import _incr_store_tag
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    out = os.path.join(
+        warehouse, "kafquack_semdedup_incr_sink_" + _incr_store_tag(sf_dir)
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
 
     def handle(batch_df, batch_id: int) -> None:
         try:

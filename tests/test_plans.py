@@ -664,9 +664,22 @@ def test_semdedup_cell_prune_hint_and_tile_hygiene(spark):
         SEMDEDUP_BLOCKS,
     )
 
+    from duckdb_extension_kafquack_spark.operators.similarity import (
+        _trained_cell_assigner,
+    )
+    from duckdb_extension_kafquack_spark.session import load_tables
+
     n_tiles = sum(1 for i in range(SEMDEDUP_BLOCKS) for j in range(SEMDEDUP_BLOCKS) if i <= j)
     cap = 2 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    expected = min(IVF_CENTROIDS * n_tiles, cap)
+    # derive expected from the SAME live n_cells the operator uses
+    # (r11 advice: a seed centroid that quantizes to zero norm makes
+    # n_cells < IVF_CENTROIDS, so sizing from the constant would be a
+    # spurious failure on such fixtures)
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    _assign, n_cells, _state = _trained_cell_assigner(
+        emb, cache_key=SF_DIR, n_centroids=IVF_CENTROIDS
+    )
+    expected = min(max(1, n_cells) * n_tiles, cap)
     for name in ("semdedup_cell_prune", "semdedup_threshold_sweep"):
         df = REGISTRY[name].fn(spark, SF_DIR)
         assert broadcast_hint_count(df) == 2, name
@@ -674,8 +687,9 @@ def test_semdedup_cell_prune_hint_and_tile_hygiene(spark):
         assert "CartesianProduct" not in plan, name
         assert "FlatMapGroupsInPandas" in plan, name  # the tile kernel
         # tile partition count scales with the session's shuffle
-        # parallelism, never the hard-64 local tuning (r10 verdict 3)
-        m = re.search(r"hashpartitioning\(cell#\d+L?, i#\d+, j#\d+, (\d+)\)", plan)
+        # parallelism, never the hard-64 local tuning (r10 verdict 3);
+        # regex tolerant of plan-string format drift (r11 advice)
+        m = re.search(r"hashpartitioning\(cell[^,)]*, i#[^,)]*, j#[^,)]*, (\d+)\)", plan)
         assert m and int(m.group(1)) == expected, (name, plan[:400])
 
 
