@@ -56,6 +56,7 @@ HEADLINE = [
     "ann_int8_store_serve",
     "ann_int8_store_build",
     "ann_int8_store_upsert",
+    "ann_int8_store_compact",
     "ivf_kmeans_codebook",
     "dedup_embedding_cosine",
     "dedup_incremental",

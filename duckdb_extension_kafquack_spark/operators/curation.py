@@ -1256,6 +1256,69 @@ FUZZY_BENCH_MOD = 7            # a LARGER held-out slice than exact
                                # trivially-green gate row proves nothing)
 
 
+# per-process registry of built fuzzy-benchmark index stores:
+# sf_dir -> (bands_table, sets_table).  Same contract as
+# dedup._INCR_STORES: the benchmark index is a scheduled, fixed-size
+# artifact (the benchmark suite changes when a new eval ships, not per
+# ingest) — steady-state decontamination batches only pay the stored
+# reads.
+_FUZZY_BENCH_STORES: dict[str, tuple[str, str]] = {}
+
+
+def ensure_fuzzy_bench_store(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (at most once per process) the benchmark-side state the
+    streaming fuzzy-decontamination gate probes (r11 verdict item 6):
+
+    * the benchmark band signatures ``(bench_id, band_sig)`` BUCKETED on
+      ``band_sig`` — the per-batch probe join is then bucket-served on
+      the store side (only arriving rows shuffle), instead of
+      re-deriving and re-planning the benchmark relation every batch;
+    * the benchmark shingle sets ``(bench_id, t2, n2)`` BUCKETED on
+      ``bench_id`` — the exact-Jaccard verify joins candidates against
+      it one-sided.
+
+    Mirrors :func:`..operators.dedup.ensure_incremental_store`'s design
+    (two single-key bucketed tables, joins keyed on exactly the bucket
+    column); the benchmark side is fixed-size at 100 TB, so this store
+    is small — bucketing it is about join planning stability, not
+    memory."""
+    import os
+    import shutil
+
+    got = _FUZZY_BENCH_STORES.get(sf_dir)
+    if got is not None:
+        return got
+    from ..sources.files import write_bucketed
+    from .dedup import _incr_store_tag, minhash_bands, minhash_sig_sets
+
+    tag = _incr_store_tag(sf_dir)
+    bands_table = f"kafquack_fuzzy_bench_bands_{tag}"
+    sets_table = f"kafquack_fuzzy_bench_sets_{tag}"
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    docs = load_tables(spark, sf_dir)["documents"]
+    bench = docs.filter(F.col("doc_id") % FUZZY_BENCH_MOD == 0)
+    bsig = minhash_sig_sets(bench)
+    bands = minhash_bands(bsig).select(
+        F.col("doc_id").alias("bench_id"), "band_sig"
+    )
+    sets_df = bsig.select(
+        F.col("doc_id").alias("bench_id"),
+        F.col("stoks").alias("t2"),
+        F.col("n").alias("n2"),
+    )
+    for tbl, df, key in (
+        (bands_table, bands, "band_sig"),
+        (sets_table, sets_df, "bench_id"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(warehouse, tbl.lower()), ignore_errors=True)
+        write_bucketed(df, tbl, key)
+    _FUZZY_BENCH_STORES[sf_dir] = (bands_table, sets_table)
+    return _FUZZY_BENCH_STORES[sf_dir]
+
+
 def fuzzy_contamination(docs: DataFrame) -> DataFrame:
     """Fuzzy train/test decontamination: corpus docs whose shingle-set
     Jaccard against ANY benchmark-slice doc (doc_id % FUZZY_BENCH_MOD == 0) reaches

@@ -3073,28 +3073,100 @@ def ann_int8_store_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     base-derived codebook, so the hash match proves the frozen-codebook
     delta encode is exactly what a same-codebook full rebuild would
     store."""
+    path, cb = _ensure_upsert_base(spark, sf_dir)
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    arrivals = emb.filter(F.col("vec_id") % STORE_UPSERT_MOD == 0)
+    delta = upsert_quantized_codes(arrivals, path, cb)
+    return _store_cell_counts_from_footers(spark, path, delta)
+
+
+def _ensure_upsert_base(spark: SparkSession, sf_dir: str) -> tuple[str, tuple]:
+    """Build (at most once per process) the upsert lifecycle's BASE
+    store from the pre-existing corpus slice (vec_id % 10 != 0) and
+    return ``(path, codebook)`` — the scheduled nightly rebuild cost,
+    measured by :func:`ann_int8_store_build`; the upsert / compact rows
+    only pay their per-ingest / per-compaction work."""
     import os
 
     from .dedup import _repartition_if_narrow
 
-    emb = load_tables(spark, sf_dir)["embeddings"]
     got = _UPSERT_BASE_STORES.get(sf_dir)
     if got is not None and _store_intact(got[0]):
-        path, cb = got
-    else:
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        path = os.path.join(
-            warehouse.removeprefix("file:"),
-            "kafquack_int8_store_upsert_" + _store_tag(sf_dir),
-        )
-        base = emb.filter(F.col("vec_id") % STORE_UPSERT_MOD != 0)
-        cb = store_quantized_codes(
-            _repartition_if_narrow(base), path, stats_cache_key=sf_dir + "#upsert-base"
-        )
-        _UPSERT_BASE_STORES[sf_dir] = (path, cb)
-    arrivals = emb.filter(F.col("vec_id") % STORE_UPSERT_MOD == 0)
-    delta = upsert_quantized_codes(arrivals, path, cb)
-    return _store_cell_counts_from_footers(spark, path, delta)
+        return got
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    path = os.path.join(
+        warehouse.removeprefix("file:"),
+        "kafquack_int8_store_upsert_" + _store_tag(sf_dir),
+    )
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    base = emb.filter(F.col("vec_id") % STORE_UPSERT_MOD != 0)
+    cb = store_quantized_codes(
+        _repartition_if_narrow(base), path, stats_cache_key=sf_dir + "#upsert-base"
+    )
+    _UPSERT_BASE_STORES[sf_dir] = (path, cb)
+    return _UPSERT_BASE_STORES[sf_dir]
+
+
+def compact_quantized_store(
+    spark: SparkSession,
+    base_path: str,
+    deltas: list[str],
+    n_centroids: int = IVF_CENTROIDS,
+    files_per_cell: int = 1,
+) -> str:
+    """Merge delta segments into a fresh compacted base under the
+    FROZEN codebook — the nightly maintenance step that keeps the
+    serving scan's file count bounded as ingests accumulate delta
+    segments (each upsert adds ≤cells files; unchecked, partition
+    pruning's I/O win erodes into a small-files listing problem).
+
+    Compaction never re-encodes: the stored codes ARE the frozen-
+    codebook encode, so this is a pure code-mover — read base ∪ deltas
+    (cell partition column rides along from partition discovery),
+    re-cluster on (cell, salt) to bound output files, and write the
+    merged store next to the base (``_compacted``; a production swap
+    would then atomically rename over the base and drop the deltas).
+    The sidecar is copied verbatim — quantizer stats never change
+    between full rebuilds, or every stored code would go stale."""
+    import os
+    import shutil
+
+    codes = spark.read.parquet(base_path)
+    for d in deltas:
+        codes = codes.unionByName(spark.read.parquet(d))
+    out = base_path + "_compacted"
+    codes = _cluster_codes_for_write(codes, n_centroids, files_per_cell)
+    codes.write.mode("overwrite").partitionBy("cell").parquet(out)
+    meta_dst = out + "_meta"
+    shutil.rmtree(meta_dst, ignore_errors=True)
+    shutil.copytree(base_path + "_meta", meta_dst)
+    return out
+
+
+@query("ann_int8_store_compact", _duck_store_upsert_sql())
+def ann_int8_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA COMPACTION — the step that completes the index lifecycle
+    (build → serve → upsert → compact, r11 verdict item 7): merge the
+    upsert row's delta segment into a fresh compacted base under the
+    frozen codebook (:func:`compact_quantized_store` — a pure
+    code-mover, no re-encode, no float read) and verify the merged
+    store from its parquet footers alone.  Shares the upsert oracle:
+    the per-cell counts of the compacted store must equal a full
+    same-codebook rebuild's — the hash match proves compaction neither
+    drops, duplicates, nor re-cells a single code.  The base build is
+    the memoized nightly cost (:func:`_ensure_upsert_base`); the delta
+    is reused when an upsert already wrote it this process and written
+    once otherwise, so the row measures compaction itself."""
+    import os
+
+    path, cb = _ensure_upsert_base(spark, sf_dir)
+    delta = path + "_delta"
+    if not os.path.exists(os.path.join(delta, "_SUCCESS")):
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        arrivals = emb.filter(F.col("vec_id") % STORE_UPSERT_MOD == 0)
+        delta = upsert_quantized_codes(arrivals, path, cb)
+    merged = compact_quantized_store(spark, path, [delta])
+    return _store_cell_counts_from_footers(spark, merged)
 
 
 # built-store memo for the serve-only path: sf_dir -> on-disk store path.

@@ -1082,44 +1082,47 @@ def streaming_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
 
     The in-stream gate is completely STATELESS — strictly tighter than
     a per-doc flag aggregate: signatures and band keys are map-only
-    expressions on the incoming doc, the benchmark relation (bands +
-    shingle sets, the fixed-size side at 100 TB) is a broadcast
-    stream-static inner join, and the exact-Jaccard verify is an
-    inline filter, so the query runs with zero streaming state.
+    expressions on the incoming doc, and the whole classify runs per
+    micro-batch inside ``foreachBatch`` as an AQE-planned batch query
+    (the round-12 incremental-dedup pattern), so the stream carries
+    zero state.
+
+    Benchmark side (r12, r11 verdict item 6): the benchmark index
+    (band signatures bucketed on ``band_sig``, shingle sets bucketed on
+    ``bench_id`` — :func:`..operators.curation.ensure_fuzzy_bench_store`)
+    is built at most once per process, and each micro-batch probes the
+    STORES — no benchmark re-shingling, no per-batch re-plan of the
+    derivation; the probe join is keyed on ``band_sig`` alone so the
+    bucketed table serves it (a cross-band md5-signature collision only
+    adds a candidate the exact-Jaccard verify re-judges, and the pair
+    dedup collapses duplicate band matches — the
+    :func:`_incr_classify` argument).  The store joins are UNHINTED:
+    the benchmark is fixed-size by design, so AQE broadcasts it when
+    actually small, and the 64× probe (where the 'benchmark' slice
+    grows with replication) degrades to a shuffle instead of a forced
+    corpus-scaled broadcast.
 
     Sink (r11): each micro-batch reduces its flagged matches to
     per-source partials INSIDE the batch (pair dedup → per-doc →
     per-source; all batch-local, since a doc's band matches live in
     its own micro-batch) and the driver accumulates only the
-    O(sources) counter rows, batch_id-keyed against at-least-once
-    replays — the same contract as :func:`_drain_incr_classified`.  The
-    old append-mode memory sink accumulated the RAW flagged-pair
-    stream in driver memory (contamination-density-scaled), which the
-    16× scaling probe measured as this row's dominant cost.  The
-    ``max()`` combines identical jaccard doubles across engines —
-    nothing order-dependent."""
-    from ..operators.curation import FUZZY_BENCH_MOD, FUZZY_CONTAM_THRESHOLD
-    from ..operators.dedup import (
-        NUM_HASHES,
-        minhash_bands,
-        minhash_sig_sets,
+    O(sources) counter rows through the replay-safe
+    :class:`_BatchPartialFolder`.  The old append-mode memory sink
+    accumulated the RAW flagged-pair stream in driver memory
+    (contamination-density-scaled), which the 16× scaling probe
+    measured as this row's dominant cost.  The ``max()`` combines
+    identical jaccard doubles across engines — nothing
+    order-dependent."""
+    from ..operators.curation import (
+        FUZZY_BENCH_MOD,
+        FUZZY_CONTAM_THRESHOLD,
+        ensure_fuzzy_bench_store,
     )
+    from ..operators.dedup import NUM_HASHES, minhash_bands, minhash_sig_sets
 
-    docs = load_tables(spark, sf_dir)["documents"]
-    bench = docs.filter(F.col("doc_id") % FUZZY_BENCH_MOD == 0)
-    bsig = minhash_sig_sets(bench)
-    brel = (
-        minhash_bands(bsig)
-        .select(F.col("doc_id").alias("bench_id"), "band", "band_sig")
-        .join(
-            bsig.select(
-                F.col("doc_id").alias("bench_id"),
-                F.col("stoks").alias("t2"),
-                F.col("n").alias("n2"),
-            ),
-            "bench_id",
-        )
-    )
+    bands_table, sets_table = ensure_fuzzy_bench_store(spark, sf_dir)
+    bbands = spark.table(bands_table)
+    bsets = spark.table(sets_table)
     # stream side rides the SAME minhash_sig_sets/minhash_bands the
     # batch oracle mirrors — one definition of seeding + banding
     ssig = minhash_sig_sets(
@@ -1134,15 +1137,7 @@ def streaming_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         passthrough=("source", "t1", "n1"),
     )
-    icnt = F.size(F.array_intersect("t1", "t2"))
-    flagged = (
-        s.join(F.broadcast(brel), ["band", "band_sig"])
-        .select(
-            "doc_id", "source", "bench_id",
-            (icnt / (F.col("n1") + F.col("n2") - icnt)).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= FUZZY_CONTAM_THRESHOLD)
-    )
+
     def fold(done: dict[str, list], r) -> None:
         t = done.setdefault(r["source"], [0, 0, float("-inf")])
         t[0] += r["contaminated_docs"]
@@ -1150,9 +1145,19 @@ def streaming_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
         t[2] = max(t[2], r["max_jaccard"])
 
     folder = _BatchPartialFolder(fold)
+    icnt = F.size(F.array_intersect("t1", "t2"))
 
     def handle(batch_df, batch_id: int) -> None:
-        pairs = batch_df.groupBy("doc_id", "source", "bench_id").agg(
+        flagged = (
+            batch_df.join(bbands, ["band_sig"])
+            .join(bsets, ["bench_id"])
+            .select(
+                "doc_id", "source", "bench_id",
+                (icnt / (F.col("n1") + F.col("n2") - icnt)).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= FUZZY_CONTAM_THRESHOLD)
+        )
+        pairs = flagged.groupBy("doc_id", "source", "bench_id").agg(
             F.max("jaccard").alias("jaccard")
         )
         per_doc = pairs.groupBy("doc_id", "source").agg(
@@ -1172,7 +1177,7 @@ def streaming_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
 
     with tempfile.TemporaryDirectory(prefix="ckpt_fuzzy_contam_") as ckpt:
         q = (
-            flagged.writeStream.foreachBatch(handle)
+            s.writeStream.foreachBatch(handle)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()

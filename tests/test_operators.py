@@ -1552,3 +1552,56 @@ class TestInt8StoreUpsert:
             .collect()
         )
         assert counts1 == expect
+
+    def test_compaction_preserves_code_multiset_and_sidecar(
+        self, spark, tables, tmp_path
+    ):
+        """Compacting base ∪ delta into a fresh store must move every
+        (vec_id, qv, nrm, cell) row exactly once — no drop, no dup, no
+        re-cell — and carry the frozen sidecar verbatim so a later
+        query batch quantizes identically."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from duckdb_extension_kafquack_spark.operators.similarity import (
+            STORE_UPSERT_MOD,
+            compact_quantized_store,
+            store_quantized_codes,
+            upsert_quantized_codes,
+        )
+
+        emb = tables["embeddings"]
+        base = emb.filter(F.col("vec_id") % STORE_UPSERT_MOD != 0)
+        arrivals = emb.filter(F.col("vec_id") % STORE_UPSERT_MOD == 0)
+        path = str(tmp_path / "base")
+        cb = store_quantized_codes(base, path)
+        delta = upsert_quantized_codes(arrivals, path, cb)
+        merged = compact_quantized_store(spark, path, [delta])
+
+        def multiset(p):
+            rows = (
+                spark.read.parquet(p)
+                .select("vec_id", "qv", "nrm", "cell")
+                .collect()
+            )
+            return sorted(
+                (r["vec_id"], tuple(r["qv"]), r["nrm"], r["cell"]) for r in rows
+            )
+
+        before = sorted(multiset(path) + multiset(delta))
+        assert multiset(merged) == before and len(before) > 0
+        assert os.path.exists(os.path.join(merged + "_meta", "_SUCCESS"))
+        m_base = spark.read.parquet(path + "_meta").collect()[0]
+        m_merged = spark.read.parquet(merged + "_meta").collect()[0]
+        assert m_base["mn"] == m_merged["mn"] and m_base["mx"] == m_merged["mx"]
+        # compaction bounds output: ≤ one file per live cell (fpc=1)
+        n_files = sum(
+            1
+            for cd in os.listdir(merged)
+            if cd.startswith("cell=")
+            for f in os.listdir(os.path.join(merged, cd))
+            if f.endswith(".parquet")
+        )
+        n_cells = sum(1 for cd in os.listdir(merged) if cd.startswith("cell="))
+        assert n_files == n_cells

@@ -84,8 +84,10 @@ def main() -> None:
         semdedup_incremental,
     )
     from duckdb_extension_kafquack_spark.operators.similarity import (
+        ann_int8_store_compact,
         ann_int8_store_upsert,
     )
+    import duckdb_extension_kafquack_spark.operators.similarity as _sim
     from duckdb_extension_kafquack_spark.operators.dedup import (
         incremental_dedup_report,
     )
@@ -272,6 +274,21 @@ def main() -> None:
         # batch-vs-corpus shape: broadcast batch side × corpus cell scan —
         # pair fan-out |batch_cell|·|corpus_cell|, also a pair-model row
         bench("semdedup_incremental", k, lambda: semdedup_incremental(emb))
+
+        # round 12 (r11 verdict item 4): the collect-free JOINED fallback
+        # that actually runs beyond MAX_QUERY_BATCH arriving vectors —
+        # forced by dropping the cap during plan construction (the plan
+        # is fully built before the cap is restored), so the fallback
+        # has the same out-of-sample growth evidence as the kernel path
+        def _forced_joined(emb_df):
+            saved = _sim.MAX_QUERY_BATCH
+            _sim.MAX_QUERY_BATCH = 0
+            try:
+                return semdedup_incremental(emb_df)
+            finally:
+                _sim.MAX_QUERY_BATCH = saved
+
+        bench("semdedup_incr_joined", k, lambda: _forced_joined(emb))
         ev = replicate_events(k).localCheckpoint()
         bench("funnel_stages", k, lambda: funnel_stages(ev))
         bench("engagement_pagerank", k, lambda: engagement_pagerank(ev, docs))
@@ -309,6 +326,12 @@ def main() -> None:
         # linear-in-arrivals growth (arrivals are 10% of the corpus)
         bench("ann_int8_store_upsert", k,
               lambda: ann_int8_store_upsert(spark, edir))
+        # round 12 (r11 verdict item 7): delta compaction — reads
+        # base ∪ delta CODES and rewrites the merged store (pure code
+        # mover, no re-encode); expect linear-in-corpus growth (the
+        # store holds one code row per vector)
+        bench("ann_int8_store_compact", k,
+              lambda: ann_int8_store_compact(spark, edir))
         print(f"k={k}: " + ", ".join(f"{n}={t[k]}s" for n, t in results.items() if k in t))
 
     # --- 64× deep probe (round-7 verdict item 5) -----------------------
@@ -353,6 +376,10 @@ def main() -> None:
         "semdedup_incremental",
         "streaming_semdedup_incremental",
         "ann_int8_store_upsert",
+        # round-12 additions: the forced joined fallback (r11 verdict
+        # item 4) and the delta-compaction row (item 7)
+        "semdedup_incr_joined",
+        "ann_int8_store_compact",
     )
     docs = replicate_docs(docs0, 64).localCheckpoint()
     bench("minhash_lsh_dedup", 64, lambda: minhash_near_duplicates(docs))
@@ -377,11 +404,23 @@ def main() -> None:
     # at 64× the 10% arriving batch (64k rows) still fits the bounded
     # collect, so this times the fused kernel path, not the degrade
     bench("semdedup_incremental", 64, lambda: semdedup_incremental(emb64))
+
+    def _forced_joined64(emb_df):
+        saved = _sim.MAX_QUERY_BATCH
+        _sim.MAX_QUERY_BATCH = 0
+        try:
+            return semdedup_incremental(emb_df)
+        finally:
+            _sim.MAX_QUERY_BATCH = saved
+
+    bench("semdedup_incr_joined", 64, lambda: _forced_joined64(emb64))
     edir64 = write_emb_fixture(emb64, 64)
     bench("streaming_semdedup_incremental", 64,
           lambda: streaming_semdedup_incremental(spark, edir64))
     bench("ann_int8_store_upsert", 64,
           lambda: ann_int8_store_upsert(spark, edir64))
+    bench("ann_int8_store_compact", 64,
+          lambda: ann_int8_store_compact(spark, edir64))
     print("k=64: " + ", ".join(f"{n}={results[n][64]}s" for n in DEEP))
 
     deep_rows = []
@@ -629,6 +668,20 @@ def main() -> None:
         "  pair ceiling.  Replicated vectors are EXACT copies, so every",
         "  replica group is a within-cell k-clique either way — pair",
         "  output grows k² by construction.",
+        "* `semdedup_incr_joined` — the collect-free JOINED fallback the",
+        "  registered query degrades to beyond MAX_QUERY_BATCH arriving",
+        "  vectors, forced here by dropping the cap during plan",
+        "  construction: both sides cell-assigned by the same Arrow",
+        "  kernel, UNHINTED equi-join on cell, JVM-dot gate.  Pair",
+        "  output is the same k² replica-clique volume as the kernel",
+        "  row; the JVM dot is ~4-10× the BLAS screen per pair, so the",
+        "  row is expected within a small factor of the kernel path and",
+        "  judged against the same pair ceiling.",
+        "* `ann_int8_store_compact` — delta compaction under the frozen",
+        "  codebook: reads base ∪ delta CODE rows (no float read, no",
+        "  re-encode), re-clusters on (cell, salt), rewrites the merged",
+        "  store, footer-verifies.  One code row per vector in, one",
+        "  out — linear in corpus rows by construction.",
     ]
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
