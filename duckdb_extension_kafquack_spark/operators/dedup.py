@@ -28,6 +28,11 @@ from ..suite import query
 
 # MinHash/LSH parameters: 12 hashes in 4 bands of 3 rows → the standard
 # S-curve; candidate-pair probability ≈ 1-(1-s^3)^4, steep around s≈0.6.
+# These constants are the FLOOR REGIME of the corpus-derived knob law
+# (:func:`minhash_knobs` / :func:`lsh_knobs`, r11 verdict item 5):
+# every oracle-checked SF resolves to exactly these values
+# (property-tested fixpoint), and a 100 TB corpus derives a sharper
+# curve around the same operating point without re-oracling.
 NUM_HASHES = 12
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
@@ -43,6 +48,107 @@ NGRAM = 5
 NGRAM_HASHES = 8
 NGRAM_BANDS = 2
 NGRAM_THRESHOLD = 0.7
+
+# Corpus size up to which the LSH banding knobs FLOOR at the
+# fixture-tuned constants above: covers every oracle-checked SF
+# (sf0.001/0.01/0.1 — ≤60k docs) AND the scaling probe's 64× replicas
+# (~3.84M docs), so the adaptive law can never shift an oracle-mirrored
+# banding scheme or a SCALING anchor.  Beyond it, lsh_knobs sharpens
+# the S-curve with corpus growth.
+LSH_KNOB_FLOOR_DOCS = 4_200_000
+
+
+def lsh_knobs(
+    n_docs: int,
+    base_rows: int,
+    base_bands: int,
+    floor_docs: int = LSH_KNOB_FLOOR_DOCS,
+    sharpen_per: int = 16,
+) -> tuple[int, int, int]:
+    """Corpus-derived LSH banding knobs (r11 verdict item 5 —
+    :func:`..operators.similarity.semdedup_knobs` is the template):
+    ``(num_hashes, bands, rows_per_band)`` for a corpus of ``n_docs``.
+
+    The precision/recall point of banded MinHash is the S-curve
+    ``P(s) = 1 − (1 − s^r)^b`` whose midpoint sits at
+    ``(1/b)^(1/r)``.  Expected false-positive candidate mass grows
+    with corpus² at fixed knobs, so a larger corpus wants a SHARPER
+    curve around the same midpoint: one extra row per band
+    (``r += 1``) per ``sharpen_per``× of corpus growth beyond the
+    fixture regime, with ``b`` re-solved so the midpoint stays at the
+    family's own operating point ``(1/base_bands)^(1/base_rows)`` —
+    recall above the midpoint rises monotonically while sub-threshold
+    candidate probability falls (property-tested).  ``num_hashes`` is
+    the signature cost the caller pays per document: it grows ~r·b,
+    the standard price of precision at scale.
+
+    At or below ``floor_docs`` the fixture-tuned constants are
+    returned UNCHANGED — every oracle-checked SF and the 64× probe
+    replicas resolve to exactly the values the DuckDB oracles mirror
+    (property-tested fixpoint), so registered-query results are
+    byte-identical and a 100 TB corpus gets its sharper curve without
+    re-oracling anything."""
+    import math
+
+    if n_docs <= floor_docs:
+        return base_rows * base_bands, base_bands, base_rows
+    steps = math.ceil(math.log(n_docs / floor_docs) / math.log(sharpen_per))
+    r = base_rows + steps
+    mid = (1.0 / base_bands) ** (1.0 / base_rows)
+    # re-solve b for the sharpened r: the real-valued solution is
+    # mid^-r; of its two integer neighbors take the one whose midpoint
+    # lands closest to the family's operating point (plain rounding
+    # drifts up to ~0.07 at small b), floored at base_bands
+    exact = mid ** (-r)
+    b = max(
+        base_bands,
+        min(
+            (math.floor(exact), math.ceil(exact)),
+            key=lambda cand: abs((1.0 / max(cand, 1)) ** (1.0 / r) - mid),
+        ),
+    )
+    return r * b, b, r
+
+
+def minhash_knobs(n_docs: int) -> tuple[int, int, int]:
+    """Word-shingle MinHash banding for a corpus of ``n_docs`` — floors
+    at the oracle-mirrored ``(NUM_HASHES, BANDS, ROWS_PER_BAND)`` =
+    (12, 4, 3) for every fixture scale (midpoint ≈ 0.63, the tuned
+    JACCARD_THRESHOLD=0.6 operating point)."""
+    return lsh_knobs(n_docs, ROWS_PER_BAND, BANDS)
+
+
+def ngram_knobs(n_docs: int) -> tuple[int, int, int]:
+    """Char-5-gram banding for a corpus of ``n_docs`` — floors at the
+    oracle-mirrored ``(NGRAM_HASHES, NGRAM_BANDS, 4)`` = (8, 2, 4)
+    (midpoint ≈ 0.84 — deliberately conservative: the family is tuned
+    for ≥0.9-Jaccard recall, see the NGRAM constants note)."""
+    return lsh_knobs(n_docs, NGRAM_HASHES // NGRAM_BANDS, NGRAM_BANDS)
+
+
+def documents_rowcount(sf_dir: str) -> int:
+    """Row count of ``sf_dir``'s documents table from parquet FOOTER
+    metadata only (no Spark job) — the corpus-size estimate the
+    banding knobs need before any plan is built.  Same recursive-walk
+    contract as :func:`..operators.similarity._embeddings_rowcount`."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(p):
+        total = 0
+        found = False
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    found = True
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        if not found:
+            raise FileNotFoundError(f"no parquet files under {p}")
+        return total
+    return pq.ParquetFile(p).metadata.num_rows
+
 
 # LSH hygiene: a band bucket with b members yields b(b-1)/2 candidate
 # pairs — one boilerplate-heavy bucket (identical headers/footers across

@@ -1193,3 +1193,62 @@ def test_batch_partial_folder_replay_and_memory_invariants(
         for r in rows:
             _fold_incr_partial(expected, r)
     assert folder.totals() == expected
+
+
+def test_lsh_knobs_growth_law():
+    """Corpus-derived LSH banding (r11 verdict item 5): floors at the
+    oracle-mirrored constants for every oracle-checked SF and the 64×
+    probe replicas; beyond the floor the S-curve midpoint stays at the
+    family's operating point while recall above it rises and
+    sub-threshold candidate probability falls monotonically."""
+    from duckdb_extension_kafquack_spark.operators.dedup import (
+        BANDS,
+        LSH_KNOB_FLOOR_DOCS,
+        NGRAM_BANDS,
+        NGRAM_HASHES,
+        NUM_HASHES,
+        ROWS_PER_BAND,
+        minhash_knobs,
+        ngram_knobs,
+    )
+
+    # fixpoint: every fixture scale (sf0.001 ≈ 600 docs → sf0.1 ≈ 60k)
+    # AND the 64× probe replicas (~3.84M) resolve to the constants the
+    # DuckDB oracles mirror
+    for n in (600, 6_000, 60_000, 3_840_000, LSH_KNOB_FLOOR_DOCS):
+        assert minhash_knobs(n) == (NUM_HASHES, BANDS, ROWS_PER_BAND)
+        assert ngram_knobs(n) == (NGRAM_HASHES, NGRAM_BANDS, NGRAM_HASHES // NGRAM_BANDS)
+
+    def curve(s, r, b):
+        return 1.0 - (1.0 - s**r) ** b
+
+    for knobs, r0, b0 in (
+        (minhash_knobs, ROWS_PER_BAND, BANDS),
+        (ngram_knobs, NGRAM_HASHES // NGRAM_BANDS, NGRAM_BANDS),
+    ):
+        mid0 = (1.0 / b0) ** (1.0 / r0)
+        prev_r, prev_hashes = 0, 0
+        prev_recall, prev_fp = 0.0, 1.0
+        for n in (5e6, 1e8, 1e9, 1e11, 1e13):
+            h, b, r = knobs(int(n))
+            assert h == r * b
+            # monotone sharpening, bounded signature-cost growth
+            assert r >= max(prev_r, r0) and h >= prev_hashes
+            # midpoint pinned at the family's operating point
+            assert abs((1.0 / b) ** (1.0 / r) - mid0) <= 0.04
+            # recall above the midpoint never degrades as knobs sharpen
+            recall = curve(min(mid0 + 0.15, 0.99), r, b)
+            assert recall >= prev_recall - 1e-12 and recall >= 0.85
+            # sub-threshold candidate probability falls with sharpening
+            fp = curve(max(mid0 - 0.2, 0.05), r, b)
+            assert fp <= prev_fp + 1e-12
+            prev_r, prev_hashes, prev_recall, prev_fp = r, h, recall, fp
+        # the 100 TB-ish point must actually have sharpened
+        assert prev_r > r0
+
+
+def test_documents_rowcount_matches_fixture():
+    from duckdb_extension_kafquack_spark.operators.dedup import documents_rowcount
+
+    n = documents_rowcount("/root/testdata/sf0.01")
+    assert n > 0
