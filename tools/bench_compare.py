@@ -181,6 +181,15 @@ def main() -> None:
         "2-3× over their fresh-session cost; the Spark column now comes",
         "from bench.py's two-fresh-JVM min, so it IS the cost of",
         "record.)",
+        "Since round 12 bench.py is LOAD-AWARE (r11 verdict item 2 — the",
+        "driver's BENCH_r11 recorded a phantom +17% regression from",
+        "machine contention): it annotates each fresh-JVM pass with the",
+        "1-min load average before/after (the `sessions` field of the",
+        "emitted JSON) and runs a THIRD tie-break pass when the two",
+        "passes disagree by >30% on total, letting the per-query min",
+        "absorb whichever pass was the noisy one.  A future reader of",
+        "any BENCH_r{N}.json should check its `sessions` load fields",
+        "before believing a cross-round delta.",
         "",
         "| query | spark (s) | duckdb (s) | ratio |",
         "|---|---|---|---|",
