@@ -1071,6 +1071,78 @@ def _duck_streaming_fuzzy_sql() -> str:
     return _duck_fuzzy_contamination_sql()
 
 
+def _fuzzy_stream_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The arriving side of the fuzzy-decontamination gate: map-only
+    signatures + band keys on the incoming doc, riding the SAME
+    minhash_sig_sets/minhash_bands the batch oracle mirrors — one
+    definition of seeding + banding repo-wide."""
+    from ..operators.curation import FUZZY_BENCH_MOD
+    from ..operators.dedup import NUM_HASHES, minhash_bands, minhash_sig_sets
+
+    ssig = minhash_sig_sets(
+        _docs_stream(spark, sf_dir).filter(F.col("doc_id") % FUZZY_BENCH_MOD != 0),
+        passthrough=("source",),
+    )
+    return minhash_bands(
+        ssig.select(
+            "doc_id", "source",
+            F.col("stoks").alias("t1"), F.col("n").alias("n1"),
+            *[f"mh{i}" for i in range(NUM_HASHES)],
+        ),
+        passthrough=("source", "t1", "n1"),
+    )
+
+
+def _fuzzy_bench_rels(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The benchmark-index store relations (bands bucketed on band_sig,
+    shingle sets bucketed on bench_id), built at most once per process
+    (:func:`..operators.curation.ensure_fuzzy_bench_store`)."""
+    from ..operators.curation import ensure_fuzzy_bench_store
+
+    bands_table, sets_table = ensure_fuzzy_bench_store(spark, sf_dir)
+    return spark.table(bands_table), spark.table(sets_table)
+
+
+def _fuzzy_flagged(
+    frame: DataFrame, bbands: DataFrame, bsets: DataFrame
+) -> DataFrame:
+    """The fuzzy classify plan over one micro-batch (or, for plan
+    tests, the streaming frame itself): probe the bucketed benchmark
+    band store on ``band_sig`` alone (a cross-band md5 collision only
+    adds a candidate the exact-Jaccard verify re-judges, and the pair
+    dedup collapses duplicate band matches — the :func:`_incr_classify`
+    argument; the single key is what lets the bucketed table serve the
+    join), join the shingle-set store on ``bench_id``, verify exact
+    Jaccard inline.  Both store joins are UNHINTED — AQE broadcasts the
+    fixed-size benchmark when actually small and degrades to a shuffle
+    when a probe-style replication grows it."""
+    from ..operators.curation import FUZZY_CONTAM_THRESHOLD
+
+    icnt = F.size(F.array_intersect("t1", "t2"))
+    return (
+        frame.join(bbands, ["band_sig"])
+        .join(bsets, ["bench_id"])
+        .select(
+            "doc_id", "source", "bench_id",
+            (icnt / (F.col("n1") + F.col("n2") - icnt)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= FUZZY_CONTAM_THRESHOLD)
+    )
+
+
+def _build_fuzzy_contamination_classify(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """:func:`_fuzzy_flagged` composed over the streaming frame — the
+    plan-shape proxy for :func:`streaming_fuzzy_contamination` (hint
+    hygiene + store scans are asserted on exactly the plan each
+    micro-batch executes)."""
+    bbands, bsets = _fuzzy_bench_rels(spark, sf_dir)
+    return _fuzzy_flagged(_fuzzy_stream_side(spark, sf_dir), bbands, bsets)
+
+
 @query("streaming_fuzzy_contamination", _duck_streaming_fuzzy_sql())
 def streaming_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy train/test decontamination at INGEST: the nightly crawl
@@ -1113,30 +1185,8 @@ def streaming_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     measured as this row's dominant cost.  The ``max()`` combines
     identical jaccard doubles across engines — nothing
     order-dependent."""
-    from ..operators.curation import (
-        FUZZY_BENCH_MOD,
-        FUZZY_CONTAM_THRESHOLD,
-        ensure_fuzzy_bench_store,
-    )
-    from ..operators.dedup import NUM_HASHES, minhash_bands, minhash_sig_sets
-
-    bands_table, sets_table = ensure_fuzzy_bench_store(spark, sf_dir)
-    bbands = spark.table(bands_table)
-    bsets = spark.table(sets_table)
-    # stream side rides the SAME minhash_sig_sets/minhash_bands the
-    # batch oracle mirrors — one definition of seeding + banding
-    ssig = minhash_sig_sets(
-        _docs_stream(spark, sf_dir).filter(F.col("doc_id") % FUZZY_BENCH_MOD != 0),
-        passthrough=("source",),
-    )
-    s = minhash_bands(
-        ssig.select(
-            "doc_id", "source",
-            F.col("stoks").alias("t1"), F.col("n").alias("n1"),
-            *[f"mh{i}" for i in range(NUM_HASHES)],
-        ),
-        passthrough=("source", "t1", "n1"),
-    )
+    s = _fuzzy_stream_side(spark, sf_dir)
+    bbands, bsets = _fuzzy_bench_rels(spark, sf_dir)
 
     def fold(done: dict[str, list], r) -> None:
         t = done.setdefault(r["source"], [0, 0, float("-inf")])
@@ -1145,18 +1195,9 @@ def streaming_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
         t[2] = max(t[2], r["max_jaccard"])
 
     folder = _BatchPartialFolder(fold)
-    icnt = F.size(F.array_intersect("t1", "t2"))
 
     def handle(batch_df, batch_id: int) -> None:
-        flagged = (
-            batch_df.join(bbands, ["band_sig"])
-            .join(bsets, ["bench_id"])
-            .select(
-                "doc_id", "source", "bench_id",
-                (icnt / (F.col("n1") + F.col("n2") - icnt)).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= FUZZY_CONTAM_THRESHOLD)
-        )
+        flagged = _fuzzy_flagged(batch_df, bbands, bsets)
         pairs = flagged.groupBy("doc_id", "source", "bench_id").agg(
             F.max("jaccard").alias("jaccard")
         )

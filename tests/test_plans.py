@@ -577,6 +577,31 @@ def test_streaming_incremental_dedup_stored_reads_stores_unhinted(spark):
     assert plan.count("StreamingRelation") == 1
 
 
+def test_streaming_fuzzy_probes_bucketed_bench_store_unhinted(spark):
+    """Round-12 shape: the fuzzy gate's per-micro-batch classify probes
+    the ONCE-PER-PROCESS bucketed benchmark index (band sigs on
+    band_sig, shingle sets on bench_id) with ZERO broadcast hints — AQE
+    broadcasts the fixed-size benchmark when actually small, and a
+    corpus-scaled replication degrades to a shuffle instead of a forced
+    broadcast.  The stream plan's only documents relation is the
+    arriving batch; the benchmark side reads stores, never re-shingles."""
+    from duckdb_extension_kafquack_spark.plans import (
+        analyzed_plan,
+        broadcast_hint_count,
+    )
+    from duckdb_extension_kafquack_spark.streaming.windows import (
+        _build_fuzzy_contamination_classify,
+    )
+
+    df = _build_fuzzy_contamination_classify(spark, SF_DIR)
+    assert df.isStreaming
+    assert broadcast_hint_count(df) == 0
+    plan = analyzed_plan(df)
+    assert "kafquack_fuzzy_bench_bands" in plan
+    assert "kafquack_fuzzy_bench_sets" in plan
+    assert plan.count("StreamingRelation") == 1
+
+
 def test_streaming_bloom_gate_single_hint_is_filter_bits(spark):
     """Exactly ONE forced broadcast in the bloom gate — the ≤ m-row
     filter bitmap (constant-size by design).  The ground-truth audit
