@@ -1403,12 +1403,12 @@ def _duck_fuzzy_contamination_sql() -> str:
     ON a.band = b.band AND a.band_sig = b.band_sig
   WHERE a.doc_id % {FUZZY_BENCH_MOD} <> 0 AND b.doc_id % {FUZZY_BENCH_MOD} = 0
 ), sizes AS (
-  SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+  SELECT doc_id, COUNT(*) AS n FROM tokh GROUP BY doc_id
 ), inter AS (
   SELECT c.doc_id, c.bench_id, COUNT(*) AS icnt
   FROM cand c
-  JOIN tok t1 ON t1.doc_id = c.doc_id
-  JOIN tok t2 ON t2.doc_id = c.bench_id AND t2.tok = t1.tok
+  JOIN tokh t1 ON t1.doc_id = c.doc_id
+  JOIN tokh t2 ON t2.doc_id = c.bench_id AND t2.h = t1.h
   GROUP BY c.doc_id, c.bench_id
 ), flagged AS (
   SELECT i.doc_id, i.bench_id,

@@ -311,17 +311,36 @@ def minhash_sig_sets(
     repartitions streaming inputs to full width too — the 60x
     streaming-twin fix), so the seeding scheme can never diverge
     between a streaming query and its batch oracle.
-    """
+
+    The carried verify set ``stoks`` is the doc's distinct shingle set
+    as 60-BIT MD5 BIGINTs (r12 — the ngram family's round-10 rework
+    applied to the word family; oracles mirror the hash in their
+    ``tokh`` CTE): every downstream intersect/store/shuffle moves
+    fixed-width longs instead of ~30-char shingle strings — the
+    persisted signature relation, the incremental-dedup sets store,
+    and the fuzzy benchmark store all shrink ~3-4×.  MinHash seeds
+    still hash the RAW shingle strings (both engines), so signature
+    and band values are unchanged."""
     pt = list(passthrough)
+    hash_t = "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
     mh_cols = [
-        f"array_min(transform(stoks, t -> md5('{s}:' || t))) AS mh{s}"
+        f"array_min(transform(raw_stoks, t -> md5('{s}:' || t))) AS mh{s}"
         for s in range(num_hashes)
     ]
     return (
         _repartition_if_narrow(docs)
         .selectExpr("doc_id", *pt, "filter(split(text, ' '), t -> t != '') AS toks")
-        .selectExpr("doc_id", *pt, f"array_distinct({_SPARK_SHINGLES}) AS stoks")
-        .selectExpr("doc_id", *pt, "stoks", "size(stoks) AS n", *mh_cols)
+        .selectExpr("doc_id", *pt, f"array_distinct({_SPARK_SHINGLES}) AS raw_stoks")
+        .selectExpr(
+            "doc_id",
+            *pt,
+            f"array_distinct(transform(raw_stoks, t -> {hash_t})) AS stoks",
+            *mh_cols,
+        )
+        .selectExpr(
+            "doc_id", *pt, "stoks", "size(stoks) AS n",
+            *[f"mh{s}" for s in range(num_hashes)],
+        )
     )
 
 
@@ -640,6 +659,8 @@ def _duck_band_ctes() -> str:
     return f"""
 WITH tok AS (
 {_DUCK_SHINGLE_CTE}
+), tokh AS (
+  SELECT DISTINCT doc_id, {duck_hash64('tok')} AS h FROM tok
 ), mh AS (
   SELECT doc_id,
          {mh_cols}
@@ -670,12 +691,12 @@ def _duck_minhash_ctes() -> str:
     ON a.band = b.band AND a.band_sig = b.band_sig AND a.sub = b.sub
    AND a.doc_id < b.doc_id
 ), sizes AS (
-  SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+  SELECT doc_id, COUNT(*) AS n FROM tokh GROUP BY doc_id
 ), inter AS (
   SELECT c.doc1, c.doc2, COUNT(*) AS icnt
   FROM cand c
-  JOIN tok t1 ON t1.doc_id = c.doc1
-  JOIN tok t2 ON t2.doc_id = c.doc2 AND t2.tok = t1.tok
+  JOIN tokh t1 ON t1.doc_id = c.doc1
+  JOIN tokh t2 ON t2.doc_id = c.doc2 AND t2.h = t1.h
   GROUP BY c.doc1, c.doc2
 )"""
 

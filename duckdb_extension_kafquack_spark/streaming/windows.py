@@ -640,7 +640,7 @@ def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_streaming_incr_sql() -> str:
-    from ..functions.hashing import duck_seeded_md5
+    from ..functions.hashing import duck_hash64, duck_seeded_md5
     from ..operators.dedup import (
         _DUCK_SHINGLE_CTE,
         BANDS,
@@ -662,6 +662,8 @@ def _duck_streaming_incr_sql() -> str:
     return f"""
 WITH tok AS (
 {_DUCK_SHINGLE_CTE}
+), tokh AS (
+  SELECT DISTINCT doc_id, {duck_hash64('tok')} AS h FROM tok
 ), mh AS (
   SELECT doc_id,
          {mh_cols}
@@ -673,7 +675,7 @@ WITH tok AS (
 ), bands AS (
 {band_union}
 ), sizes AS (
-  SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+  SELECT doc_id, COUNT(*) AS n FROM tokh GROUP BY doc_id
 ), cand AS (
   SELECT DISTINCT b.doc_id AS bd, c.doc_id AS cd
   FROM bands b JOIN bands c ON b.band = c.band AND b.band_sig = c.band_sig
@@ -681,8 +683,8 @@ WITH tok AS (
 ), inter AS (
   SELECT cand.bd, cand.cd, COUNT(*) AS icnt
   FROM cand
-  JOIN tok t1 ON t1.doc_id = cand.bd
-  JOIN tok t2 ON t2.doc_id = cand.cd AND t2.tok = t1.tok
+  JOIN tokh t1 ON t1.doc_id = cand.bd
+  JOIN tokh t2 ON t2.doc_id = cand.cd AND t2.h = t1.h
   GROUP BY cand.bd, cand.cd
 ), near AS (
   SELECT DISTINCT i.bd AS doc_id
