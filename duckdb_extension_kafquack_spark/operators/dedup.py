@@ -2081,9 +2081,15 @@ def build_incremental_store(
 
     ``suffix`` namespaces the tables (the build-row benchmark uses its
     own set so paying the rebuild every call never races the memoized
-    serve store).  Returns ``(bands_table, sets_table, hash_table)``."""
+    serve store).  The three writes are INDEPENDENT (disjoint tables,
+    disjoint locations) and run concurrently from three driver threads
+    — Spark actions are thread-safe per session, and a nightly rebuild
+    has no reason to serialize three commit/DDL rounds; measured ~2×
+    off the rebuild row's wall clock.  Returns ``(bands_table,
+    sets_table, hash_table)``."""
     import os
     import shutil
+    from concurrent.futures import ThreadPoolExecutor
 
     from ..sources.files import write_bucketed
 
@@ -2096,16 +2102,32 @@ def build_incremental_store(
     hash_table = f"kafquack_corpus_hash_{tag}"
     docs = load_tables(spark, sf_dir)["documents"]
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
-    store_band_signatures(corpus, table=bands_table)
-    for tbl, df, key in (
-        (sets_table, minhash_sig_sets(corpus).select("doc_id", "stoks", "n"), "doc_id"),
-        (hash_table, corpus.select(F.md5("text").alias("h")).distinct(), "h"),
-    ):
+
+    def write_one(tbl: str, df: DataFrame, key: str) -> None:
         # idempotent rewrite, same as store_band_signatures: DROP leaves
         # the managed location behind if a previous write died mid-flight
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(os.path.join(warehouse, tbl.lower()), ignore_errors=True)
         write_bucketed(df, tbl, key)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(store_band_signatures, corpus, table=bands_table),
+            pool.submit(
+                write_one,
+                sets_table,
+                minhash_sig_sets(corpus).select("doc_id", "stoks", "n"),
+                "doc_id",
+            ),
+            pool.submit(
+                write_one,
+                hash_table,
+                corpus.select(F.md5("text").alias("h")).distinct(),
+                "h",
+            ),
+        ]
+        for f in futs:
+            f.result()
     return (bands_table, sets_table, hash_table)
 
 
@@ -2162,18 +2184,66 @@ def _incr_store_counts_from_footers(
 
 
 def _duck_incr_store_build_sql() -> str:
-    """Oracle for the incremental-store build row: the row counts the
-    three store tables must land — every corpus doc emits exactly
-    ``BANDS`` band rows and one shingle-set row (both map-only
-    projections, rows survive even for empty docs), and the key store
-    is the distinct corpus md5 set."""
+    """Oracle for the incremental-store build row: row counts AND
+    content-key counts of the three store tables.  Row counts are
+    structural (every corpus doc emits exactly ``BANDS`` band rows and
+    one shingle-set row — map-only projections, rows survive even for
+    empty docs); the key counts make DuckDB DERIVE the state being
+    stored — the full shingle → seeded-minhash → band-signature chain
+    over the corpus — so the benchmark row compares rebuild cost
+    against rebuild cost, not against three trivial COUNTs.  Docs with
+    zero shingles produce NULL band signatures on the Spark side and
+    no band rows here; both engines' DISTINCT-key counts ignore them
+    identically."""
+    mh_cols = ",\n         ".join(
+        f"min({duck_seeded_md5('tok', s)}) AS mh{s}" for s in range(NUM_HASHES)
+    )
+    band_sigs = ",\n       ".join(
+        "md5(" + " || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)) + f") AS sig{b}"
+        for b in range(BANDS)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, sig{b} AS band_sig FROM sigs" for b in range(BANDS)
+    )
     return f"""
-WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)
-SELECT 'bands' AS store, CAST(COUNT(*) * {BANDS} AS BIGINT) AS n_rows FROM corpus
-UNION ALL
-SELECT 'hash' AS store, CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_rows FROM corpus
-UNION ALL
-SELECT 'sets' AS store, CAST(COUNT(*) AS BIGINT) AS n_rows FROM corpus
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+), ctok AS (
+  SELECT DISTINCT doc_id, s.tok
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM corpus) tokd,
+       unnest({_DUCK_SHINGLES}) AS s(tok)
+), mh AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM ctok GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id,
+       {band_sigs}
+  FROM mh
+), cbands AS (
+{band_union}
+)
+, keyrel AS (
+  -- one row per DISTINCT stored key: the derivation cannot be elided
+  -- under a COUNT(*) wrapper (a bare ungrouped aggregate's row count
+  -- is 1 regardless of its inputs, so an optimizer may skip the md5
+  -- chain entirely — measured: the benchmark column read ~0s)
+  SELECT DISTINCT 'bands' AS store, band_sig AS k FROM cbands
+  UNION ALL
+  SELECT DISTINCT 'hash' AS store, md5(text) AS k FROM corpus
+  UNION ALL
+  SELECT DISTINCT 'sets' AS store, doc_id::VARCHAR AS k FROM ctok
+), keycnt AS (
+  SELECT store, COUNT(*) AS n_keys FROM keyrel GROUP BY store
+)
+SELECT s.store, CAST(s.n_rows AS BIGINT) AS n_rows, CAST(c.n_keys AS BIGINT) AS n_keys
+FROM (SELECT 'bands' AS store, (SELECT COUNT(*) FROM corpus) * {BANDS} AS n_rows
+      UNION ALL
+      SELECT 'hash' AS store, (SELECT COUNT(DISTINCT md5(text)) FROM corpus) AS n_rows
+      UNION ALL
+      SELECT 'sets' AS store, (SELECT COUNT(*) FROM corpus) AS n_rows) s
+JOIN keycnt c USING (store)
 """
 
 
@@ -2188,16 +2258,36 @@ def incremental_dedup_store_build(spark: SparkSession, sf_dir: str) -> DataFrame
     (:func:`..streaming.windows.streaming_incremental_dedup_stored`)
     measures the per-ingest classify alone against a store built at
     most once per process; this row pays the rebuild every call, by
-    design.  Contents are proven by the serve row's shared
-    classification oracle (the stores persist exactly the relations
-    the inline variant derives — the hash match proves the round-trip
-    lossless); this row's footer counts prove the write landed."""
+    design.  Verification is two-layer: parquet-footer row counts
+    prove the write landed page-free, and DISTINCT content-key counts
+    READ BACK from the written tables (band signatures / shingle-set
+    doc ids / md5 keys) prove the stored state against the oracle's
+    from-scratch derivation of the same chain — which also makes the
+    DuckDB benchmark column pay the honest rebuild work (the
+    12-seeded-md5 signature pass), not three trivial COUNTs."""
     bands_table, sets_table, hash_table = build_incremental_store(
         spark, sf_dir, suffix="_buildrow"
     )
-    return _incr_store_counts_from_footers(
+    footer = _incr_store_counts_from_footers(
         spark, {"bands": bands_table, "sets": sets_table, "hash": hash_table}
     )
+    keys = (
+        spark.table(bands_table)
+        .agg(F.countDistinct("band_sig").cast("bigint").alias("n_keys"))
+        .select(F.lit("bands").alias("store"), "n_keys")
+        .unionByName(
+            spark.table(hash_table)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+            .select(F.lit("hash").alias("store"), "n_keys")
+        )
+        .unionByName(
+            spark.table(sets_table)
+            .filter("n > 0")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+            .select(F.lit("sets").alias("store"), "n_keys")
+        )
+    )
+    return footer.join(keys, "store").select("store", "n_rows", "n_keys")
 
 
 def incremental_candidates_from_store(

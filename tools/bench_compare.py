@@ -151,10 +151,17 @@ def main() -> None:
         "kafquack_extension.cpp:63-65,199-204 — every row here wins by",
         "construction; DuckDB-at-parity is the stretch comparison.)",
         "",
-        "Round-10 additions skew the aggregate UP by construction and",
-        "should be read per-row: `ann_int8_store_build` is the nightly",
-        "index REBUILD isolated as its own row (its steady-state serve",
-        "twins sit at ≤1×), and the two `streaming_incremental_dedup*`",
+        "Round-10/12 additions skew the aggregate UP by construction and",
+        "should be read per-row: `ann_int8_store_build` and",
+        "`incremental_dedup_store_build` are nightly index REBUILDS",
+        "isolated as their own rows — each pays a real store",
+        "MATERIALIZATION (cell-partitioned parquet / three bucketed",
+        "tables + commit/DDL rounds + a content-key verify read-back)",
+        "that the DuckDB column does not: DuckDB has no bucketed-store",
+        "write to time, so its cell is the signature/code DERIVATION",
+        "alone and the ratio overstates by the write machinery (their",
+        "steady-state serve twins sit at ≈1×).  The two",
+        "`streaming_incremental_dedup*`",
         "rows run REAL readStream → micro-batch machinery end-to-end",
         "(foreachBatch per-source partials since round 11 — no state",
         "store, O(sources) driver memory) while their DuckDB column",
