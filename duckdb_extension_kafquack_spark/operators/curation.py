@@ -67,10 +67,31 @@ def contamination_counts(docs: DataFrame) -> DataFrame:
     rebuilt the benchmark set per ROW, an O(corpus·|bench|) term that
     the 16× scaling probe exposed as quadratic wall-clock.  Matches are
     rare by construction, so the per-doc rollup shuffles only hits; the
-    per-source totals come straight from the gram relation."""
-    grams = docs.selectExpr(
-        "doc_id", "source", f"{_SPARK_TOKS} AS toks"
-    ).selectExpr("doc_id", "source", f"{_SPARK_5GRAMS} AS gs")
+    per-source totals come straight from the gram relation.
+
+    The per-doc gram ARRAY is persisted before the two explodes (r12):
+    Catalyst collapses the array-building projection into Generate, so
+    the tokenize + gram-build + array_distinct expression was
+    re-evaluated once per EXPLODED OUTPUT ROW — ~n_grams× the intended
+    work, measured as 3.7s of a 5.1s row on a 250k-gram fixture (the
+    trap is invisible in `.explain`, which shows the projection once).
+    Caching materializes the arrays once per input row; both explodes
+    and the totals rollup then read the columnar cache.  The projection
+    is column-REORDERED so the CacheManager can never substitute it
+    into another builder (the `_persisted_sig_sets` rule), and the
+    relation is scan-sized (one row per doc) — MEMORY_AND_DISK spills
+    at 100 TB.  Input spread via ``_repartition_if_narrow`` (map-only
+    plan, single-split local fixture; no-op at scale)."""
+    from pyspark import StorageLevel
+
+    from .dedup import _repartition_if_narrow
+
+    grams = (
+        _repartition_if_narrow(docs)
+        .selectExpr("doc_id", "source", f"{_SPARK_TOKS} AS toks")
+        .selectExpr("source", "doc_id", f"{_SPARK_5GRAMS} AS gs")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     bench = (
         grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
         .select(F.explode("gs").alias("g"))
