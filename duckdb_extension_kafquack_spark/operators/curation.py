@@ -56,6 +56,43 @@ _SPARK_5GRAMS = (
 )
 
 
+#: LRU of persisted per-doc gram relations keyed by the input plan's
+#: semantic hash (r12 advice): each DISTINCT input plan (every
+#: replication factor in the scaling probe, every SF dir) used to pin a
+#: corpus-scaled cached relation for process lifetime.  Cap 2 bounds the
+#: pinned storage to at most two corpus-scaled relations; eviction
+#: unpersists eagerly (the evicted plan belongs to a finished query —
+#: queries run sequentially — so at worst a late consumer recomputes).
+_GRAMS_PERSIST_LRU: "dict[int, DataFrame]" = {}
+_GRAMS_PERSIST_CAP = 2
+
+
+def _persisted_grams(docs: DataFrame) -> DataFrame:
+    """Persist (and memoize) the per-doc gram-array relation for
+    :func:`contamination_counts`, evicting older input plans so the
+    cache footprint stays bounded across many invocations."""
+    from pyspark import StorageLevel
+
+    from .dedup import _repartition_if_narrow
+
+    key = docs._jdf.queryExecution().analyzed().semanticHash()
+    hit = _GRAMS_PERSIST_LRU.pop(key, None)
+    if hit is not None:
+        _GRAMS_PERSIST_LRU[key] = hit  # refresh recency
+        return hit
+    grams = (
+        _repartition_if_narrow(docs)
+        .selectExpr("doc_id", "source", f"{_SPARK_TOKS} AS toks")
+        .selectExpr("source", "doc_id", f"{_SPARK_5GRAMS} AS gs")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _GRAMS_PERSIST_LRU[key] = grams
+    while len(_GRAMS_PERSIST_LRU) > _GRAMS_PERSIST_CAP:
+        old = _GRAMS_PERSIST_LRU.pop(next(iter(_GRAMS_PERSIST_LRU)))
+        old.unpersist(blocking=False)
+    return grams
+
+
 def contamination_counts(docs: DataFrame) -> DataFrame:
     """Per-source decontamination report: how many corpus docs share at
     least one word-4-gram with the benchmark slice (doc_id % 97 == 0).
@@ -80,18 +117,12 @@ def contamination_counts(docs: DataFrame) -> DataFrame:
     is column-REORDERED so the CacheManager can never substitute it
     into another builder (the `_persisted_sig_sets` rule), and the
     relation is scan-sized (one row per doc) — MEMORY_AND_DISK spills
-    at 100 TB.  Input spread via ``_repartition_if_narrow`` (map-only
-    plan, single-split local fixture; no-op at scale)."""
-    from pyspark import StorageLevel
-
-    from .dedup import _repartition_if_narrow
-
-    grams = (
-        _repartition_if_narrow(docs)
-        .selectExpr("doc_id", "source", f"{_SPARK_TOKS} AS toks")
-        .selectExpr("source", "doc_id", f"{_SPARK_5GRAMS} AS gs")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    at 100 TB.  Persist handles are memoized per input plan with a
+    2-entry LRU (:func:`_persisted_grams`) so repeated/varied
+    invocations can't pin unbounded cache (r12 advice).  Input spread
+    via ``_repartition_if_narrow`` (map-only plan, single-split local
+    fixture; no-op at scale)."""
+    grams = _persisted_grams(docs)
     bench = (
         grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
         .select(F.explode("gs").alias("g"))

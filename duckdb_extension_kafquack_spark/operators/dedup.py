@@ -33,6 +33,13 @@ from ..suite import query
 # every oracle-checked SF resolves to exactly these values
 # (property-tested fixpoint), and a 100 TB corpus derives a sharper
 # curve around the same operating point without re-oracling.
+# WIRING (r12 advice): the law is LIVE in the incremental-ingest
+# family — :func:`minhash_knobs_for` feeds build_incremental_store,
+# the streaming batch side (_incr_stream_side) and the inline corpus
+# rels, so store and arrivals always band identically.  The one-shot
+# batch queries (minhash_near_duplicates etc.) deliberately pin the
+# floor constants their DuckDB oracles mirror bit-for-bit; a
+# beyond-floor corpus runs dedup through the store/ingest path.
 NUM_HASHES = 12
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
@@ -124,6 +131,28 @@ def ngram_knobs(n_docs: int) -> tuple[int, int, int]:
     (midpoint ≈ 0.84 — deliberately conservative: the family is tuned
     for ≥0.9-Jaccard recall, see the NGRAM constants note)."""
     return lsh_knobs(n_docs, NGRAM_HASHES // NGRAM_BANDS, NGRAM_BANDS)
+
+
+#: per-sf_dir memo of derived word-shingle banding knobs — the footer
+#: read is cheap, but the knobs must also be STABLE within a process so
+#: a store built early and a stream side built later can never disagree.
+_MINHASH_KNOBS_MEMO: dict[str, tuple[int, int, int]] = {}
+
+
+def minhash_knobs_for(sf_dir: str) -> tuple[int, int, int]:
+    """``(num_hashes, bands, rows_per_band)`` for ``sf_dir``'s corpus —
+    the RUNTIME wiring of the corpus-derived banding law (r12 advice):
+    :func:`minhash_knobs` over the parquet-footer rowcount, memoized
+    per sf_dir.  Every path of the incremental-dedup ingest family
+    (store build, stream side, inline corpus rels) derives its banding
+    from HERE, so the store and the arriving batch always band
+    identically.  At every oracle-checked SF (and the 64× probe) this
+    resolves to the floor constants — oracle mirrors are untouched —
+    while a beyond-floor corpus gets the sharper S-curve."""
+    got = _MINHASH_KNOBS_MEMO.get(sf_dir)
+    if got is None:
+        got = _MINHASH_KNOBS_MEMO[sf_dir] = minhash_knobs(documents_rowcount(sf_dir))
+    return got
 
 
 def documents_rowcount(sf_dir: str) -> int:
@@ -2006,7 +2035,12 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def store_band_signatures(
-    docs: DataFrame, table: str = "kafquack_band_sigs", num_buckets: int = 32
+    docs: DataFrame,
+    table: str = "kafquack_band_sigs",
+    num_buckets: int = 32,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    rows: int = ROWS_PER_BAND,
 ) -> str:
     """Persist the corpus's MinHash band signatures as a bucketed table
     keyed on ``band_sig`` — the production shape of nightly incremental
@@ -2029,8 +2063,8 @@ def store_band_signatures(
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
     shutil.rmtree(loc, ignore_errors=True)
-    bands = minhash_bands(minhash_signatures(docs))
-    write_bucketed(bands, table, "band_sig", num_buckets)
+    band_rel = minhash_bands(minhash_signatures(docs, num_hashes), bands, rows)
+    write_bucketed(band_rel, table, "band_sig", num_buckets)
     return table
 
 
@@ -2102,6 +2136,9 @@ def build_incremental_store(
     hash_table = f"kafquack_corpus_hash_{tag}"
     docs = load_tables(spark, sf_dir)["documents"]
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    # corpus-derived banding (r12 advice): floor constants at every
+    # oracle-checked SF; sharper curve beyond — see minhash_knobs_for
+    nh, nb, nr = minhash_knobs_for(sf_dir)
 
     def write_one(tbl: str, df: DataFrame, key: str) -> None:
         # idempotent rewrite, same as store_band_signatures: DROP leaves
@@ -2112,11 +2149,18 @@ def build_incremental_store(
 
     with ThreadPoolExecutor(max_workers=3) as pool:
         futs = [
-            pool.submit(store_band_signatures, corpus, table=bands_table),
+            pool.submit(
+                store_band_signatures,
+                corpus,
+                table=bands_table,
+                num_hashes=nh,
+                bands=nb,
+                rows=nr,
+            ),
             pool.submit(
                 write_one,
                 sets_table,
-                minhash_sig_sets(corpus).select("doc_id", "stoks", "n"),
+                minhash_sig_sets(corpus, nh).select("doc_id", "stoks", "n"),
                 "doc_id",
             ),
             pool.submit(

@@ -3057,6 +3057,42 @@ STORE_UPSERT_MOD = 10
 _UPSERT_BASE_STORES: dict[str, tuple] = {}
 
 
+def _codebook_fingerprint(codebook: tuple) -> str:
+    """Content digest of a ``(mn, mx, cent_ids, cents)`` codebook.
+    Stamped into a delta segment at write time so a later compaction
+    can prove the delta was encoded under the CURRENT base's codebook
+    (r12 advice: a stale delta left while the base store was rebuilt
+    must not be silently compacted)."""
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.md5()
+    for a in codebook:
+        arr = np.ascontiguousarray(a)
+        h.update(str(arr.dtype).encode())
+        h.update(str(arr.shape).encode())
+        h.update(arr.tobytes())
+    return h.hexdigest()
+
+
+_DELTA_STAMP = "_codebook_fingerprint"  # leading _ → invisible to parquet scans
+
+
+def _delta_matches_codebook(delta: str, codebook: tuple) -> bool:
+    """True iff ``delta`` is a complete segment stamped with this exact
+    codebook's fingerprint."""
+    import os
+
+    if not os.path.exists(os.path.join(delta, "_SUCCESS")):
+        return False
+    stamp = os.path.join(delta, _DELTA_STAMP)
+    if not os.path.exists(stamp):
+        return False
+    with open(stamp) as fh:
+        return fh.read().strip() == _codebook_fingerprint(codebook)
+
+
 def upsert_quantized_codes(
     arrivals: DataFrame,
     path: str,
@@ -3082,6 +3118,12 @@ def upsert_quantized_codes(
     codes = _cluster_codes_for_write(codes, n_centroids, files_per_cell)
     delta = path + "_delta"
     codes.write.mode("overwrite").partitionBy("cell").parquet(delta)
+    # stamp the encoding codebook so compaction can verify freshness
+    # (underscore-prefixed → parquet readers ignore it)
+    import os
+
+    with open(os.path.join(delta, _DELTA_STAMP), "w") as fh:
+        fh.write(_codebook_fingerprint(codebook))
     return delta
 
 
@@ -3216,13 +3258,13 @@ def ann_int8_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-codebook rebuild's — the hash match proves compaction neither
     drops, duplicates, nor re-cells a single code.  The base build is
     the memoized nightly cost (:func:`_ensure_upsert_base`); the delta
-    is reused when an upsert already wrote it this process and written
-    once otherwise, so the row measures compaction itself."""
-    import os
-
+    is reused ONLY when its codebook-fingerprint stamp matches the
+    current base's codebook (r12 advice — a stale delta from before a
+    base rebuild is rewritten, never silently merged) and written once
+    otherwise, so the row measures compaction itself."""
     path, cb = _ensure_upsert_base(spark, sf_dir)
     delta = path + "_delta"
-    if not os.path.exists(os.path.join(delta, "_SUCCESS")):
+    if not _delta_matches_codebook(delta, cb):
         emb = load_tables(spark, sf_dir)["embeddings"]
         arrivals = emb.filter(F.col("vec_id") % STORE_UPSERT_MOD == 0)
         delta = upsert_quantized_codes(arrivals, path, cb)

@@ -719,21 +719,27 @@ def _incr_stream_side(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions on the incoming doc.  ONE definition of the
     seeded-MinHash + banding scheme repo-wide: rides the same
     minhash_sig_sets/minhash_bands the batch pipelines (and the oracle
-    mirrors) use, with source/h/shingle set carried via passthrough."""
-    from ..operators.dedup import NUM_HASHES, minhash_bands, minhash_sig_sets
+    mirrors) use, with source/h/shingle set carried via passthrough.
+    Banding knobs come from the SAME corpus-derived law as the store
+    build (:func:`..operators.dedup.minhash_knobs_for`, r12 advice) —
+    the arriving batch and the stored index can never band-mismatch."""
+    from ..operators.dedup import minhash_bands, minhash_knobs_for, minhash_sig_sets
 
+    nh, nb, nr = minhash_knobs_for(sf_dir)
     sdocs = (
         _docs_stream(spark, sf_dir)
         .filter(F.col("doc_id") % 2 == 1)
         .withColumn("h", F.md5("text"))
     )
-    ssig = minhash_sig_sets(sdocs, passthrough=("source", "h"))
+    ssig = minhash_sig_sets(sdocs, nh, passthrough=("source", "h"))
     return minhash_bands(
         ssig.select(
             "doc_id", "source", "h",
             F.col("stoks").alias("t1"), F.col("n").alias("n1"),
-            *[f"mh{i}" for i in range(NUM_HASHES)],
+            *[f"mh{i}" for i in range(nh)],
         ),
+        nb,
+        nr,
         passthrough=("source", "h", "t1", "n1"),
     )
 
@@ -808,16 +814,18 @@ def _incr_corpus_rels_inline(
     (md5 key set, band signatures, shingle sets), recomputed from the
     corpus text INLINE — the from-scratch shape;
     :func:`_incr_corpus_rels_stored` reads the same state from the
-    prebuilt store instead."""
-    from ..operators.dedup import minhash_bands, minhash_sig_sets
+    prebuilt store instead.  Banding knobs from the shared
+    corpus-derived law (:func:`..operators.dedup.minhash_knobs_for`)."""
+    from ..operators.dedup import minhash_bands, minhash_knobs_for, minhash_sig_sets
 
+    nh, nb, nr = minhash_knobs_for(sf_dir)
     docs = load_tables(spark, sf_dir)["documents"]
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     corpus_hash = (
         corpus.select(F.md5("text").alias("h")).distinct().withColumn("_ex", F.lit(1))
     )
-    csig = minhash_sig_sets(corpus)
-    cbands = minhash_bands(csig).select(
+    csig = minhash_sig_sets(corpus, nh)
+    cbands = minhash_bands(csig, nb, nr).select(
         F.col("doc_id").alias("corpus_doc"), "band_sig"
     )
     csets = csig.select(

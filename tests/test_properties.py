@@ -7,7 +7,7 @@ chosen so a failure would indicate a real semantic bug, not flakiness.
 
 import math
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
@@ -1162,6 +1162,7 @@ def test_semdedup_knobs_growth_law():
     repeats=st.lists(st.integers(1, 3), min_size=8, max_size=8),
     stale_replays=st.lists(st.integers(0, 7), max_size=4),
 )
+@example(batches=[], repeats=[1, 1, 1, 1, 1, 1, 1, 1], stale_replays=[])
 def test_batch_partial_folder_replay_and_memory_invariants(
     batches, repeats, stale_replays
 ):
