@@ -740,10 +740,106 @@ def _maybe_checkpoint_rank(r: DataFrame, i: int, iters: int) -> DataFrame:
     return r
 
 
-def _engagement_edges(events: DataFrame) -> DataFrame:
-    """(user_id, doc_id, doc_deg, user_deg) — the distinct engagement
-    edge relation with both endpoint degrees attached, persisted because
-    each power iteration scans it twice (doc→user and user→doc)."""
+#: temp-view names the SQL-built power iteration resolves against.
+#: Resolution is EAGER (spark.sql captures the view's plan into the
+#: returned DataFrame), so replacing a view later never mutates an
+#: already-built rank plan.
+_PR_EDGES_VIEW = "kafquack_pr_edges_v"
+_PR_DDEG_VIEW = "kafquack_pr_ddeg_v"
+_PR_SEEDS_VIEW = "kafquack_pr_seeds_v"
+_PR_RANK_VIEW = "kafquack_pr_rank_v"
+
+
+def _pr_iterate(
+    spark: SparkSession,
+    e: DataFrame,
+    ddeg: DataFrame,
+    iters: int,
+    seeds: DataFrame | None = None,
+) -> DataFrame:
+    """The bipartite power iteration (doc → user → doc per round) built
+    as CHUNKED SQL CTE blocks instead of per-round DataFrame calls: the
+    3-round nested plan cost ~0.6 s of py4j round-trips to CONSTRUCT at
+    bench scale (r12 verdict item 2 — more than a third of the row's
+    wall clock); one ``spark.sql`` parse per chunk builds the identical
+    integer fixed-point recurrence JVM-side.  Expressions mirror the
+    previous per-round DataFrame ops token for token (``pr DIV
+    doc_deg`` contributions, SUM cast BIGINT, damping as
+    ``({PR_DNUM}·inflow) DIV {PR_DDEN}``), so values stay bit-exact.
+
+    Chunk boundaries ARE the lineage guard: when ``iters`` exceeds
+    :data:`PR_CHECKPOINT_THRESHOLD`, each chunk spans
+    :data:`PR_CHECKPOINT_EVERY` rounds and :func:`_maybe_checkpoint_rank`
+    truncates between chunks — the same rounds the old per-round guard
+    checkpointed; at the oracled 3 iterations there is exactly one
+    chunk and no checkpoint node."""
+    e.createOrReplaceTempView(_PR_EDGES_VIEW)
+    ddeg.createOrReplaceTempView(_PR_DDEG_VIEW)
+    if seeds is not None:
+        seeds.createOrReplaceTempView(_PR_SEEDS_VIEW)
+        r0_sql = (
+            f"SELECT d.doc_id, CAST(COALESCE(s.is_seed, 0) * {PR_SCALE} AS BIGINT)"
+            f" AS pr FROM {_PR_DDEG_VIEW} d LEFT JOIN {_PR_SEEDS_VIEW} s USING (doc_id)"
+        )
+    else:
+        r0_sql = (
+            f"SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS pr FROM {_PR_DDEG_VIEW}"
+        )
+    if iters <= 0:
+        return spark.sql(r0_sql)
+    chunk = PR_CHECKPOINT_EVERY if iters > PR_CHECKPOINT_THRESHOLD else iters
+    r: DataFrame | None = None
+    done = 0
+    while done < iters:
+        n = min(chunk, iters - done)
+        if r is None:
+            head = r0_sql
+        else:
+            r.createOrReplaceTempView(_PR_RANK_VIEW)
+            head = f"SELECT doc_id, pr FROM {_PR_RANK_VIEW}"
+        ctes = [f"r0 AS ({head})"]
+        for j in range(1, n + 1):
+            ctes.append(
+                f"u{j} AS (SELECT user_id, CAST(SUM(pr DIV doc_deg) AS BIGINT) AS us"
+                f" FROM {_PR_EDGES_VIEW} JOIN r{j - 1} USING (doc_id) GROUP BY user_id)"
+            )
+            if seeds is not None:
+                ctes.append(
+                    f"r{j} AS (SELECT a.doc_id, CAST(COALESCE(s.is_seed, 0) * {PR_BASE}"
+                    f" + ({PR_DNUM} * a.inflow) DIV {PR_DDEN} AS BIGINT) AS pr"
+                    f" FROM (SELECT doc_id, CAST(SUM(us DIV user_deg) AS BIGINT) AS inflow"
+                    f" FROM {_PR_EDGES_VIEW} JOIN u{j} USING (user_id) GROUP BY doc_id) a"
+                    f" LEFT JOIN {_PR_SEEDS_VIEW} s USING (doc_id))"
+                )
+            else:
+                ctes.append(
+                    f"r{j} AS (SELECT doc_id, CAST({PR_BASE}"
+                    f" + ({PR_DNUM} * CAST(SUM(us DIV user_deg) AS BIGINT)) DIV {PR_DDEN}"
+                    f" AS BIGINT) AS pr"
+                    f" FROM {_PR_EDGES_VIEW} JOIN u{j} USING (user_id) GROUP BY doc_id)"
+                )
+        r = spark.sql("WITH " + ",\n".join(ctes) + f" SELECT doc_id, pr FROM r{n}")
+        done += n
+        r = _maybe_checkpoint_rank(r, done - 1, iters)
+    return r
+
+
+def _engagement_edges(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """``(edges, ddeg)`` — the distinct engagement edge relation
+    ``(user_id, doc_id, doc_deg, user_deg)`` with both endpoint degrees
+    attached, plus the per-doc degree relation ``(doc_id, doc_deg)``;
+    both persisted because each power iteration scans the edges twice
+    (doc→user and user→doc) and every rank query reads ddeg twice
+    (the r0 seed and the final top-k annotate).
+
+    Degrees are WINDOW counts over the edge relation (r12 verdict
+    item 2): ``count(*) over (partition by key)`` exchanges the edges
+    once per direction, where the previous agg+join shape paid four
+    edge-sized exchanges (two degree aggregates plus re-exchanging the
+    edges into each equi-join) — the values are the same exact integer
+    group sizes.  ddeg is persisted as a column-REORDERED projection
+    (the `_persisted_sig_sets` CacheManager rule) so it can never be
+    substituted into another query's unpersisted aggregate plan."""
     from pyspark import StorageLevel
 
     ref = (
@@ -755,13 +851,19 @@ def _engagement_edges(events: DataFrame) -> DataFrame:
         .filter(F.col("doc_id").isNotNull())
         .distinct()
     )
-    ddeg = ref.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_deg"))
-    udeg = ref.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_deg"))
-    return (
-        ref.join(ddeg, "doc_id").join(udeg, "user_id")
+    e = (
+        ref.withColumn("doc_deg", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("user_deg", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
         .select("user_id", "doc_id", "doc_deg", "user_deg")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    ddeg = (
+        e.groupBy("doc_id")
+        .agg(F.max("doc_deg").alias("doc_deg"))
+        .select("doc_deg", "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return e, ddeg
 
 
 def engagement_pagerank(events: DataFrame, docs: DataFrame,
@@ -802,29 +904,8 @@ def engagement_pagerank(events: DataFrame, docs: DataFrame,
     plan — and its bit-exact integer values — are unchanged (values are
     checkpoint-invariant anyway: the truncation only swaps lineage for
     materialized partitions)."""
-    e = _engagement_edges(events)
-    ddeg = e.select("doc_id", "doc_deg").distinct()
-    r = ddeg.select("doc_id", F.lit(PR_SCALE).cast("bigint").alias("pr"))
-    for i in range(iters):
-        u = (
-            e.join(r, "doc_id")
-            .select("user_id", F.expr("pr DIV doc_deg").alias("c"))
-            .groupBy("user_id")
-            .agg(F.sum("c").cast("bigint").alias("us"))
-        )
-        r = (
-            e.join(u, "user_id")
-            .select("doc_id", F.expr("us DIV user_deg").alias("c"))
-            .groupBy("doc_id")
-            .agg(F.sum("c").cast("bigint").alias("inflow"))
-            .select(
-                "doc_id",
-                F.expr(
-                    f"CAST({PR_BASE} + ({PR_DNUM} * inflow) DIV {PR_DDEN} AS BIGINT)"
-                ).alias("pr"),
-            )
-        )
-        r = _maybe_checkpoint_rank(r, i, iters)
+    e, ddeg = _engagement_edges(events)
+    r = _pr_iterate(events.sparkSession, e, ddeg, iters)
     top = r.orderBy(F.col("pr").desc(), "doc_id").limit(PR_TOP_K)
     w = Window.orderBy(F.col("pr").desc(), "doc_id")
     ranked = top.withColumn(
@@ -915,7 +996,7 @@ def seeded_trust_rank(events: DataFrame, docs: DataFrame,
     because the inflow aggregate covers every doc with an edge (the
     join against the user relation always produces its group, value 0
     or not)."""
-    e = _engagement_edges(events)
+    e, ddeg = _engagement_edges(events)
     seeds = (
         events.filter(F.col("event_type") == "purchase")
         .select(F.get_json_object("props", "$.k").cast("bigint").alias("doc_id"))
@@ -923,33 +1004,7 @@ def seeded_trust_rank(events: DataFrame, docs: DataFrame,
         .distinct()
         .select("doc_id", F.lit(1).cast("bigint").alias("is_seed"))
     )
-    ddeg = e.select("doc_id", "doc_deg").distinct()
-    r = ddeg.join(seeds, "doc_id", "left").select(
-        "doc_id",
-        (F.coalesce("is_seed", F.lit(0)) * PR_SCALE).cast("bigint").alias("pr"),
-    )
-    for i in range(iters):
-        u = (
-            e.join(r, "doc_id")
-            .select("user_id", F.expr("pr DIV doc_deg").alias("c"))
-            .groupBy("user_id")
-            .agg(F.sum("c").cast("bigint").alias("us"))
-        )
-        r = (
-            e.join(u, "user_id")
-            .select("doc_id", F.expr("us DIV user_deg").alias("c"))
-            .groupBy("doc_id")
-            .agg(F.sum("c").cast("bigint").alias("inflow"))
-            .join(seeds, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.expr(
-                    f"CAST(COALESCE(is_seed, 0) * {PR_BASE}"
-                    f" + ({PR_DNUM} * inflow) DIV {PR_DDEN} AS BIGINT)"
-                ).alias("pr"),
-            )
-        )
-        r = _maybe_checkpoint_rank(r, i, iters)
+    r = _pr_iterate(events.sparkSession, e, ddeg, iters, seeds=seeds)
     top = r.orderBy(F.col("pr").desc(), "doc_id").limit(PR_TOP_K)
     w = Window.orderBy(F.col("pr").desc(), "doc_id")
     ranked = top.withColumn(
@@ -1062,7 +1117,7 @@ def co_engagement_topk(events: DataFrame) -> DataFrame:
     projections — new attribute ids), one (doc_a, doc_b) partial+final
     count, and a per-doc top-k window over the symmetrized pair
     relation (bounded by pairs, not corpus)."""
-    e = _engagement_edges(events)
+    e, _ddeg = _engagement_edges(events)
     f1 = e.filter(F.col("user_deg") <= CO_ENG_MAX_FANOUT)
     a = f1.select(F.col("user_id").alias("u"), F.col("doc_id").alias("doc_a"))
     b = f1.select(F.col("user_id").alias("u2"), F.col("doc_id").alias("doc_b"))
