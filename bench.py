@@ -72,6 +72,7 @@ HEADLINE = [
     "embedding_outliers",
     "dedup_minhash_calibration",
     "fuzzy_contamination",
+    "host_dedup_report",
     "text_bigram_surprisal",
     "quality_rank_normalized",
     "semantic_retrieval_join",
@@ -110,8 +111,12 @@ HEADLINE = [
 ]
 
 
-def _run_session(sf_dir: str) -> dict[str, float]:
-    """One fresh-JVM pass over HEADLINE: min-of-2 per query."""
+def _run_session(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """One fresh-JVM pass over HEADLINE: min-of-2 per query.  Returns
+    ``(timings, loads)`` — ``loads[name]`` is the 1-min load average
+    sampled right after the query's runs (r12 verdict item 6: per-query
+    load attribution makes a phantom regression diagnosable per ROW,
+    not per pass — BENCH_r11's +17% was machine contention)."""
     from duckdb_extension_kafquack_spark import (  # noqa: F401
         operators,
         streaming,
@@ -140,6 +145,7 @@ def _run_session(sf_dir: str) -> dict[str, float]:
     if os.environ.get("SPARK_GRAFT_BENCH_ORDER") == "reverse":
         order.reverse()
     timings: dict[str, float] = {}
+    loads: dict[str, float] = {}
     for name in order:
         q = suite.REGISTRY[name]
         best = float("inf")
@@ -148,7 +154,8 @@ def _run_session(sf_dir: str) -> dict[str, float]:
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
-    return timings
+        loads[name] = round(os.getloadavg()[0], 2)
+    return timings, loads
 
 
 def main() -> None:
@@ -157,7 +164,7 @@ def main() -> None:
     n_sessions = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "2"))
 
     if os.environ.get("SPARK_GRAFT_BENCH_CHILD") or n_sessions <= 1:
-        timings = _run_session(sf_dir)
+        timings, query_load = _run_session(sf_dir)
         session_meta = []
     else:
         # min per query across n fresh JVM sessions, load-annotated
@@ -168,6 +175,7 @@ def main() -> None:
         # when the two passes disagree by >30% on total (the per-query
         # min then absorbs whichever pass was the noisy one).
         timings = {}
+        query_load = {}
         here = os.path.abspath(__file__)
         session_meta: list[dict] = []
         session_totals: list[float] = []
@@ -197,7 +205,9 @@ def main() -> None:
                     + r.stderr[-4000:]
                 )
                 return
-            child = json.loads(line)["queries"]
+            parsed = json.loads(line)
+            child = parsed["queries"]
+            child_load = parsed.get("query_load", {})
             session_totals.append(sum(child.values()))
             session_meta.append(
                 {
@@ -208,7 +218,11 @@ def main() -> None:
                 }
             )
             for k, v in child.items():
-                timings[k] = min(timings.get(k, float("inf")), v)
+                if v < timings.get(k, float("inf")):
+                    timings[k] = v
+                    # attribute the load of the pass that provided the min
+                    if k in child_load:
+                        query_load[k] = child_load[k]
 
         for i in range(n_sessions):
             run_child(i)
@@ -217,7 +231,7 @@ def main() -> None:
             if lo > 0 and hi / lo > 1.3:
                 run_child(n_sessions)  # tie-break pass; min absorbs the noise
         if not timings:  # all children failed — run in-process as a fallback
-            timings = _run_session(sf_dir)
+            timings, query_load = _run_session(sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -227,6 +241,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_load": query_load,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "sessions": session_meta,
             }

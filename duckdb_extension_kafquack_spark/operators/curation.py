@@ -1486,3 +1486,158 @@ GROUP BY d.source
 @query("fuzzy_contamination", _duck_fuzzy_contamination_sql())
 def fuzzy_contamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_contamination(load_tables(spark, sf_dir)["documents"])
+
+
+# ---------------------------------------------------------------------------
+# URL/host-level dedup signal (r12 verdict item 8)
+# ---------------------------------------------------------------------------
+
+#: hosts per source in the synthetic URL fixture — the fixture has no
+#: URL column, so the registered query synthesizes a deterministic
+#: messy URL per doc (scheme / WWW. / mixed-case host / port variants)
+#: and the operator does the REAL normalization work on it
+HOST_MOD = 23
+
+
+def synth_url(doc_id: "F.Column | str" = "doc_id", source: str = "source"):
+    """Deterministic messy URL from (source, doc_id): alternating
+    scheme, an occasional ``WWW.`` prefix, a MiXeD-case host, and an
+    occasional explicit port — every variant a real crawl presents and
+    host normalization must collapse."""
+    d = F.col(doc_id) if isinstance(doc_id, str) else doc_id
+    return F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col(source), F.lit("-"), (d % HOST_MOD).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(d % 5 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"), d.cast("string"),
+    )
+
+
+def normalize_host(url):
+    """Canonical host of a URL: authority extracted, lower-cased, port
+    stripped, leading ``www.`` stripped — the key a host-level dedup
+    groups on (``https://WWW.A.com:8080/x`` ≡ ``http://a.com/y``)."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(url, r"^[a-zA-Z]+://([^/]+)", 1)),
+            r":[0-9]+$",
+            "",
+        ),
+        r"^www\.",
+        "",
+    )
+
+
+def host_dedup_report(docs: DataFrame) -> DataFrame:
+    """Per-HOST dedup/boilerplate report — the standard pretraining
+    crawl-curation signal the suite lacked (r12 verdict item 8): a
+    template-driven site shows up as (a) many pages whose NORMALIZED
+    text collapses to few distinct keys (intra-host exact duplication)
+    and (b) word-3-grams shared by most of the host's pages (nav bars,
+    cookie banners) that should be stripped before corpus-wide LSH.
+
+    Output per host, ALL-INTEGER (no float drifts cross-engine):
+    ``n_docs``, ``n_dup_docs`` (docs in a ≥2-sized same-key group —
+    within the host only; cross-host template reuse is the
+    `cross_source_dup_matrix` family's job), ``n_uniq_keys``, and
+    ``n_boiler_grams`` (distinct 3-grams on ≥2 docs AND ≥half the
+    host's docs — an integer frontier ``2·df ≥ n_docs``, no float
+    ceil).
+
+    Scale shape: the dedup key is one map-side md5 of the
+    whitespace-collapsed lower-cased text; grams are per-doc DISTINCT
+    HOF arrays exploded straight into a map-side-combined (host, gram)
+    count (the `boilerplate_phrases` shape, host-scoped); the
+    boiler-threshold join keys on ``host`` — hosts are corpus-scaled
+    at 100 TB (millions), so the join is UNHINTED and AQE picks the
+    strategy.  No collect, no window, output is one row per host."""
+    h = docs.withColumn("url", synth_url()).select(
+        "doc_id", "text", normalize_host("url").alias("host")
+    )
+    key = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    kc = (
+        h.select("host", key.alias("k"))
+        .groupBy("host", "k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hostrep = kc.groupBy("host").agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_uniq_keys"),
+    )
+    g3 = (
+        "CASE WHEN size(toks) >= 3 THEN array_distinct(transform("
+        "sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))) "
+        "ELSE array() END"
+    )
+    gr = h.select(
+        "host", F.expr("filter(split(text, ' '), t -> t != '')").alias("toks")
+    ).select("host", F.explode(F.expr(g3)).alias("g"))
+    gdf = gr.groupBy("host", "g").agg(F.count(F.lit(1)).alias("df"))
+    boiler = (
+        gdf.join(hostrep.select("host", "n_docs"), "host")
+        .filter((F.col("df") >= 2) & (F.col("df") * 2 >= F.col("n_docs")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_boiler_grams"))
+    )
+    return hostrep.join(boiler, "host", "left").select(
+        "host",
+        "n_docs",
+        "n_dup_docs",
+        "n_uniq_keys",
+        F.coalesce("n_boiler_grams", F.lit(0)).cast("bigint").alias("n_boiler_grams"),
+    )
+
+
+_DUCK_HOST_DEDUP_SQL = f"""
+WITH u AS (
+  SELECT doc_id, text,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+    || source || '-' || (doc_id % {HOST_MOD}) || '.Example.COM'
+    || (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END)
+    || '/p/' || doc_id AS url
+  FROM documents
+), h AS (
+  SELECT doc_id, text,
+    regexp_replace(regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1)),
+                                  ':[0-9]+$', ''), '^www\\.', '') AS host
+  FROM u
+), kc AS (
+  SELECT host, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS k,
+         COUNT(*) AS cnt
+  FROM h GROUP BY 1, 2
+), hostrep AS (
+  SELECT host, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_uniq_keys
+  FROM kc GROUP BY 1
+), tokd AS (
+  SELECT host, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM h
+), gr AS (
+  SELECT host, unnest(CASE WHEN len(toks) >= 3 THEN
+      list_distinct(list_transform(range(1, len(toks) - 1),
+        i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+    ELSE []::VARCHAR[] END) AS g
+  FROM tokd
+), gdf AS (
+  SELECT host, g, COUNT(*) AS df FROM gr GROUP BY 1, 2
+), boiler AS (
+  SELECT d.host, CAST(COUNT(*) AS BIGINT) AS n_boiler_grams
+  FROM gdf d JOIN hostrep r ON d.host = r.host
+  WHERE d.df >= 2 AND d.df * 2 >= r.n_docs
+  GROUP BY 1
+)
+SELECT r.host, r.n_docs, r.n_dup_docs, r.n_uniq_keys,
+       CAST(COALESCE(b.n_boiler_grams, 0) AS BIGINT) AS n_boiler_grams
+FROM hostrep r LEFT JOIN boiler b ON r.host = b.host
+"""
+
+
+@query("host_dedup_report", _DUCK_HOST_DEDUP_SQL)
+def host_dedup_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return host_dedup_report(load_tables(spark, sf_dir)["documents"])

@@ -1605,3 +1605,127 @@ class TestInt8StoreUpsert:
         )
         n_cells = sum(1 for cd in os.listdir(merged) if cd.startswith("cell="))
         assert n_files == n_cells
+
+
+class TestStoreDurabilityEdges:
+    """r12 verdict item 7: pin the r11-advice durability fixes with
+    regression tests — each exercises the edge branch itself, not just
+    the happy path around it."""
+
+    def test_empty_corpus_store_build_writes_empty_store(self, spark, tables, tmp_path):
+        """An EMPTY embeddings slice (the upsert base-build path can
+        plausibly see one) must build an empty-but-intact store: a
+        zeroed codebook, a written sidecar, and no crash in the encode
+        kernel — not an exception out of the stats pass."""
+        import numpy as np
+
+        from duckdb_extension_kafquack_spark.operators.similarity import (
+            store_quantized_codes,
+        )
+
+        empty = tables["embeddings"].filter(F.col("vec_id") < 0)
+        path = str(tmp_path / "empty_store")
+        mn, mx, cent_ids, cents = store_quantized_codes(empty, path)
+        assert np.all(mn == 0.0) and np.all(mx == 0.0)
+        assert len(cent_ids) == 0 and cents.shape[0] == 0
+        import os
+
+        assert os.path.exists(os.path.join(path + "_meta", "_SUCCESS"))
+        assert spark.read.schema("vec_id long").parquet(path).count() == 0
+
+    def test_embeddings_rowcount_partitioned_layout(self, spark, tables, tmp_path):
+        """_embeddings_rowcount must count leaf files RECURSIVELY — a
+        Hive-partitioned embeddings.parquet directory (the large-corpus
+        layout the adaptive knobs exist for) counts every row; a dir
+        with no parquet files raises instead of silently returning 0."""
+        import pytest as _pytest
+
+        from duckdb_extension_kafquack_spark.operators.similarity import (
+            _embeddings_rowcount,
+        )
+
+        emb = tables["embeddings"]
+        n = emb.count()
+        sfdir = tmp_path / "sfp"
+        (
+            emb.withColumn("part", (F.col("vec_id") % 3).cast("int"))
+            .write.partitionBy("part")
+            .parquet(str(sfdir / "embeddings.parquet"))
+        )
+        assert _embeddings_rowcount(str(sfdir)) == n
+        empty_dir = tmp_path / "sfe"
+        (empty_dir / "embeddings.parquet").mkdir(parents=True)
+        with _pytest.raises(FileNotFoundError):
+            _embeddings_rowcount(str(empty_dir))
+
+    def test_serve_store_rebuilds_after_data_deletion(self, spark, tmp_path):
+        """A memoized store whose DATA dir was removed while the sidecar
+        survived must fall through to the rebuild branch (not crash the
+        footer walk): _store_intact is False on the husk, and the serve
+        ensure-path rebuilds a working store at the same key."""
+        import shutil
+
+        import duckdb_extension_kafquack_spark.operators.similarity as sim
+
+        sf = "/root/testdata/sf0.001"
+        path = sim._ensure_int8_store(spark, sf)
+        assert sim._store_intact(path)
+        # simulate the r11 failure: data gone, sidecar still present
+        shutil.rmtree(path)
+        import os
+
+        assert os.path.exists(os.path.join(path + "_meta", "_SUCCESS"))
+        assert not sim._store_intact(path)
+        rebuilt = sim._ensure_int8_store(spark, sf)
+        assert rebuilt == path and sim._store_intact(rebuilt)
+
+    def test_stale_delta_is_rewritten_by_compact(self, spark, tmp_path):
+        """r12 advice: a delta segment stamped under a DIFFERENT
+        codebook (e.g. left behind across a base rebuild) must not be
+        silently compacted — the fingerprint check rejects it and the
+        compact row rewrites the delta under the current base."""
+        import os
+
+        import duckdb_extension_kafquack_spark.operators.similarity as sim
+
+        sf = "/root/testdata/sf0.001"
+        path, cb = sim._ensure_upsert_base(spark, sf)
+        delta = path + "_delta"
+        if not os.path.exists(os.path.join(delta, "_SUCCESS")):
+            from duckdb_extension_kafquack_spark.session import load_tables
+
+            emb = load_tables(spark, sf)["embeddings"]
+            arrivals = emb.filter(F.col("vec_id") % sim.STORE_UPSERT_MOD == 0)
+            sim.upsert_quantized_codes(arrivals, path, cb)
+        assert sim._delta_matches_codebook(delta, cb)
+        # tamper the stamp: simulates a delta written under an old base
+        with open(os.path.join(delta, sim._DELTA_STAMP), "w") as fh:
+            fh.write("0" * 32)
+        assert not sim._delta_matches_codebook(delta, cb)
+        out = sim.ann_int8_store_compact(spark, sf)
+        assert out.count() > 0
+        # the compact path rewrote the delta under the CURRENT codebook
+        assert sim._delta_matches_codebook(delta, cb)
+
+    def test_contamination_grams_persist_lru_bounded(self, spark, tables):
+        """r12 advice: the persisted per-doc gram relation is memoized
+        per input plan with a 2-entry LRU — a third distinct input
+        evicts (and unpersists) the oldest instead of pinning unbounded
+        corpus-scaled cache for process lifetime."""
+        import duckdb_extension_kafquack_spark.operators.curation as cur
+
+        docs = tables["documents"]
+        cur._GRAMS_PERSIST_LRU.clear()
+        a = cur._persisted_grams(docs)
+        b = cur._persisted_grams(docs.limit(10))
+        c = cur._persisted_grams(docs.limit(20))
+        assert len(cur._GRAMS_PERSIST_LRU) == 2
+        # same-plan call is a cache hit, not a new entry
+        assert cur._persisted_grams(docs.limit(20)) is c
+        assert len(cur._GRAMS_PERSIST_LRU) == 2
+        # evicted relation is unpersisted; survivors still cached
+        assert a.storageLevel.useMemory is False
+        assert c.storageLevel.useMemory is True
+        for df in (b, c):
+            df.unpersist(blocking=False)
+        cur._GRAMS_PERSIST_LRU.clear()

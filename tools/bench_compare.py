@@ -140,7 +140,12 @@ def main() -> None:
         "cancel), the driver's BENCH_r{N}.json methodology.  DuckDB is",
         "timed min-of-2 locally, un-interleaved.  Both measure",
         "steady-state plan cost; one-shot codegen / Python-worker",
-        "startup amortizes over a real workload.",
+        "startup amortizes over a real workload.  Since round 13",
+        "bench.py also emits `query_load` — the 1-min load average",
+        "sampled right after the pass that provided each query's min —",
+        "so a phantom regression (like BENCH_r11's +17% contention",
+        "artifact) is diagnosable per ROW from the recorded JSON,",
+        "without a re-run.",
         "DuckDB wins short queries on startup cost (no task scheduling, no",
         "JVM boundary); that fixed ~0.5-1 s floor is what Spark trades for",
         "horizontal scale — at 100 TB these plans distribute unchanged while",
