@@ -1021,6 +1021,16 @@ def _drain_incr_stream(stream_side: DataFrame, name: str, per_batch) -> DataFram
     )
 
 
+#: Corpus-size floor above which the INLINE incremental-dedup twin
+#: routes to the stored-index path (r12 verdict item 5): re-deriving
+#: the corpus index per ingest is linear in the corpus, so past this
+#: size the inline shape pays more per micro-batch than the nightly
+#: store build amortizes.  Safely above every oracle-checked SF
+#: (≤60k docs) and the 64× probe (~320k), so no verified result can
+#: change (the twins share one oracle anyway).
+INLINE_DEDUP_MAX_CORPUS = 50_000_000
+
+
 @query("streaming_incremental_dedup", _duck_streaming_incr_sql())
 def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nightly-ingest dedup as a LIVE stream: the incoming batch (odd
@@ -1039,7 +1049,20 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`_build_incremental_dedup_stream`), and driver memory holds
     only O(sources) counters.  No bucket cap on this join (the corpus
     side is the static index; the oracle mirrors the uncapped join
-    exactly)."""
+    exactly).
+
+    Beyond :data:`INLINE_DEDUP_MAX_CORPUS` docs the query routes to the
+    STORED twin (r12 verdict item 5): the probe's fixed-batch row shows
+    the inline shape's growth is owed to re-deriving the corpus index
+    per ingest — the cost the bucketed store exists to amortize — so
+    inline is a small-corpus convenience only.  Every oracle-checked SF
+    and the 64× probe sit below the floor, and the two twins share one
+    oracle (value-equal by construction), so the routing can never
+    change a verified result."""
+    from ..operators.dedup import documents_rowcount
+
+    if documents_rowcount(sf_dir) > INLINE_DEDUP_MAX_CORPUS:
+        return streaming_incremental_dedup_stored(spark, sf_dir)
     corpus_hash, cbands, csets = _incr_corpus_rels_inline(spark, sf_dir)
     return _drain_incr_classified(
         _incr_stream_side(spark, sf_dir), "stream_incr_dedup",

@@ -1729,3 +1729,33 @@ class TestStoreDurabilityEdges:
         for df in (b, c):
             df.unpersist(blocking=False)
         cur._GRAMS_PERSIST_LRU.clear()
+
+
+class TestInlineDedupCorpusRouting:
+    def test_inline_routes_to_stored_past_corpus_floor(self, spark):
+        """r12 verdict item 5: past INLINE_DEDUP_MAX_CORPUS docs the
+        inline streaming-dedup query must serve the STORED-index path
+        (re-deriving the corpus index per ingest is the scale-killer
+        the store amortizes).  Values are identical either way (shared
+        oracle), so the check is that the routed run populates the
+        per-process store registry for the fixture dir — the stored
+        path's signature — and still returns the classify rollup."""
+        import duckdb_extension_kafquack_spark.operators.dedup as d
+        import duckdb_extension_kafquack_spark.streaming.windows as w
+
+        sf = "/root/testdata/sf0.001"
+        baseline = {
+            tuple(r)
+            for r in w.streaming_incremental_dedup_stored(spark, sf).collect()
+        }
+        saved = w.INLINE_DEDUP_MAX_CORPUS
+        w.INLINE_DEDUP_MAX_CORPUS = 0  # force the routing branch
+        try:
+            d._INCR_STORES.pop(sf, None)  # prove the routed run rebuilds it
+            routed = {
+                tuple(r) for r in w.streaming_incremental_dedup(spark, sf).collect()
+            }
+        finally:
+            w.INLINE_DEDUP_MAX_CORPUS = saved
+        assert sf in d._INCR_STORES  # stored path ran
+        assert routed == baseline and len(routed) > 0
