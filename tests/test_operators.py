@@ -1759,3 +1759,36 @@ class TestInlineDedupCorpusRouting:
             w.INLINE_DEDUP_MAX_CORPUS = saved
         assert sf in d._INCR_STORES  # stored path ran
         assert routed == baseline and len(routed) > 0
+
+
+class TestEdgePartitions:
+    """The rank family's persisted edge relation sizes its partition
+    count to the events input's physical split count (r13): floor 4 so
+    single-split fixtures stay parallel-enough without scheduling a
+    full shuffle-width of near-empty tasks per iteration stage, capped
+    at the session's configured shuffle width so wide cluster scans
+    keep their layout."""
+
+    def test_floor_on_single_split_fixture(self, spark, tables):
+        from duckdb_extension_kafquack_spark.operators.events import (
+            _edge_partitions,
+        )
+
+        assert _edge_partitions(tables["events"]) == 4
+
+    def test_cap_at_shuffle_width(self, spark):
+        from duckdb_extension_kafquack_spark.operators.events import (
+            _edge_partitions,
+        )
+
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        wide = spark.range(10_000).repartition(cap * 2)
+        assert _edge_partitions(wide) == cap
+
+    def test_between_floor_and_cap_tracks_splits(self, spark):
+        from duckdb_extension_kafquack_spark.operators.events import (
+            _edge_partitions,
+        )
+
+        mid = spark.range(10_000).repartition(7)
+        assert _edge_partitions(mid) == 7
