@@ -158,6 +158,28 @@ def _run_session(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     return timings, loads
 
 
+def _cpu_reference() -> float:
+    """Fixed single-thread CPU canary: seconds to md5 a deterministic
+    64 MiB of data in 64 KiB chunks.  Round-over-round bench totals are
+    only comparable when the HOST is comparable — r13 ran on a VM whose
+    cores were ~1.25× slower than r12's (every untouched sub-second row
+    inflated by the same factor, load averages normal), which without
+    this field reads as a uniform suite regression.  Dividing two
+    rounds' `cpu_ref_sec` gives the host-speed ratio to normalize by;
+    the workload (hashing) tracks the suite's own hot path better than
+    a busy-loop."""
+    import hashlib
+    import time as _time
+
+    chunk = b"\xa5" * 65536
+    t0 = _time.perf_counter()
+    h = hashlib.md5()
+    for _ in range(1024):
+        h.update(chunk)
+    h.hexdigest()
+    return round(_time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -244,6 +266,7 @@ def main() -> None:
                 "query_load": query_load,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "sessions": session_meta,
+                "cpu_ref_sec": _cpu_reference(),
             }
         )
     )

@@ -145,7 +145,12 @@ def main() -> None:
         "sampled right after the pass that provided each query's min —",
         "so a phantom regression (like BENCH_r11's +17% contention",
         "artifact) is diagnosable per ROW from the recorded JSON,",
-        "without a re-run.",
+        "without a re-run — plus `cpu_ref_sec`, a fixed single-thread",
+        "md5 canary whose round-over-round ratio exposes HOST-speed",
+        "drift (r13's VM ran ~1.25x slower cores than r12's: every",
+        "untouched sub-second row inflated uniformly; divide totals by",
+        "the canary ratio before reading a cross-round delta as a",
+        "code regression).",
         "DuckDB wins short queries on startup cost (no task scheduling, no",
         "JVM boundary); that fixed ~0.5-1 s floor is what Spark trades for",
         "horizontal scale — at 100 TB these plans distribute unchanged while",
