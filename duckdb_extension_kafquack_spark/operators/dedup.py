@@ -902,13 +902,8 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        sym.select(F.col("a").alias("v"))
-        .distinct()
-        .withColumn("label", F.col("v"))
-        .localCheckpoint()
-    )
-    ltype = dict(labels.dtypes)["label"]
+    ltype = dict(sym.dtypes)["a"]
+    labels = None
     rounds = 0
     for _ in range(max_iterations):
         rounds += 1
@@ -923,13 +918,31 @@ def connected_components(
         # previous labels (r13: the per-round changed-join was ~0.2 s of
         # pure job overhead on fixture-sized graphs, and one job per
         # round at any scale).
-        contrib = sym.join(labels, sym.b == labels.v).select(
-            F.col("a").alias("v"),
-            F.col("label"),
-            F.lit(None).cast(ltype).alias("old"),
-        )
+        if labels is None:
+            # Round 1 against identity labels (label == v) needs no join
+            # or prebuilt labels relation: the edge-label join collapses
+            # to sym itself projected (label = b), and the self rows are
+            # the distinct vertices with v as both label and old — the
+            # separate labels distinct+checkpoint job disappears.
+            contrib = sym.select(
+                F.col("a").alias("v"),
+                F.col("b").alias("label"),
+                F.lit(None).cast(ltype).alias("old"),
+            )
+            selfrows = (
+                sym.select(F.col("a").alias("v"))
+                .distinct()
+                .select("v", F.col("v").alias("label"), F.col("v").alias("old"))
+            )
+        else:
+            contrib = sym.join(labels, sym.b == labels.v).select(
+                F.col("a").alias("v"),
+                F.col("label"),
+                F.lit(None).cast(ltype).alias("old"),
+            )
+            selfrows = labels.select("v", "label", F.col("label").alias("old"))
         propagated = (
-            contrib.union(labels.select("v", "label", F.col("label").alias("old")))
+            contrib.union(selfrows)
             .groupBy("v")
             .agg(F.min("label").alias("label"), F.min("old").alias("old"))
         )
