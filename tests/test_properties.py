@@ -928,6 +928,93 @@ def test_engagement_pagerank_matches_python_reference(spark, edges):
     assert got == {d: (r[d], ddeg[d]) for d in users_of}
 
 
+@SLOW
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(1, 5), st.integers(1, 8), st.booleans()),
+        min_size=1,
+        max_size=20,
+    ),
+    null_user_purchase=st.one_of(st.none(), st.integers(1, 8)),
+)
+@example(edges={(1, 1, True)}, null_user_purchase=2)
+def test_seeded_trust_rank_matches_python_reference(
+    spark, edges, null_user_purchase
+):
+    """For ANY engagement graph + purchase pattern: the seeded power
+    iteration equals a 20-line pure-Python fold of the SAME integer
+    fixed-point recurrence (the seeded twin of
+    test_engagement_pagerank_matches_python_reference) — pinning the
+    per-round seed base term, degrees, DIV floors, damping, and the
+    is_seed output column against an independent implementation,
+    whatever plan shape implements them (r13 measured the per-round
+    LEFT JOIN against a union-into-aggregate fold; this test held for
+    both).  The NULL-user purchase case pins the seed DOMAIN: such an
+    event reaches the raw seed set but its edge drops out of the
+    equi-joined edge relation, so the doc must NOT appear in the
+    result unless another (non-NULL) user engages it — while its ref
+    row still counts toward the doc's degree, exactly as the equi-join
+    shape has always computed it."""
+    from duckdb_extension_kafquack_spark.operators.events import (
+        PR_BASE,
+        PR_DDEN,
+        PR_DNUM,
+        PR_ITERS,
+        PR_SCALE,
+        seeded_trust_rank,
+    )
+
+    ev = [(u, d, "purchase" if p else "view") for (u, d, p) in sorted(edges)]
+    if null_user_purchase is not None:
+        ev.append((None, null_user_purchase, "purchase"))
+
+    # ref: distinct (user, doc) incl. NULL users; doc_deg counts ALL
+    # ref rows for the doc, but the edge relation equi-joins on user_id
+    # so NULL-user rows drop out of e (and the doc leaves the rank
+    # domain unless another, non-NULL user engages it)
+    ref = {(u, d) for (u, d, _t) in ev}
+    ddeg0: dict[int, int] = {}
+    udeg: dict = {}
+    for u, d in ref:
+        ddeg0[d] = ddeg0.get(d, 0) + 1
+        udeg[u] = udeg.get(u, 0) + 1
+    docs_of: dict = {}
+    users_of: dict[int, list] = {}
+    for u, d in ref:
+        if u is None:
+            continue
+        docs_of.setdefault(u, []).append(d)
+        users_of.setdefault(d, []).append(u)
+    seeds = {d for (_u, d, t) in ev if t == "purchase"} & set(users_of)
+    r = {d: (PR_SCALE if d in seeds else 0) for d in users_of}
+    for _ in range(PR_ITERS):
+        us = {u: sum(r[d] // ddeg0[d] for d in ds) for u, ds in docs_of.items()}
+        r = {
+            d: (PR_BASE if d in seeds else 0)
+            + (PR_DNUM * sum(us[u] // udeg[u] for u in uss)) // PR_DDEN
+            for d, uss in users_of.items()
+        }
+
+    ev_rows = [
+        (i, "2024-01-01 00:00:00", u, t, 1.0, '{"k": %d}' % d)
+        for i, (u, d, t) in enumerate(ev)
+    ]
+    events = spark.createDataFrame(
+        ev_rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    docs = spark.createDataFrame(
+        [(d, "en", "s") for d in sorted(ddeg0)],
+        "doc_id bigint, lang string, source string",
+    )
+    got = {
+        row.doc_id: (row.pr_micro, row.is_seed)
+        for row in seeded_trust_rank(events, docs).collect()
+    }
+    assert got == {d: (r[d], 1 if d in seeds else 0) for d in users_of}
+
+
 def test_pagerank_lineage_guard_bounds_plan_at_high_iters(spark):
     """r8-verdict item 6: past PR_CHECKPOINT_THRESHOLD iterations the
     power loop must truncate rank lineage (lazy localCheckpoint every
