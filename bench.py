@@ -256,20 +256,35 @@ def main() -> None:
             timings, query_load = _run_session(sf_dir)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "query_load": query_load,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "sessions": session_meta,
-                "cpu_ref_sec": _cpu_reference(),
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "query_load": query_load,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "sessions": session_meta,
+            "cpu_ref_sec": _cpu_reference(),
+        }
     )
+    print(payload)
+    # Sidecar copy of the SAME JSON (r13 verdict item 2): the driver
+    # captures stdout, and one noisy stderr line or a longer suite can
+    # truncate the ~8 KB line mid-JSON (BENCH_r12.json parsed: null —
+    # the r13 round had no machine-readable baseline).  The stdout
+    # contract is unchanged; the file is a durability copy only.
+    # Children skip it: the parent's merged min-of-sessions is the record.
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD"):
+        return
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"),
+            "w",
+        ) as fh:
+            fh.write(payload + "\n")
+    except OSError:
+        pass  # a read-only checkout must never fail the bench
 
 
 if __name__ == "__main__":

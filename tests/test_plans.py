@@ -513,6 +513,39 @@ def test_cross_source_dup_matrix_broadcasts_pairs(spark):
     assert "BroadcastHashJoin" in final_executed_plan(df)
 
 
+def test_verified_pairs_persist_is_reordered_and_shared(spark):
+    """r14 item 1: the CC-family consumers share ONE persisted
+    verified-pair relation.  The persist must be a column-REORDERED
+    projection (jaccard, doc1, doc2) so CacheManager can never
+    substitute it into ``dedup_minhash_lsh``'s raw (doc1, doc2, jaccard)
+    pipeline — the `_persisted_sig_sets` rule — while a CC consumer
+    built afterwards must read the cache."""
+    from duckdb_extension_kafquack_spark.operators.dedup import (
+        _persisted_verified_pairs,
+    )
+    from duckdb_extension_kafquack_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    pairs = _persisted_verified_pairs(docs)
+    assert pairs.columns == ["jaccard", "doc1", "doc2"]
+    raw = REGISTRY["dedup_minhash_lsh"].fn(spark, SF_DIR)
+    raw_opt = raw._jdf.queryExecution().optimizedPlan().toString()
+    # the raw pipeline stays substitution-free: its only cache read is
+    # the persisted SIGNATURE relation it consumes by design — an
+    # InMemoryRelation outputting jaccard would be the pair cache
+    for frag in raw_opt.split("InMemoryRelation")[1:]:
+        assert "jaccard" not in frag.split("\n")[0].lower()
+    # a direct pairs consumer reads the cache (the CC consumers read it
+    # too, but inside the eagerly-built iteration — their returned frame
+    # is a post-checkpoint LogicalRDD, so assert on the join consumer)
+    mat = REGISTRY["cross_source_dup_matrix"].fn(spark, SF_DIR)
+    mat_opt = mat._jdf.queryExecution().optimizedPlan().toString()
+    assert any(
+        "jaccard" in frag.split("\n")[0].lower()
+        for frag in mat_opt.split("InMemoryRelation")[1:]
+    )
+
+
 def test_dedup_family_no_density_scaled_broadcast_hints(spark):
     """Repo-wide propagation of the containment lesson (its forced hint
     OOM'd the 16×-replica probe): every relation whose size grows with

@@ -1092,6 +1092,51 @@ def test_pagerank_lineage_guard_bounds_plan_at_high_iters(spark):
     assert PR_ITERS <= ev_mod.PR_CHECKPOINT_THRESHOLD
 
 
+def test_pr_iterate_concurrent_builds_do_not_race(spark):
+    """r14 (r13 verdict item 6): `_pr_iterate` used four PROCESS-GLOBAL
+    temp-view names — eager resolution made sequential builds safe, but
+    two rank loops built concurrently in one session could race on view
+    replacement (loop A registers its rank view, loop B overwrites it,
+    loop A's next chunk resolves B's ranks).  View names are now unique
+    per invocation (and dropped on exit), so interleaved multi-chunk
+    builds must produce exactly the sequentially-built values."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from duckdb_extension_kafquack_spark.operators.events import _pr_iterate
+
+    ITERS = 12  # > PR_CHECKPOINT_THRESHOLD → multiple chunks per build
+
+    def graph(shift: int):
+        raw = [(1, 10 + shift), (1, 20 + shift), (2, 20 + shift),
+               (2, 30 + shift), (3, 30 + shift), (3, 10 + shift)]
+        ddeg = {}
+        udeg = {}
+        for u, d in raw:
+            ddeg[d] = ddeg.get(d, 0) + 1
+            udeg[u] = udeg.get(u, 0) + 1
+        e = spark.createDataFrame(
+            [(u, d, ddeg[d], udeg[u]) for u, d in raw],
+            "user_id bigint, doc_id bigint, doc_deg bigint, user_deg bigint",
+        )
+        dd = spark.createDataFrame(
+            sorted(ddeg.items()), "doc_id bigint, doc_deg bigint"
+        )
+        return e, dd
+
+    g1, g2 = graph(0), graph(100)
+    want1 = {r.doc_id: r.pr for r in _pr_iterate(spark, *g1, ITERS).collect()}
+    want2 = {r.doc_id: r.pr for r in _pr_iterate(spark, *g2, ITERS).collect()}
+
+    def build_and_collect(g):
+        return {r.doc_id: r.pr for r in _pr_iterate(spark, *g, ITERS).collect()}
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(build_and_collect, g1)
+        f2 = pool.submit(build_and_collect, g2)
+        assert f1.result() == want1
+        assert f2.result() == want2
+
+
 @FAST
 @given(
     docs=st.lists(st.integers(1, 6), min_size=0, max_size=40),

@@ -26,7 +26,7 @@ def main() -> None:
     import duckdb_extension_kafquack_spark.streaming  # noqa: F401
     import duckdb_extension_kafquack_spark.functions.udf  # noqa: F401
     import duckdb_extension_kafquack_spark.tpch  # noqa: F401
-    from duckdb_extension_kafquack_spark.plans import executed_plan
+    from duckdb_extension_kafquack_spark.plans import final_executed_plan
     from duckdb_extension_kafquack_spark.session import get_spark
     from duckdb_extension_kafquack_spark.suite import REGISTRY
 
@@ -42,8 +42,9 @@ def main() -> None:
         formatted = jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        df.collect()
-        final = executed_plan(df)
+        # plans.final_executed_plan keeps the collect+capture pair (and
+        # its bounded-output caveat) in one place (r13 advice)
+        final = final_executed_plan(df)
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w") as f:
             f.write(f"== {name} @ {sf_dir} ==\n\n")

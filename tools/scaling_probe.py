@@ -121,6 +121,7 @@ def main() -> None:
     from duckdb_extension_kafquack_spark.operators.curation import (
         contamination_counts,
         fuzzy_contamination,
+        host_dedup_report,
         repetition_scores,
     )
     from duckdb_extension_kafquack_spark.operators.events import (
@@ -277,6 +278,13 @@ def main() -> None:
         bench("token_entropy", k, lambda: token_entropy(docs))
         bench("cross_source_dup_matrix", k, lambda: cross_source_dup_matrix(docs))
         bench("keep_best_quality", k, lambda: keep_best_quality_report(docs))
+        # r14 (r13 verdict item 5): the one registered query without a
+        # probe row.  Host count is FIXED under replication (host =
+        # source-(doc_id % 23)) while docs/host grow k×, so this probes
+        # exactly the hot-host regime the (host, gram) shuffle would
+        # skew in — the map-side-combined aggregate is the defense;
+        # judge vs ×linear
+        bench("host_dedup_report", k, lambda: host_dedup_report(docs))
         bench("containment_pairs", k, lambda: containment_pairs(docs))
         bench("ngram_jaccard", k, lambda: ngram_jaccard_pairs(docs))
         # CMS heavy-hitter path: sketch + estimates over the token stream
@@ -428,6 +436,11 @@ def main() -> None:
         "repetition_scores",
         "boilerplate_phrases",
         "streaming_incr_dedup_fixedbatch",
+        # round-14 addition (r13 verdict item 5): host-level dedup — a
+        # linear shape (per-host aggregates, no pair expansion), judged
+        # vs ×linear; its worst case here is the FIXED host count under
+        # replication (every host 64× hotter)
+        "host_dedup_report",
     )
     docs = replicate_docs(docs0, 64).localCheckpoint()
     bench("repetition_scores", 64, lambda: repetition_scores(docs))
@@ -441,6 +454,7 @@ def main() -> None:
     bench("minhash_lsh_dedup", 64, lambda: minhash_near_duplicates(docs))
     bench("cross_source_dup_matrix", 64, lambda: cross_source_dup_matrix(docs))
     bench("keep_best_quality", 64, lambda: keep_best_quality_report(docs))
+    bench("host_dedup_report", 64, lambda: host_dedup_report(docs))
     bench("containment_pairs", 64, lambda: containment_pairs(docs))
     bench("ngram_jaccard", 64, lambda: ngram_jaccard_pairs(docs))
     bench("fuzzy_contamination", 64, lambda: fuzzy_contamination(docs))
