@@ -615,7 +615,9 @@ def verified_jaccard(
 
 
 def minhash_near_duplicates(
-    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → bands →
     bucket join → exact-Jaccard verify ≥ threshold.
@@ -631,9 +633,14 @@ def minhash_near_duplicates(
     (the containment-pairs lesson, :func:`containment_pairs`) — AQE's
     runtime-size decision broadcasts it when it is actually small and
     degrades to a shuffled join when it is not.
+
+    ``pairs`` overrides the candidate-pair input (r14: the shared
+    persisted candidate relation) while keeping the verify defined in
+    exactly one place; the default builds the raw pipeline.
     """
     sig = _persisted_sig_sets(docs)
-    pairs = candidate_pairs(minhash_bands(sig))
+    if pairs is None:
+        pairs = candidate_pairs(minhash_bands(sig))
     s1 = sig.select(
         F.col("doc_id").alias("doc1"), F.col("stoks").alias("t1"), F.col("n").alias("n1")
     )
@@ -669,6 +676,21 @@ def minhash_near_duplicates(
     )
 
 
+def _persisted_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Shared persisted CANDIDATE pair relation (pre-verify, no
+    threshold): consumed by the verified-pairs builder below and by the
+    calibration family (:func:`minhash_calibration`), which needs every
+    candidate, not just the ≥threshold survivors.  Columns REORDERED to
+    (doc2, doc1) — the :func:`_persisted_sig_sets` CacheManager rule:
+    the raw ``dedup_minhash_lsh`` pipeline builds the verbatim
+    (doc1, doc2) candidate fragment unpersisted.  Dup-density-scaled,
+    MEMORY_AND_DISK."""
+    from pyspark import StorageLevel
+
+    cand = candidate_pairs(minhash_bands(_persisted_sig_sets(docs)))
+    return cand.select("doc2", "doc1").persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def _persisted_verified_pairs(docs: DataFrame) -> DataFrame:
     """Shared PERSISTED verified near-dup pair relation (r13 verdict
     item 1): nine registered queries — the CC family (clusters,
@@ -686,10 +708,17 @@ def _persisted_verified_pairs(docs: DataFrame) -> DataFrame:
     returns the verbatim (doc1, doc2, jaccard) pipeline unpersisted,
     and a verbatim persist here would silently substitute into its plan
     and make plan-shape tests order-dependent.  Consumers select by
-    name."""
+    name.
+
+    Built over :func:`_persisted_candidate_pairs` (the verify itself
+    stays defined once, in :func:`minhash_near_duplicates`), so the
+    first materialization of this relation also reads the candidate
+    cache the calibration family shares."""
     from pyspark import StorageLevel
 
-    pairs = minhash_near_duplicates(docs)
+    pairs = minhash_near_duplicates(
+        docs, pairs=_persisted_candidate_pairs(docs).select("doc1", "doc2")
+    )
     return pairs.select("jaccard", "doc1", "doc2").persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -799,9 +828,12 @@ def minhash_calibration(docs: DataFrame) -> DataFrame:
     int/int quotient and the exact Jaccard a single IEEE division, so
     both reproduce bit-for-bit in the oracle.  Physical shape is the
     near-dup pipeline minus the threshold filter: one banded self-join,
-    signatures and shingle sets off the same persisted map-side pass."""
+    signatures and shingle sets off the same persisted map-side pass —
+    and since r14 the candidate set itself comes from the shared
+    persisted relation (:func:`_persisted_candidate_pairs`), so the
+    banded expansion is not rebuilt per calibration/sweep query."""
     sig = _persisted_sig_sets(docs)
-    pairs = candidate_pairs(minhash_bands(sig))
+    pairs = _persisted_candidate_pairs(docs).select("doc1", "doc2")
     mh_names = [f"mh{s}" for s in range(NUM_HASHES)]
     s1 = sig.select(
         F.col("doc_id").alias("doc1"),

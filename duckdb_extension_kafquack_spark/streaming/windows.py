@@ -712,6 +712,17 @@ FROM cls GROUP BY source
 """
 
 
+#: memoized stream-side PLANS per (applicationId, sf_dir) — r14 (r13
+#: verdict item 4): constructing the banded-signature projection over
+#: the readStream frame costs ~0.45 s of pure py4j/analysis per call
+#: (measured: _docs_stream 0.15 s + sig_sets 0.1–0.2 s + bands 0.12 s),
+#: a third of the stored twin's whole bench row, and the plan is a
+#: DETERMINISTIC function of the fixture dir — the `_pr_iterate` lesson
+#: (cut plan-construction cost, not a result cache: every start() of
+#: the memoized frame plans and executes its own fresh micro-batches).
+_INCR_STREAM_SIDE_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def _incr_stream_side(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The arriving-batch side of incremental dedup as a STREAM:
     (doc_id, source, h, t1, n1, band, band_sig) — md5 content key,
@@ -722,9 +733,20 @@ def _incr_stream_side(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors) use, with source/h/shingle set carried via passthrough.
     Banding knobs come from the SAME corpus-derived law as the store
     build (:func:`..operators.dedup.minhash_knobs_for`, r12 advice) —
-    the arriving batch and the stored index can never band-mismatch."""
-    from ..operators.dedup import minhash_bands, minhash_knobs_for, minhash_sig_sets
+    the arriving batch and the stored index can never band-mismatch.
 
+    The built plan is memoized per (application, sf_dir): a streaming
+    DataFrame is just a plan — each ``writeStream.start()`` runs its
+    own query against it, so reuse skips only the py4j construction
+    cost, never any execution."""
+    from ..operators.dedup import minhash_bands, minhash_knobs_for, minhash_sig_sets
+    from ..session import ensure_session_conf
+
+    ensure_session_conf(spark)  # even on a memo hit: the CALLER's session
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _INCR_STREAM_SIDE_MEMO.get(key)
+    if got is not None:
+        return got
     nh, nb, nr = minhash_knobs_for(sf_dir)
     sdocs = (
         _docs_stream(spark, sf_dir)
@@ -732,7 +754,7 @@ def _incr_stream_side(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("h", F.md5("text"))
     )
     ssig = minhash_sig_sets(sdocs, nh, passthrough=("source", "h"))
-    return minhash_bands(
+    built = minhash_bands(
         ssig.select(
             "doc_id", "source", "h",
             F.col("stoks").alias("t1"), F.col("n").alias("n1"),
@@ -742,6 +764,8 @@ def _incr_stream_side(spark: SparkSession, sf_dir: str) -> DataFrame:
         nr,
         passthrough=("source", "h", "t1", "n1"),
     )
+    _INCR_STREAM_SIDE_MEMO[key] = built
+    return built
 
 
 def _incr_classify(
@@ -807,6 +831,11 @@ def _incr_classify(
     )
 
 
+#: inline corpus-relation PLANS per (applicationId, sf_dir) — same
+#: construction-only memo as :data:`_INCR_STREAM_SIDE_MEMO`
+_INCR_INLINE_RELS_MEMO: dict[tuple[str, str], tuple] = {}
+
+
 def _incr_corpus_rels_inline(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -815,9 +844,18 @@ def _incr_corpus_rels_inline(
     corpus text INLINE — the from-scratch shape;
     :func:`_incr_corpus_rels_stored` reads the same state from the
     prebuilt store instead.  Banding knobs from the shared
-    corpus-derived law (:func:`..operators.dedup.minhash_knobs_for`)."""
+    corpus-derived law (:func:`..operators.dedup.minhash_knobs_for`).
+
+    Plans memoized per (application, sf_dir) like the stream side —
+    construction cost only; every micro-batch still re-derives the
+    corpus relations at EXECUTION time (the inline twin's defining
+    cost, which the stored twin exists to amortize)."""
     from ..operators.dedup import minhash_bands, minhash_knobs_for, minhash_sig_sets
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _INCR_INLINE_RELS_MEMO.get(key)
+    if got is not None:
+        return got
     nh, nb, nr = minhash_knobs_for(sf_dir)
     docs = load_tables(spark, sf_dir)["documents"]
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
@@ -833,6 +871,7 @@ def _incr_corpus_rels_inline(
         F.col("stoks").alias("t2"),
         F.col("n").alias("n2"),
     )
+    _INCR_INLINE_RELS_MEMO[key] = (corpus_hash, cbands, csets)
     return corpus_hash, cbands, csets
 
 
@@ -1299,20 +1338,35 @@ def _duck_streaming_semdedup_sql() -> str:
     return _duck_semdedup_incr_sql()
 
 
+#: arrivals-stream PLANS per (applicationId, sf_dir) — the same
+#: construction-only memo as :data:`_INCR_STREAM_SIDE_MEMO` (~0.16 s of
+#: py4j/analysis per build, measured r14)
+_SEMDEDUP_ARRIVALS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def _build_semdedup_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The arriving-vector stream for the SemDeDup ingest twin: a
     map-only readStream projection — NO joins, NO hints, no state; the
     classify happens per micro-batch inside foreachBatch (the fused
     kernel, or the collect-free cell join beyond the batch cap).  Split
     out so plan tests can pin the stream frame's shape without draining
-    anything."""
+    anything.  Plan memoized per (application, sf_dir) — construction
+    cost only, every start() executes fresh."""
     from ..operators.similarity import SEMDEDUP_BATCH_MOD
+    from ..session import ensure_session_conf
 
-    return (
+    ensure_session_conf(spark)  # even on a memo hit: the CALLER's session
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _SEMDEDUP_ARRIVALS_MEMO.get(key)
+    if got is not None:
+        return got
+    built = (
         _emb_stream(spark, sf_dir)
         .filter(F.col("vec_id") % SEMDEDUP_BATCH_MOD == 0)
         .select("vec_id", "embedding")
     )
+    _SEMDEDUP_ARRIVALS_MEMO[key] = built
+    return built
 
 
 @query("streaming_semdedup_incremental", _duck_streaming_semdedup_sql())
