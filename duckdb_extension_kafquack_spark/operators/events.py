@@ -750,6 +750,11 @@ def _maybe_checkpoint_rank(r: DataFrame, i: int, iters: int) -> DataFrame:
 #: remove the only session-global mutable state the SQL-built loop had.
 _PR_VIEW_SEQ = itertools.count()
 
+#: one-shot flag so a drifted py4j drop surface is reported ONCE per
+#: process instead of silently leaking four view bindings per rank
+#: build forever (r14 review finding)
+_PR_VIEW_DROP_WARNED = False
+
 
 def _pr_iterate(
     spark: SparkSession,
@@ -845,7 +850,19 @@ def _pr_iterate(
             try:
                 spark._jsparkSession.sessionState().catalog().dropTempView(v)
             except Exception:
-                pass  # py4j surface drift — a leaked name binding is harmless
+                # py4j surface drift: one leaked name binding is
+                # harmless, but silent unbounded leakage across a
+                # long-lived session is not — warn ONCE
+                global _PR_VIEW_DROP_WARNED
+                if not _PR_VIEW_DROP_WARNED:
+                    _PR_VIEW_DROP_WARNED = True
+                    import warnings
+
+                    warnings.warn(
+                        "internal dropTempView surface unavailable; "
+                        "rank-loop temp views will accumulate this session",
+                        RuntimeWarning,
+                    )
 
 
 def _edge_partitions(events: DataFrame) -> int:

@@ -720,6 +720,15 @@ FROM cls GROUP BY source
 #: DETERMINISTIC function of the fixture dir — the `_pr_iterate` lesson
 #: (cut plan-construction cost, not a result cache: every start() of
 #: the memoized frame plans and executes its own fresh micro-batches).
+#: Lifecycle notes: applicationIds are unique per SparkContext, so an
+#: entry built under a stopped context can never be RETURNED to a new
+#: one (new context → new key); dead entries merely occupy one dict
+#: slot per (context, dir) pair — bounded by contexts created in the
+#: process, not by workload.  Sibling sessions of ONE context share an
+#: entry by design: the builder session is conf-ensured before the
+#: build, so execution through the memoized frame's own session is
+#: always pinned, and callers still get their session ensured via the
+#: `ensure_session_conf` call before the lookup.
 _INCR_STREAM_SIDE_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -851,7 +860,9 @@ def _incr_corpus_rels_inline(
     corpus relations at EXECUTION time (the inline twin's defining
     cost, which the stored twin exists to amortize)."""
     from ..operators.dedup import minhash_bands, minhash_knobs_for, minhash_sig_sets
+    from ..session import ensure_session_conf
 
+    ensure_session_conf(spark)  # even on a memo hit: the CALLER's session
     key = (spark.sparkContext.applicationId, sf_dir)
     got = _INCR_INLINE_RELS_MEMO.get(key)
     if got is not None:
