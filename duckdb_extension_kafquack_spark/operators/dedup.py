@@ -724,6 +724,49 @@ def _persisted_verified_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+#: cross-query memo of the connected-components LABELS over the shared
+#: verified-pair relation, keyed (applicationId, docs-plan semanticHash).
+#: Four registered queries (dedup_clusters, dedup_cluster_histogram,
+#: dedup_canonical_corpus, dedup_keep_best_quality) cluster the SAME
+#: pair relation; unlike the pair persists — where CacheManager serves
+#: the plan transparently — the labels sit behind per-call
+#: ``localCheckpoint`` RDDs, so sharing them means memoizing the
+#: result-bearing frame on plan identity (the trained-codebook /
+#: hot-probe-memo pattern).  applicationId in the key pins entries to
+#: the SparkContext whose executors hold the checkpointed blocks; the
+#: semanticHash distinguishes corpora (sf dirs).  Staleness contract is
+#: the same as the persisted pair relations the labels derive from:
+#: the memo reflects the data as first materialized in this context.
+_VERIFIED_CC_MEMO: dict[tuple[str, int], DataFrame] = {}
+
+
+def _verified_cc_labels(docs: DataFrame) -> DataFrame:
+    """Connected components over :func:`_persisted_verified_pairs`,
+    computed once per (context, corpus) and shared by the CC-consumer
+    family.  Deterministic given the pair relation (min label per
+    component), so reuse is value-neutral — the four consumers' DuckDB
+    oracles each re-prove it.  NOT a cross-run cache: a fresh process /
+    fresh SparkContext recomputes from the parquet inputs."""
+    key = None
+    try:
+        key = (
+            docs.sparkSession.sparkContext.applicationId,
+            docs._jdf.queryExecution().analyzed().semanticHash(),
+        )
+    except Exception:  # py4j surface drift — fall back to recomputing
+        pass
+    if key is not None:
+        got = _VERIFIED_CC_MEMO.get(key)
+        if got is not None:
+            return got
+    comp = connected_components(
+        _persisted_verified_pairs(docs).select("doc1", "doc2")
+    )
+    if key is not None:
+        _VERIFIED_CC_MEMO[key] = comp
+    return comp
+
+
 def _duck_band_ctes() -> str:
     """The CTE chain up through the per-doc LSH band relation
     (shingles → minhash signatures → bands) — ONE definition of the
@@ -1079,8 +1122,7 @@ def cluster_summary(docs: DataFrame) -> DataFrame:
     by the clusters query and the impact histogram so the two can
     never diverge on the derivation (their oracles already share
     :func:`_duck_clusters_sql`)."""
-    pairs = _persisted_verified_pairs(docs).select("doc1", "doc2")
-    comp = connected_components(pairs)
+    comp = _verified_cc_labels(docs)
     return comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_doc"),
@@ -2058,8 +2100,7 @@ def canonical_corpus(docs: DataFrame) -> DataFrame:
     dup density, so it carries no forced broadcast hint: AQE broadcasts
     it when actually small and shuffles when not), so the only
     corpus-scale work remains the LSH pipeline's own single shuffle."""
-    pairs = _persisted_verified_pairs(docs).select("doc1", "doc2")
-    comp = connected_components(pairs)
+    comp = _verified_cc_labels(docs)
     drop = comp.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return docs.join(drop, "doc_id", "left_anti")
 
@@ -2099,8 +2140,7 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     / kept docs, kept chars) — what a pipeline run reports after the
     keep-one-per-cluster pass."""
     docs = load_tables(spark, sf_dir)["documents"]
-    pairs = _persisted_verified_pairs(docs).select("doc1", "doc2")
-    comp = connected_components(pairs)
+    comp = _verified_cc_labels(docs)
     drop = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id", F.lit(1).alias("is_dup")
     )
@@ -2777,8 +2817,7 @@ def keep_best_quality_report(docs: DataFrame) -> DataFrame:
     the one order-dependent float reduction (rounded@6)."""
     from .text import quality_score_col
 
-    pairs = _persisted_verified_pairs(docs).select("doc1", "doc2")
-    comp = connected_components(pairs)
+    comp = _verified_cc_labels(docs)
     # score INLINE on the scan (quality_score_col is a pure column
     # expression over text) — a docs⋈quality_scores(docs) join here
     # would shuffle the corpus against itself for values one projection

@@ -546,6 +546,35 @@ def test_verified_pairs_persist_is_reordered_and_shared(spark):
     )
 
 
+def test_verified_cc_labels_memo_shares_per_corpus(spark):
+    """r14: the four CC consumers (clusters, histogram, canonical,
+    keep-best) share ONE memoized connected-components labels frame per
+    (SparkContext, corpus plan) — the trained-codebook pattern.  The
+    memo must hit for the same docs plan, miss for a semantically
+    different one, and reuse must be value-identical to a fresh,
+    unmemoized iteration over the same pair relation."""
+    from duckdb_extension_kafquack_spark.operators.dedup import (
+        _persisted_verified_pairs,
+        _verified_cc_labels,
+        connected_components,
+    )
+    from duckdb_extension_kafquack_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    a = _verified_cc_labels(docs)
+    assert _verified_cc_labels(docs) is a  # memo hit: the shared frame
+    # a semantically different docs plan gets its own entry — no
+    # cross-corpus bleed through the memo key
+    assert _verified_cc_labels(docs.limit(0)) is not a
+    # shared labels are value-identical to a fresh unmemoized run
+    fresh = connected_components(
+        _persisted_verified_pairs(docs).select("doc1", "doc2")
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
+
+
 def test_dedup_family_no_density_scaled_broadcast_hints(spark):
     """Repo-wide propagation of the containment lesson (its forced hint
     OOM'd the 16×-replica probe): every relation whose size grows with
