@@ -698,8 +698,11 @@ def main() -> None:
         "  `minhash_lsh_dedup`) plus broadcast joins of the pair/cluster",
         "  ids into the corpus scan (with the inline-scored projection and",
         "  a cluster-bounded ranking window for keep_best); growth tracks",
-        "  the minhash row — plus the CC rounds for keep_best — never",
-        "  corpus².",
+        "  the minhash row — never corpus².  Since the r14 CC-labels",
+        "  memo, keep_best's min-of-2 measures the CC-warm steady state",
+        "  (the first invocation at each k still pays the full pair",
+        "  build + pointer-doubling; the pair-cache-warm caveat that",
+        "  already applied to these anchors now covers the labels too).",
     ]
     lines += [
         "* streaming twins (`streaming_incremental_dedup`,",
